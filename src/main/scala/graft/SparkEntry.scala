@@ -1,13 +1,35 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.ops._
+import graft.oracle.OracleSql
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "q_scan_project" -> (Relational.scanProject _),
+    // §2.2 filter/project
+    "q_filter_pred" -> (Relational.filterPred _),
+    "q_project_expr" -> (Relational.projectExpr _),
+    // §2.4 aggregation (flagship)
+    "q_agg_group" -> (Relational.aggGroup _),
+    // §2.6 sort/topk
+    "q_sort_multi" -> (Relational.sortMulti _),
+    "q_topk" -> (Relational.topK _),
+    // §2.7 set ops
+    "q_union_all" -> (Relational.unionAll _),
+    "q_union_distinct" -> (Relational.unionDistinct _),
+    "q_intersect" -> (Relational.intersectYears _),
+    "q_except" -> (Relational.exceptYears _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    OracleSql.sql.filter { case (k, _) => queries.contains(k) }
 }

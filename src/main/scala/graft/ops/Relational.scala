@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.1–§2.8).
+  *
+  * Mirrors the reference ETL's row-level capabilities (column-subset TSV
+  * reads, per-row skip filters, lookup joins, per-category counters —
+  * reference `parsers/&lt;SRC&gt;/src/load&lt;SRC&gt;.py`, `Common/merging.py`) re-expressed
+  * as declarative DataFrame plans so Catalyst handles pushdown, pruning
+  * and join selection. Every oracle-checked query ends in a total ORDER BY
+  * with a unique tiebreak key and casts money to DECIMAL(18,2) *before*
+  * aggregation (cross-engine determinism, SURVEY §7.4).
+  */
+object Relational {
+  // Money columns → DECIMAL(12,2); small (1±x) factors → DECIMAL(4,2).
+  // Narrow operand widths keep products within both engines' 38-digit
+  // cap WITHOUT any scale-reducing cast afterwards — a 4dp→2dp cast hits
+  // .xx50 ties where Spark rounds HALF_UP but DuckDB HALF_EVEN. Exact
+  // full-scale results are the only cross-engine-safe decimals.
+  private val D = DecimalType(12, 2)
+  private val F = DecimalType(4, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def fac(c: Column): Column = c.cast(F)
+  // Final outputs widen to DECIMAL(38,s) — a widening cast never rounds,
+  // and pinning precision=38 on both engines keeps the written parquet
+  // schema identical to DuckDB's result schema.
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def d6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** §2.1 q_scan_project — pruned scan + rename + computed decimal col.
+    * Catalyst pushes the projection into the parquet scan (ReadSchema
+    * shows 5 of 11 cols); at 100 TB this is the difference between
+    * reading 45% and 100% of the table bytes. */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lnum"),
+        d2(col("l_quantity")).as("qty"),
+        d4(dec(col("l_extendedprice")) * fac(lit(1) - col("l_discount")))
+          .as("revenue"))
+      // (okey,lnum) is NOT unique in this data — total order needs every
+      // output column so tie rows (identical tuples) can't flip order.
+      .orderBy(col("okey"), col("lnum"), col("qty"), col("revenue"))
+
+  /** §2.2 q_filter_pred — compound AND/OR, IN, BETWEEN (dates), LIKE,
+    * IS NOT NULL, != . All predicates are Catalyst-native so they push
+    * to the parquet row-group stats. */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        (col("l_returnflag") === "A" || col("l_returnflag") === "R") &&
+        col("l_linestatus") =!= "O" &&
+        col("l_quantity").between(10, 40) &&
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")) &&
+        col("l_linenumber").isin(1, 2, 3, 4) &&
+        col("l_returnflag").isNotNull &&
+        col("l_returnflag").like("_%"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        d2(col("l_quantity")).as("qty"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+
+  /** §2.2 q_project_expr — arithmetic, CASE WHEN, coalesce/nullif. */
+  def projectExpr(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "done")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_word"),
+        d2(col("o_totalprice")).as("price"),
+        d2(dec(col("o_totalprice")) * lit(2)).as("double_price"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+          lit("UNSPECIFIED")).as("prio"),
+        (col("o_custkey") % 10).as("custmod"))
+      .orderBy(col("o_orderkey"))
+
+  /** §2.4 q_agg_group — flagship TPC-H-Q1 clone. Money sums in
+    * DECIMAL(18,2) (exact, order-independent); averages derived from the
+    * exact decimal sums then rounded — never float-summed. Partial
+    * aggregation (map-side combine) keeps the shuffle at
+    * |groups| × partitions rows regardless of input scale. */
+  def aggGroup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        d4(sum(dec(col("l_extendedprice")) * fac(lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        d6(sum(dec(col("l_extendedprice")) * fac(lit(1) - col("l_discount"))
+          * fac(lit(1) + col("l_tax")))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        round(col("sum_qty").cast("double") / col("count_order"), 4))
+      .withColumn("avg_price",
+        round(col("sum_base_price").cast("double") / col("count_order"), 4))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §2.6 q_sort_multi — mixed ASC/DESC with explicit NULLS placement;
+    * nulls injected via nullif. Tungsten external sort; the range
+    * partitioner samples keys so the sort scales out. */
+  def sortMulti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        d2(col("c_acctbal")).as("bal"))
+      .orderBy(col("seg").desc_nulls_last, col("bal").desc,
+        col("c_custkey").asc)
+
+  /** §2.6 q_topk — global top-k; Spark plans TakeOrderedAndProject
+    * (per-partition heap + driver merge), never a full sort. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), d2(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** §2.7 q_union_all — concatenation of per-source slices (reference
+    * merger fast path for disjoint sources). */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(lit("A").as("tag"), col("o_totalprice"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select(lit("B").as("tag"), col("o_totalprice"))
+    a.unionByName(b)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("cnt"),
+        d2(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("tag"))
+  }
+
+  /** §2.7 q_union_distinct — node-id-set union during merge. */
+  def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.union(b).distinct().orderBy(col("custkey"))
+  }
+
+  /** §2.7 q_intersect — customers active in both years. */
+  def intersectYears(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b).orderBy(col("custkey"))
+  }
+
+  /** §2.7 q_except — customers active in 1996 but not 1997. */
+  def exceptYears(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey").as("custkey"))
+    a.except(b).orderBy(col("custkey"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.oracle
+
+/** DuckDB 1.0.0 oracle twins for SparkEntry.oracleSql (SURVEY.md §2).
+  * One SQL string per oracle-checked query key; column names/aliases must
+  * match the Spark DataFrame exactly (driver sorts columns by name before
+  * hashing). Determinism rules per SURVEY §7.4 plus two learned locally:
+  *  - money operands cast to DECIMAL(12,2), (1±x) factors to DECIMAL(4,2),
+  *    NO scale-reducing cast afterwards (Spark HALF_UP vs DuckDB HALF_EVEN
+  *    diverge on .xx50 ties) — outputs widen to DECIMAL(38,s) only;
+  *  - (l_orderkey,l_linenumber) is NOT unique in this data, so row-level
+  *    lineitem queries ORDER BY every output column.
+  */
+object OracleSql {
+  val sql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |CAST(l_quantity AS DECIMAL(38,2)) AS qty,
+        |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem ORDER BY okey, lnum, qty, revenue""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(l_quantity AS DECIMAL(38,2)) AS qty,
+        |l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
+        |  AND l_linestatus <> 'O'
+        |  AND l_quantity BETWEEN 10 AND 40
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        |  AND l_linenumber IN (1,2,3,4)
+        |  AND l_returnflag IS NOT NULL
+        |  AND l_returnflag LIKE '_%'
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    "q_project_expr" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderstatus = 'F' THEN 'done'
+        |     WHEN o_orderstatus = 'O' THEN 'open'
+        |     ELSE 'other' END AS status_word,
+        |CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(38,2)) AS double_price,
+        |COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS prio,
+        |o_custkey % 10 AS custmod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        |COUNT(*) AS count_order,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+        |CAST(c_acctbal AS DECIMAL(38,2)) AS bal
+        |FROM customer
+        |ORDER BY seg DESC NULLS LAST, bal DESC, c_custkey ASC""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT tag, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |FROM (
+        |  SELECT 'A' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'B' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        |) t GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin
+  )
+}
