@@ -18,6 +18,16 @@ object SparkEntry {
     "q_project_expr" -> (Relational.projectExpr _),
     // §2.4 aggregation (flagship)
     "q_agg_group" -> (Relational.aggGroup _),
+    // §2.3 joins
+    "q_join_inner" -> (Joins.joinInner _),
+    "q_join_broadcast" -> (Joins.joinBroadcast _),
+    "q_join_left" -> (Joins.joinLeft _),
+    "q_join_full" -> (Joins.joinFull _),
+    "q_join_semi" -> (Joins.joinSemi _),
+    "q_join_anti" -> (Joins.joinAnti _),
+    "q_join_range" -> (Joins.joinRange _),
+    "q_join_asof" -> (Joins.joinAsof _),
+    "q_join_multi" -> (Joins.joinMulti _),
     // §2.6 sort/topk
     "q_sort_multi" -> (Relational.sortMulti _),
     "q_topk" -> (Relational.topK _),

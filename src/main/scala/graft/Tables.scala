@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Schema-pinned readers for the driver-generated parquet tables
   * (/root/testdata/sf*). See FIXTURES.md for schemas.
@@ -19,7 +20,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = s.read.parquet(p(d, "part"))
   def orders(s: SparkSession, d: String): DataFrame    = s.read.parquet(p(d, "orders"))
   def lineitem(s: SparkSession, d: String): DataFrame  = s.read.parquet(p(d, "lineitem"))
-  def events(s: SparkSession, d: String): DataFrame    = s.read.parquet(p(d, "events"))
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp. Read nanos as long and floor to µs (DuckDB's
+    * CAST(ts_ns AS TIMESTAMP) truncates identically; the generator's ns
+    * values are µs-aligned anyway, so the floor is lossless). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(p(d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(p(d, "embeddings"))
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Join surface (SURVEY.md §2.3). The reference joins parsed records to
+  * lookup tables in-process (per-parser dicts, `Common/normalization.py`
+  * id maps); here every join is a declarative Catalyst join so the
+  * planner picks broadcast-hash vs sort-merge from size stats and AQE.
+  *
+  * Scale notes (100 TB): large⋈large equi-joins shuffle both sides on
+  * the key (SMJ); dimension joins are explicitly `broadcast()` so no
+  * shuffle of the fact table; the as-of join is a single shuffle by
+  * user_id + one window pass — never a per-row subquery.
+  */
+object Joins {
+  private val D = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  /** q_join_inner — large⋈large equi join (sort-merge at scale), then
+    * aggregate. */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        d2(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q_join_broadcast — star-schema dimension joins with explicit
+    * broadcast hints: the customer table never shuffles. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        d2(sum(dec(col("c_acctbal")))).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q_join_left — left enrichment keeping unmatched rows (reference:
+    * nodes that fail normalization keep their original id). */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), lit("(none)")).as("cust"),
+        d2(col("o_totalprice")).as("price"))
+      .orderBy(col("o_orderkey"))
+
+  /** q_join_full — set reconciliation across sources: one segment's
+    * customers vs the 1996 order key set; all three presence classes. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("keyv"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "cust_only")
+          .otherwise("both").as("presence"))
+      .orderBy(col("keyv"))
+  }
+
+  /** q_join_semi — EXISTS: customers with ≥1 URGENT order ("only write
+    * nodes referenced by an edge"). No column from the right side leaks,
+    * and the right side is deduplicated by the semi join itself. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** q_join_anti — NOT EXISTS: customers with no URGENT order (orphan /
+    * failed-normalization set difference). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** q_join_range — equi key + range predicate (interval-overlap style).
+    * The equi key carries the shuffle; the range predicate is evaluated
+    * as a residual filter inside the join, so no BNLJ. */
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d),
+        col("l_partkey") === col("p_partkey") &&
+        col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** q_join_asof — each event joins the most recent signup at-or-before
+    * its timestamp (per user). Spark has no native as-of join; rewrite:
+    * union signup rows (tag 0) with event rows (tag 1), one window pass
+    * ordered (ts, tag) carrying `last(signup_ts, ignoreNulls)` — tag
+    * ordering makes the boundary inclusive (ts >= signup_ts), matching
+    * DuckDB ASOF. Inner semantics: events before any signup drop.
+    * One shuffle on user_id, linear scan — as-of at 100 TB without a
+    * per-row lookup. Timestamps exported as epoch-µs (parquet ns is
+    * floored to µs identically by both engines). */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val events = ev.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), lit(null).cast("timestamp").as("s_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("ts").as("s_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.unionByName(signups)
+      .withColumn("last_signup", last(col("s_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_signup").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("last_signup")).as("signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q_join_multi — 4-way star join + filter + group + ordered output
+    * (TPC-H Q3/Q5 shape; reference: composing N sources into one graph).
+    * Catalyst reorders the joins; nation broadcasts. */
+  def joinMulti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+        d4(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast(DecimalType(4, 2))))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"), col("yr"))
+}

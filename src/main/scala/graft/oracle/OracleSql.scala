@@ -90,6 +90,77 @@ object OracleSql {
       """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    // ---- §2.3 joins ----
+    "q_join_inner" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT o_orderkey, COALESCE(c_name, '(none)') AS cust,
+        |CAST(o_totalprice AS DECIMAL(38,2)) AS price
+        |FROM orders LEFT JOIN
+        |  (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS keyv,
+        |CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |     WHEN o_custkey IS NULL THEN 'cust_only'
+        |     ELSE 'both' END AS presence
+        |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') c
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY keyv""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id,
+        |epoch_us(e.ts) AS ts_us, epoch_us(s.ts) AS signup_us
+        |FROM e ASOF JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT n_name, year(o_orderdate) AS yr, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY n_name, yr
+        |ORDER BY revenue DESC, n_name, yr""".stripMargin
   )
 }
