@@ -18,6 +18,22 @@ object SparkEntry {
     "q_project_expr" -> (Relational.projectExpr _),
     // §2.4 aggregation (flagship)
     "q_agg_group" -> (Relational.aggGroup _),
+    "q_agg_global" -> (Aggregates.aggGlobal _),
+    "q_agg_having" -> (Aggregates.aggHaving _),
+    "q_agg_distinct" -> (Aggregates.aggDistinct _),
+    "q_agg_rollup" -> (Aggregates.aggRollup _),
+    "q_agg_cube" -> (Aggregates.aggCube _),
+    "q_agg_gsets" -> (Aggregates.aggGsets _),
+    "q_agg_collect" -> (Aggregates.aggCollect _),
+    "q_agg_stats" -> (Aggregates.aggStats _),
+    "q_agg_approx" -> (Aggregates.aggApprox _),
+    "q_udaf_topk" -> (Aggregates.udafTopK _),
+    // §2.5 windows
+    "q_win_rank" -> (Windows.winRank _),
+    "q_win_topk_group" -> (Windows.winTopKGroup _),
+    "q_win_running" -> (Windows.winRunning _),
+    "q_win_lag_lead" -> (Windows.winLagLead _),
+    "q_win_range_time" -> (Windows.winRangeTime _),
     // §2.3 joins
     "q_join_inner" -> (Joins.joinInner _),
     "q_join_broadcast" -> (Joins.joinBroadcast _),

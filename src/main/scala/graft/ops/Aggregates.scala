@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Aggregation surface beyond the flagship (SURVEY.md §2.4). Reference
+  * capability: per-category node/edge counters and merge statistics
+  * (`load_metadata` dicts, `Common/merging.py`). All hash aggregates with
+  * map-side partials; money in exact decimals so results are independent
+  * of partition count and combine order.
+  */
+object Aggregates {
+  private val D = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  /** q_agg_global — ungrouped count/min/max/sum/count-distinct. */
+  def aggGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        d2(min(col("l_quantity"))).as("min_qty"),
+        d2(max(col("l_quantity"))).as("max_qty"),
+        d2(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** q_agg_having — group + post-aggregation filter. */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .filter(col("n") > 600)
+      .orderBy(col("l_suppkey"))
+
+  /** q_agg_distinct — multiple count-distincts in one aggregate
+    * (Catalyst plans an Expand + two-phase agg). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // grouping() is only legal inside the agg over a rollup/cube grouping.
+  private def groupedSetAgg(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    df.agg(
+      grouping(col("l_returnflag")).cast("int").as("g_flag"),
+      grouping(col("l_linestatus")).cast("int").as("g_status"),
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(D)).cast(DecimalType(38, 2)).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q_agg_rollup — hierarchical subtotals + grand total. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    groupedSetAgg(Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus")))
+
+  /** q_agg_cube — all grouping combinations. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    groupedSetAgg(Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus")))
+
+  /** q_agg_gsets — explicit GROUPING SETS via SQL. */
+  def aggGsets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM graft_lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q_agg_collect — per-group sorted collected lists/sets (reference:
+    * KGX merge accumulates publication lists & category sets). Lists are
+    * sorted post-collection — collect order is partition-dependent, the
+    * sorted result is not. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+        sort_array(collect_set(year(col("o_orderdate")))).as("years"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q_agg_stats — avg/var_samp/stddev_samp per group, derived from
+    * EXACT decimal sums (sum x, sum x²) so the result is identical under
+    * any partitioning — the builtin float stddev accumulates in
+    * partition order and is not cross-engine/cross-parallelism stable.
+    * l_quantity is small enough that the exact decimal sums convert to
+    * double losslessly (< 2^53 scaled units) on both engines. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("s"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("s2"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("s").cast("double") / col("n"), 4).as("avg_qty"),
+        round((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"))
+          / (col("n") - 1), 4).as("var_qty"),
+        round(sqrt((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"))
+          / (col("n") - 1)), 4).as("std_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_agg_approx — HyperLogLog++ distinct estimate (no oracle: approx
+    * by construction; exact-vs-approx tolerance asserted in tests).
+    * At 100 TB this replaces an Expand+shuffle-heavy exact distinct with
+    * a constant-size sketch per partition. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_udaf_topk — typed Aggregator UDAF: bounded top-5 orders per
+    * priority class, exploded back to rows. Oracle twin: row_number
+    * window filter. */
+  def udafTopK(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(5))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(
+        col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("o_orderkey"),
+        d2(col("col._1")).as("price"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+}

@@ -161,6 +161,134 @@ object OracleSql {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus <> 'P'
         |GROUP BY n_name, yr
-        |ORDER BY revenue DESC, n_name, yr""".stripMargin
+        |ORDER BY revenue DESC, n_name, yr""".stripMargin,
+
+    // ---- §2.4 aggregation ----
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(MIN(l_quantity) AS DECIMAL(38,2)) AS min_qty,
+        |CAST(MAX(l_quantity) AS DECIMAL(38,2)) AS max_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+        |COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 600
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS d_parts,
+        |COUNT(DISTINCT l_suppkey) AS d_supps,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_orderstatus,
+        |list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        |list_sort(list(DISTINCT year(o_orderdate))) AS years,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |ROUND(CAST(s AS DOUBLE) / n, 4) AS avg_qty,
+        |ROUND((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 4) AS var_qty,
+        |ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS std_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q_udaf_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, price FROM (
+        |  SELECT o_orderpriority,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+        |  o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS price
+        |  FROM orders) t
+        |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    // ---- §2.5 windows ----
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS rn,
+        |RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
+        |DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk,
+        |NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS tile,
+        |ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6) AS prank
+        |FROM orders ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, price, rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_sum,
+        |COUNT(*) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us,
+        |epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS next_us,
+        |epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_win_range_time" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mov_sum,
+        |COUNT(*) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS mov_cnt
+        |FROM e ORDER BY event_id""".stripMargin
   )
 }
