@@ -47,6 +47,15 @@ object SparkEntry {
     // §2.6 sort/topk
     "q_sort_multi" -> (Relational.sortMulti _),
     "q_topk" -> (Relational.topK _),
+    // §2.8 scalar functions
+    "q_str_funcs" -> (Functions.strFuncs _),
+    "q_date_funcs" -> (Functions.dateFuncs _),
+    "q_math_funcs" -> (Functions.mathFuncs _),
+    "q_json_funcs" -> (Functions.jsonFuncs _),
+    "q_array_funcs" -> (Functions.arrayFuncs _),
+    "q_map_funcs" -> (Functions.mapFuncs _),
+    "q_udf_scalar" -> (Functions.udfScalar _),
+    "q_udtf_tokens" -> (Functions.udtfTokens _),
     // §2.7 set ops
     "q_union_all" -> (Relational.unionAll _),
     "q_union_distinct" -> (Relational.unionDistinct _),

@@ -289,6 +289,78 @@ object OracleSql {
         |COUNT(*) OVER (
         |  PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS mov_cnt
-        |FROM e ORDER BY event_id""".stripMargin
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // ---- §2.8 scalar functions ----
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |upper(p_name) AS uname,
+        |lower(p_brand) AS lbrand,
+        |CAST(length(p_name) AS BIGINT) AS name_len,
+        |substring(p_type, 1, 5) AS type5,
+        |p_brand || ':' || p_type AS brand_type,
+        |replace(p_name, ' ', '_') AS name_us,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+        |regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |(p_type LIKE 'PROMO%') AS is_promo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |CAST(year(o_orderdate) AS INT) AS yr,
+        |CAST(month(o_orderdate) AS INT) AS mon,
+        |CAST(day(o_orderdate) AS INT) AS dom,
+        |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |o_orderdate + INTERVAL 30 DAY AS plus30,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_discount - 0.05) AS abs_d,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |l_partkey % 7 AS pmod7,
+        |pow(l_quantity, 2) AS qty_sq,
+        |round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |round(ln(l_extendedprice), 6) AS ln_p,
+        |round(log10(l_extendedprice), 6) AS log10_p,
+        |CAST(sign(l_discount - 0.05) AS INT) AS sgn
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_sq, sqrt_p, abs_d, pmod7""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |      CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+        |WHERE k >= 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, CAST(dims.dim AS BIGINT) AS dim,
+        |  CAST(CAST(embedding[dims.dim] AS DOUBLE) AS DECIMAL(25,12)) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 9)) AS dim) dims
+        |  WHERE len(embedding) = 64 AND embedding[1] IS NOT NULL)
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS avg_v
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT user_id, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_udf_scalar" ->
+      """SELECT split_part(c_mktsegment || ':' || CAST(c_custkey AS VARCHAR), ':', 1) AS prefix,
+        |COUNT(*) AS n
+        |FROM customer GROUP BY prefix ORDER BY prefix""".stripMargin,
+
+    "q_udtf_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |e AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos FROM d)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, parts[pos] AS token
+        |FROM e ORDER BY doc_id, pos""".stripMargin
   )
 }
