@@ -11,8 +11,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 scans
+    // §2.1 scans, sources, sinks
     "q_scan_project" -> (Relational.scanProject _),
+    "q_source_csv" -> (Sources.sourceCsv _),
+    "q_source_jsonl" -> (Sources.sourceJsonl _),
+    "q_sink_kgx" -> (Sources.sinkKgx _),
+    // §2.11 graph / ETL
+    "q_norm_remap" -> (GraphOps.normRemap _),
+    "q_graph_node_merge" -> (GraphOps.nodeMerge _),
+    "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
+    "q_graph_degree" -> (GraphOps.degree _),
+    "q_graph_cc" -> (GraphOps.connectedComponents _),
     // §2.2 filter/project
     "q_filter_pred" -> (Relational.filterPred _),
     "q_project_expr" -> (Relational.projectExpr _),

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import java.nio.file.Paths
+
+/** Source/sink surface (SURVEY.md §2.1). Reference capability: TSV/CSV
+  * ingest (`Common/utils.py` GetData + csv.reader loops), KGX JSON Lines
+  * output (`Common/kgx_file_writer.py`). These queries exercise real
+  * write→read roundtrips through temp dirs; the returned DataFrame is a
+  * deterministic aggregate over the roundtripped data so the driver can
+  * smoke/bench them (no oracle — side-effecting; unit-tested instead).
+  */
+object Sources {
+  private val D = DecimalType(12, 2)
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+
+  private def tmp(name: String, d: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+
+  private val sliceSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType)))
+
+  private def slice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 250)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+
+  /** q_source_csv — CSV write/read roundtrip with explicit schema
+    * (header on; schema pinned on read, never inferred — inference means
+    * an extra full pass over 100 TB). */
+  def sourceCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("csv", d)
+    slice(s, d).write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(sliceSchema).option("header", "true").csv(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), d2(sum(col("l_quantity").cast(D))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_source_jsonl — JSON Lines roundtrip (KGX's physical format). */
+  def sourceJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("jsonl", d)
+    slice(s, d).write.mode("overwrite").json(dir)
+    s.read.schema(sliceSchema).json(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), d2(sum(col("l_quantity").cast(D))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_sink_kgx — the reference's terminal output: KGX node + edge
+    * JSON Lines (Biolink-style property graph) built from the relational
+    * tables and written via to_json(struct(...)) → text. Returns the
+    * per-category node counts (pure, deterministic). */
+  def sinkKgx(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.customer(s, d)
+      .select(
+        concat(lit("CUST:"), col("c_custkey")).as("id"),
+        col("c_name").as("name"),
+        array(lit("biolink:Agent"), lit("customer")).as("category"))
+      .unionByName(Tables.part(s, d)
+        .select(
+          concat(lit("PART:"), col("p_partkey")).as("id"),
+          col("p_name").as("name"),
+          array(lit("biolink:ChemicalEntity"), lit("part")).as("category")))
+    val edges = Tables.lineitem(s, d)
+      .select(
+        concat(lit("ORDER:"), col("l_orderkey")).as("subject"),
+        lit("biolink:related_to").as("predicate"),
+        concat(lit("PART:"), col("l_partkey")).as("object"),
+        col("l_quantity").as("quantity"))
+    nodes.select(to_json(struct(col("id"), col("name"), col("category"))))
+      .write.mode("overwrite").text(tmp("kgx_nodes", d))
+    edges.select(to_json(struct(col("subject"), col("predicate"),
+        col("object"), col("quantity"))))
+      .write.mode("overwrite").text(tmp("kgx_edges", d))
+    nodes
+      .select(explode(col("category")).as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("category"))
+  }
+}

@@ -361,6 +361,41 @@ object OracleSql {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
         |e AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos FROM d)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, parts[pos] AS token
-        |FROM e ORDER BY doc_id, pos""".stripMargin
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    // ---- §2.11 graph / ETL ----
+    "q_norm_remap" ->
+      """SELECT COALESCE('NATION:' || n_name, 'RAW:' || CAST(c_nationkey AS VARCHAR)) AS canonical,
+        |COUNT(*) AS n
+        |FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) nn
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    "q_graph_node_merge" ->
+      """WITH nodes AS (
+        |  SELECT c_custkey AS id, 'customer' AS category, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT user_id AS id, 'user' AS category,
+        |    'user_' || CAST(user_id AS VARCHAR) AS name FROM events)
+        |SELECT id, list_sort(list(DISTINCT category)) AS cats,
+        |max(name) AS name, COUNT(*) AS n_srcs
+        |FROM nodes GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_graph_edge_merge" ->
+      """SELECT l_orderkey AS subject, l_partkey AS object,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |list_sort(list(DISTINCT l_suppkey)) AS supps,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY subject, object ORDER BY subject, object""".stripMargin,
+
+    "q_graph_degree" ->
+      """WITH deg AS (
+        |  SELECT 'order' AS ntype, l_orderkey AS node, COUNT(*) AS degree
+        |  FROM lineitem GROUP BY ntype, node
+        |  UNION ALL
+        |  SELECT 'part' AS ntype, l_partkey AS node, COUNT(*) AS degree
+        |  FROM lineitem GROUP BY ntype, node)
+        |SELECT ntype, node, degree FROM deg
+        |ORDER BY degree DESC, ntype, node LIMIT 20""".stripMargin
   )
 }
