@@ -65,6 +65,19 @@ object SparkEntry {
     "q_map_funcs" -> (Functions.mapFuncs _),
     "q_udf_scalar" -> (Functions.udfScalar _),
     "q_udtf_tokens" -> (Functions.udtfTokens _),
+    // §2.9 dedup / similarity / text
+    "q_dedup_exact" -> (DedupSim.dedupExact _),
+    "q_dedup_near" -> (DedupSim.dedupNear _),
+    "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
+    "q_sim_centroid" -> (DedupSim.simCentroid _),
+    "q_text_wordcount" -> (TextOps.wordCount _),
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_text_tfidf" -> (TextOps.tfidf _),
+    // §2.10 streaming batch twins
+    "q_stream_tumbling" -> (StreamingOps.tumbling _),
+    "q_stream_sliding" -> (StreamingOps.sliding _),
+    "q_stream_session" -> (StreamingOps.session _),
+    "q_stream_dedup" -> (StreamingOps.dedup _),
     // §2.7 set ops
     "q_union_all" -> (Relational.unionAll _),
     "q_union_distinct" -> (Relational.unionDistinct _),

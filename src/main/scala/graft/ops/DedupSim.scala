@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Dedup + similarity surface (SURVEY.md §2.9) — the LLM-training-data
+  * operators the north star adds on top of the reference: exact and
+  * near-duplicate detection over documents, vector similarity over
+  * embeddings. Designed for 100 TB: near-dup uses MinHash banding so
+  * candidate generation is a hash-bucket join, never O(n²); cosine
+  * top-k broadcasts the single query vector.
+  */
+object DedupSim {
+  /** Exact float carrier (see Functions.emb): float→double exact, then
+    * double→DECIMAL(25,12) rounds identically in Spark and DuckDB. */
+  private def emb(c: Column): Column =
+    c.cast("double").cast(DecimalType(25, 12))
+
+  /** q_dedup_exact — md5-fingerprint duplicate counts per source
+    * (reference: KGXFileWriter's in-memory written-node id set, here a
+    * distributed distinct). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+      .orderBy(col("source"))
+
+  /** q_dedup_near — MinHash/LSH near-duplicate pairs (no oracle —
+    * approximate; property tests assert recall ⊇ exact dups).
+    *
+    * Pipeline (all Catalyst expressions, zero UDFs):
+    *   word 5-shingles (higher-order transform over the token array)
+    *   → 128 minhashes (xxhash64 seeded by permutation index)
+    *   → 32 bands of 4 rows hashed together
+    *   → explode bands, groupBy bucket → candidate pairs
+    *   → exact shingle-set Jaccard ≥ 0.8 on candidates only.
+    * At 100 TB scale the band explode is 32 rows/doc and the bucket
+    * groupBy is the only shuffle before the (tiny) candidate join;
+    * skewed buckets (boilerplate docs) would be salted/capped. */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    // One row per distinct (doc, shingle) with ONE base hash; the 128
+    // permutations are cheap affine transforms h*A_k+B_k (odd A_k) whose
+    // per-group min is a single codegen'd hash-aggregate pass. The
+    // nested-higher-order-function formulation (transform inside
+    // transform) is a trap: CollapseProject inlines the shingle array
+    // into every permutation slot and evaluation goes interpreted —
+    // thousands of times slower.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")))
+    val sh = docs.select(col("doc_id"),
+      explode(col("shingles")).as("shingle"))
+    // Base hash masked to 32 bits so the affine permutations can't
+    // overflow a long under ANSI arithmetic (32-bit value × 9-bit odd
+    // multiplier + small offset stays < 2^42).
+    val hashed = sh.withColumn("h",
+      xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+    val minCols = (0 until 128).map { k =>
+      min(col("h") * lit(2L * k + 1) + lit(k * 1315423911L)).as(s"m$k")
+    }
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until 32).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("bd.band"), col("bd.bh"), col("doc_id"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q_sim_cosine_topk — brute-force cosine top-10 against one query
+    * vector (vec_id=0). The query side is a 1-row broadcast; dot and
+    * norms are sequential left-to-right folds exactly like DuckDB's
+    * list_dot_product, so the doubles match bit-for-bit before the 6dp
+    * round. The IVF/LSH-bucketed variant is the documented scale path
+    * (q_dedup_near shows the banding machinery). */
+  def simCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(
+          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(transform(qv, x -> x * x), 0d, (acc, x) -> acc + x)"))),
+          6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_sim_centroid — per-label centroid (64 dims) + centroid L2 norm.
+    * All cross-row sums ride exact decimals; the norm uses
+    * Σ(Σv)² / n² so no division happens before the final double —
+    * fully partition-order independent. */
+  def simCentroid(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        emb(col("col")).as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v")).cast(DecimalType(17, 12)).as("sv"))
+    val nrm = g.groupBy(col("label"))
+      .agg(sum(col("sv") * col("sv")).cast("double").as("ss"))
+    g.join(nrm, "label")
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("sv").cast("double") / col("n_vecs"), 6).as("cavg"),
+        round(sqrt(col("ss")) / col("n_vecs"), 6).as("cnorm"))
+      .orderBy(col("label"), col("dim"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Streaming operator surface (SURVEY.md §2.10), batch form. Each query
+  * here is the batch-equivalent DataFrame the harness verifies/benches;
+  * the Structured Streaming twins (same logic over readStream with
+  * watermarks / session_window / dropDuplicatesWithinWatermark) are
+  * built by [[StreamingTwins]] and exercised in the test suite via
+  * MemoryStream — the reference has no streaming at all, this is the
+  * north star's streaming-capable design.
+  */
+object StreamingOps {
+  private val D = DecimalType(12, 2)
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+
+  /** q_stream_tumbling — 1h tumbling window counts/sums per event type.
+    * Streaming twin: groupBy(window($"ts","1 hour"), ...) + 10 min
+    * watermark, append mode. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("value").cast(D))).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** q_stream_sliding — 1h window sliding 15min, count per
+    * (window_start, user bucket): each event lands in 4 windows. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        (col("user_id") % 10).as("ub"))
+      .groupBy(col("w.start").as("wstart"), col("ub"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("wstart"), col("ub"))
+
+  /** q_stream_session — 30-min-inactivity sessionization, batch twin of
+    * session_window: a new session starts when the gap from the
+    * previous event is strictly greater than 30 minutes (boundary
+    * pinned '>' to match the oracle). Session ids are per-user ordinals
+    * from a cumulative sum of break flags — one shuffle by user_id. */
+  def session(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        d2(sum(col("value").cast(D))).as("sum_value"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q_stream_dedup — duplicate handling on a composite key; the batch
+    * projection keeps only the key columns so the result is
+    * deterministic (dropDuplicates keeps an arbitrary survivor row).
+    * Streaming twin: withWatermark + dropDuplicatesWithinWatermark. */
+  def dedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .dropDuplicates("user_id", "event_type", "hr")
+      .orderBy(col("user_id"), col("event_type"), col("hr"))
+}

@@ -396,6 +396,99 @@ object OracleSql {
         |  SELECT 'part' AS ntype, l_partkey AS node, COUNT(*) AS degree
         |  FROM lineitem GROUP BY ntype, node)
         |SELECT ntype, node, degree FROM deg
-        |ORDER BY degree DESC, ntype, node LIMIT 20""".stripMargin
+        |ORDER BY degree DESC, ntype, node LIMIT 20""".stripMargin,
+
+    // ---- §2.9 dedup / similarity / text ----
+    "q_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(text)) AS n_distinct,
+        |COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |ROUND(list_dot_product(e.v, q.qv) /
+        |  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_centroid" ->
+      """WITH x AS (
+        |  SELECT label, CAST(dims.dim AS BIGINT) AS dim,
+        |  CAST(CAST(embedding[dims.dim] AS DOUBLE) AS DECIMAL(25,12)) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) dims),
+        |g AS (SELECT label, dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(v) AS DECIMAL(17,12)) AS sv FROM x GROUP BY label, dim),
+        |nrm AS (SELECT label, CAST(SUM(sv * sv) AS DOUBLE) AS ss FROM g GROUP BY label)
+        |SELECT g.label, g.dim, g.n_vecs,
+        |ROUND(CAST(g.sv AS DOUBLE) / g.n_vecs, 6) AS cavg,
+        |ROUND(sqrt(nrm.ss) / g.n_vecs, 6) AS cnorm
+        |FROM g JOIN nrm ON g.label = nrm.label
+        |ORDER BY g.label, g.dim""".stripMargin,
+
+    "q_text_wordcount" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        |COUNT(DISTINCT doc_id) AS d_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |  ROUND(tf.tf * ln(CAST(nd AS DOUBLE) / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n WHERE tf.doc_id < 10),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // ---- §2.10 streaming batch twins ----
+    "q_stream_tumbling" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM e GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id % 10 AS ub FROM events),
+        |x AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - i.i * (INTERVAL '15 minutes') AS wstart, ub
+        |      FROM e, (SELECT unnest(range(0, 4)) AS i) i)
+        |SELECT wstart, ub, COUNT(*) AS n
+        |FROM x GROUP BY wstart, ub ORDER BY wstart, ub""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+        |l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |b AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        |        THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM b)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+        |epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
+        |FROM events ORDER BY user_id, event_type, hr""".stripMargin
   )
 }
