@@ -79,18 +79,24 @@ object DedupSim {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+    // Exact-Jaccard verification over sorted shingle-hash ARRAYS kept
+    // per doc (~8 B per shingle ⇒ the whole doc set is a few MB):
+    // broadcast to both sides of the candidate pairs, so the big
+    // exploded shingle table is never shuffled for verification and
+    // Jaccard is a pure array_intersect expression. At 100 TB the
+    // broadcast becomes a shuffle join by doc_id — still linear in
+    // candidates, never O(n²).
+    val docsH = docs.select(col("doc_id"),
+      expr("array_sort(transform(shingles, sh -> xxhash64(sh)))").as("hs"))
+    cands
+      .join(broadcast(docsH.as("za")), col("a") === col("za.doc_id"))
+      .join(broadcast(docsH.as("zb")), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"),
+        expr("size(array_intersect(za.hs, zb.hs))").as("inter"),
+        expr("size(za.hs)").as("na"), expr("size(zb.hs)").as("nb"))
       .select(col("a"), col("b"),
         round(col("inter").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("inter")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a"), col("b"))
   }
