@@ -42,7 +42,12 @@ object DedupSim {
     * At 100 TB scale the band explode is 32 rows/doc and the bucket
     * groupBy is the only shuffle before the (tiny) candidate join;
     * skewed buckets (boilerplate docs) would be salted/capped. */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    dedupNearOn(Tables.documents(s, d))
+
+  /** Core of q_dedup_near over any (doc_id, text) frame — split out so
+    * tests can plant known duplicates. */
+  def dedupNearOn(documents: DataFrame): DataFrame = {
     // One row per distinct (doc, shingle) with ONE base hash; the 128
     // permutations are cheap affine transforms h*A_k+B_k (odd A_k) whose
     // per-group min is a single codegen'd hash-aggregate pass. The
@@ -50,7 +55,7 @@ object DedupSim {
     // transform) is a trap: CollapseProject inlines the shingle array
     // into every permutation slot and evaluation goes interpreted —
     // thousands of times slower.
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
       .withColumn("shingles", array_distinct(expr(

@@ -120,8 +120,14 @@ object Joins {
     * One shuffle on user_id, linear scan — as-of at 100 TB without a
     * per-row lookup. Timestamps exported as epoch-µs (parquet ns is
     * floored to µs identically by both engines). */
-  def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def joinAsof(s: SparkSession, d: String): DataFrame =
+    joinAsofOn(Tables.events(s, d))
+
+  /** Core of q_join_asof over any events-shaped frame (tests plant
+    * boundary cases: event at exactly a signup ts, event before any
+    * signup). */
+  def joinAsofOn(eventsDf: DataFrame): DataFrame = {
+    val ev = eventsDf
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val events = ev.select(col("user_id"), col("ts"), lit(1).as("tag"),
       col("event_id"), lit(null).cast("timestamp").as("s_ts"))

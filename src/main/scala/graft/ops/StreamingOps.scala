@@ -45,11 +45,15 @@ object StreamingOps {
     * previous event is strictly greater than 30 minutes (boundary
     * pinned '>' to match the oracle). Session ids are per-user ordinals
     * from a cumulative sum of break flags — one shuffle by user_id. */
-  def session(s: SparkSession, d: String): DataFrame = {
+  def session(s: SparkSession, d: String): DataFrame =
+    sessionOn(Tables.events(s, d))
+
+  /** Core of q_stream_session over any events-shaped frame. */
+  def sessionOn(eventsDf: DataFrame): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    eventsDf
       .withColumn("prev", lag(col("ts"), 1).over(order))
       .withColumn("brk",
         when(col("prev").isNull ||

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming twins of the §2.10 batch operators
+  * (SURVEY.md §2.10): the same logical transformations expressed over an
+  * unbounded events stream (readStream / MemoryStream) with watermarks
+  * bounding state. The reference has no streaming at all — its
+  * "streaming" is chunked file iteration (`Common/kgx_file_writer.py`
+  * buffered writes); these twins are the north star's streaming-capable
+  * design.
+  *
+  * Each builder takes a STREAMING DataFrame with the events schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) and returns a streaming aggregation. Batch≡streaming
+  * equivalence and late-data dropping are asserted in StreamingSpec via
+  * MemoryStream.
+  *
+  * State-size notes for unbounded runs: every groupBy here is keyed by
+  * (window × small dimension) or per-user session windows, and the
+  * watermark lets Spark evict windows older than the lateness bound —
+  * state is O(active windows), not O(stream length).
+  */
+/** Per-user state for [[StreamingTwins.eventsSinceSignup]] (top-level so
+  * an Encoder TypeTag exists). */
+case class SignupState(signedUp: Boolean, n: Long)
+
+object StreamingTwins {
+  private val D = DecimalType(12, 2)
+
+  /** q_stream_tumbling twin: 1h tumbling counts/sums per event type,
+    * 10-minute watermark (append mode emits a window only once it can
+    * no longer receive late rows). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** q_stream_sliding twin: 1h window every 15 min per user bucket. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        (col("user_id") % 10).as("ub"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("ub"), col("n"))
+
+  /** q_stream_session twin: built-in session_window with a 30-minute
+    * inactivity gap — Spark merges windows whose gap is ≤ 30 min, the
+    * batch twin starts a new session when the gap is strictly > 30 min:
+    * identical boundary semantics. */
+  def session(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("sum_value"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        col("start_us"), col("end_us"))
+
+  /** q_stream_dedup twin: exactly-once semantics over a duplicated
+    * input — duplicates of event_id arriving within the watermark are
+    * dropped with bounded state. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful custom operator (§2.10 capability row): per-user running
+    * count of events since that user's first signup, via
+    * flatMapGroupsWithState — the GroupState surface the reference's
+    * in-memory accumulators map onto. Test-only (no deterministic file
+    * output ordering). */
+  def eventsSinceSignup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val typed = events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)](Encoders.product[(Long, String)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SignupState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SignupState]) =>
+          var st = state.getOption.getOrElse(SignupState(signedUp = false, 0L))
+          val out = rows.flatMap { case (_, et) =>
+            if (et == "signup" && !st.signedUp) {
+              st = SignupState(signedUp = true, 0L); None
+            } else if (st.signedUp) {
+              st = st.copy(n = st.n + 1); Some((user, st.n))
+            } else None
+          }.toList
+          state.update(st)
+          out.iterator
+      }(Encoders.product[SignupState], Encoders.product[(Long, Long)])
+      .toDF("user_id", "events_since_signup")
+  }
+}

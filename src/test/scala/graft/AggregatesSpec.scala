@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops._
+
+class AggregatesSpec extends GraftSuite {
+
+  test("rollup emits detail + subtotal + grand total rows") {
+    val rows = Aggregates.aggRollup(spark, sf).collect()
+    // 3 flags × 2 statuses detail + 3 flag subtotals + 1 grand total
+    assert(rows.length == 10)
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == 6000L)
+  }
+
+  test("cube adds the status-only slice rollup lacks") {
+    val rows = Aggregates.aggCube(spark, sf).collect()
+    assert(rows.length == 12) // 6 detail + 3 flag + 2 status + 1 grand
+  }
+
+  test("udaf top-k equals the window-function twin") {
+    val viaUdaf = Aggregates.udafTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        row_number().over(w).cast("long").as("rank"), col("o_orderkey"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("o_orderpriority"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaUdaf == viaWindow)
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = Aggregates.aggApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.10,
+        s"flag $k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("agg_stats variance matches builtin within float tolerance") {
+    import org.apache.spark.sql.functions._
+    val ours = Aggregates.aggStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("var_qty")).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_quantity")).as("v")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("v")).toMap
+    builtin.foreach { case (k, v) =>
+      // ours is rounded to 4dp, builtin is not: allow half-ulp of 4dp
+      assert(math.abs(ours(k) - v) < 5e-4, s"flag $k: ${ours(k)} vs $v")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops._
+
+class DedupSimSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("near-dup finds planted exact duplicates (recall on dups = 1)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup of 1
+      (3L, base + " extra"),                       // near dup of 1/2
+      (4L, "completely different words about database systems and storage engines here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupSim.dedupNearOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("near-dup jaccard of exact duplicates is 1.0") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val j = DedupSim.dedupNearOn(docs).collect().head.getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("cosine top-k: identical vector has similarity 1, ordering correct") {
+    val rows = DedupSim.simCosineTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos"))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("centroid norms are positive and dims complete") {
+    val rows = DedupSim.simCentroid(spark, sf).collect()
+    assert(rows.length == 64 * rows.map(_.getAs[Int]("label")).distinct.length)
+    assert(rows.forall(_.getAs[Double]("cnorm") >= 0.0))
+  }
+
+  test("exact dedup: distinct counts never exceed doc counts") {
+    val rows = DedupSim.dedupExact(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dups") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+    }
+  }
+}

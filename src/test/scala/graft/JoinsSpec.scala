@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops._
+
+class JoinsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("inner join preserves referential integrity: every lineitem matches") {
+    val n = Joins.joinInner(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_lines")).first().getLong(0)
+    assert(n == 6000L)
+  }
+
+  test("semi + anti partition customers") {
+    val semi = Joins.joinSemi(spark, sf).count()
+    val anti = Joins.joinAnti(spark, sf).count()
+    assert(semi + anti == 150L)
+  }
+
+  test("broadcast join plan actually broadcasts the dimensions") {
+    val plan = Joins.joinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of join: inclusive boundary, most-recent-prior, inner semantics") {
+    // user 1: signup at 10:00. Events: 09:59 (before any signup → drop),
+    // 10:00 (exactly at signup → matches, boundary inclusive),
+    // 11:00 (after → matches 10:00). Second signup 11:30; event 11:45
+    // must pick 11:30, not 10:00.
+    val events = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (5L, ts("2024-01-01 11:30:00"), 1L, "signup", 0.0),
+      (6L, ts("2024-01-01 11:45:00"), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Joins.joinAsofOn(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val us10 = ts("2024-01-01 10:00:00").getTime * 1000
+    val us1130 = ts("2024-01-01 11:30:00").getTime * 1000
+    assert(!out.contains(1L), "event before any signup must drop")
+    assert(out(2L) == us10, "a signup event matches itself")
+    assert(out(3L) == us10, "event at exactly signup ts matches (inclusive)")
+    assert(out(4L) == us10)
+    assert(out(6L) == us1130, "must pick most recent prior signup")
+  }
+
+  test("range join honors the band predicate") {
+    val bad = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        $"l_partkey" === $"p_partkey" &&
+        $"l_quantity".between($"p_size" - 2, $"p_size" + 2))
+      .filter(!($"l_quantity" >= $"p_size" - 2 && $"l_quantity" <= $"p_size" + 2))
+      .count()
+    assert(bad == 0L)
+  }
+}

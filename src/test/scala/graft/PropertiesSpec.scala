@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops._
+
+/** Property-based invariants (SURVEY.md §5.2 item 3); scalacheck run
+  * directly (no scalatestplus bridge in the offline cache). */
+class PropertiesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopKAggregator ≡ sort-take-k under arbitrary input order") {
+    val agg = new TopKAggregator(5)
+    check(Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0.0, 1000.0), Gen.choose(0L, 50L)))) {
+      (xs: List[(Double, Long)]) =>
+        val viaAgg = xs.foldLeft(agg.zero)(agg.reduce)
+        val expected = xs.sortBy { case (p, id) => (-p, id) }.take(5)
+        agg.finish(viaAgg) == expected
+    })
+  }
+
+  test("TopKAggregator merge is associative-enough: split points don't matter") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0L, 20L))),
+      Gen.choose(0, 100)) { (xs: List[(Double, Long)], cut: Int) =>
+      val agg = new TopKAggregator(5)
+      val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (l, r) = xs.splitAt(k)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      merged == whole
+    })
+  }
+
+  test("node merge is invariant under input order") {
+    val a = Seq((1L, "customer", "x"), (1L, "user", "y"), (2L, "user", "z"))
+    List(a, a.reverse).map { rows =>
+      rows.toDF("id", "category", "name")
+        .groupBy($"id")
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set($"category")).as("cats"),
+          org.apache.spark.sql.functions.max($"name").as("name"))
+        .orderBy($"id")
+        .collect().map(_.toString).toSeq
+    } match { case List(x, y) => assert(x == y) }
+  }
+
+  test("dedup is idempotent") {
+    val df = Seq(1, 2, 2, 3, 3, 3).toDF("x")
+    val once = df.dropDuplicates("x")
+    val twice = once.dropDuplicates("x")
+    assert(once.collect().map(_.getInt(0)).sorted.toSeq ==
+      twice.collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("session splitting: gap strictly greater than 30 min opens a session") {
+    import java.sql.Timestamp
+    def mk(mins: Seq[Long]) = mins.zipWithIndex.map { case (m, i) =>
+      (i.toLong, new Timestamp(1704100000000L + m * 60000L), 7L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // gaps: 30 min exactly (same session), 31 min (new session)
+    val sessions = StreamingOps.sessionOn(mk(Seq(0L, 30L, 61L))).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("cosine similarity of a vector with itself is 1") {
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val df = Seq((0L, v, 0), (1L, v, 1)).toDF("vec_id", "embedding", "label")
+    // reuse the production expression shape
+    val e = df.select($"vec_id",
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val cos = e.filter($"vec_id" =!= 0).crossJoin(q)
+      .select(org.apache.spark.sql.functions.expr(
+        "round(aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (a, x) -> a + x) / " +
+        "(sqrt(aggregate(transform(v, x -> x * x), 0d, (a, x) -> a + x)) * " +
+        " sqrt(aggregate(transform(qv, x -> x * x), 0d, (a, x) -> a + x))), 6)"))
+      .first().getDouble(0)
+    assert(cos == 1.0)
+  }
+}

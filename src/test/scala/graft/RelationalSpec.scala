@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops._
+
+/** Golden-value tests at sf0.001 (values from FIXTURES.md, computed
+  * independently with DuckDB). */
+class RelationalSpec extends GraftSuite {
+
+  test("q_agg_group matches FIXTURES golden values at sf0.001") {
+    val rows = Relational.aggGroup(spark, sf).collect()
+    assert(rows.length == 6)
+    val af = rows.find(r => r.getString(0) == "A" && r.getString(1) == "F").get
+    assert(af.getAs[java.math.BigDecimal]("sum_qty")
+      .compareTo(new java.math.BigDecimal("24851.00")) == 0)
+    assert(af.getAs[java.math.BigDecimal]("sum_base_price")
+      .compareTo(new java.math.BigDecimal("50132697.39")) == 0)
+    assert(af.getAs[Long]("count_order") == 977L)
+    val nf = rows.find(r => r.getString(0) == "N" && r.getString(1) == "F").get
+    assert(nf.getAs[Long]("count_order") == 1066L)
+  }
+
+  test("q_scan_project keeps all rows and is totally ordered") {
+    val df = Relational.scanProject(spark, sf)
+    assert(df.count() == 6000L)
+    assert(df.columns.toSeq == Seq("okey", "lnum", "qty", "revenue"))
+  }
+
+  test("q_topk returns 20 rows in strictly decreasing price order") {
+    val prices = Relational.topK(spark, sf).collect()
+      .map(_.getAs[java.math.BigDecimal]("price"))
+    assert(prices.length == 20)
+    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+  }
+
+  test("set ops partition consistently: |A∩B| + |A\\B| = |A|") {
+    import org.apache.spark.sql.functions.year
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(year(o("o_orderdate")) === 1996)
+      .select(o("o_custkey")).distinct().count()
+    val inter = Relational.intersectYears(spark, sf).count()
+    val diff = Relational.exceptYears(spark, sf).count()
+    assert(inter + diff == a)
+  }
+
+  test("q_sort_multi puts injected nulls last") {
+    val segs = Relational.sortMulti(spark, sf).collect().map(r => Option(r.getString(1)))
+    val firstNull = segs.indexWhere(_.isEmpty)
+    assert(firstNull > 0 && segs.drop(firstNull).forall(_.isEmpty))
+  }
+
+  test("entry flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide session keeps the
+  * suite fast; tests only read, never mutate global state). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = TestSpark.sf0001
+}

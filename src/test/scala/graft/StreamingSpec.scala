@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingTwins
+import graft.ops.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+/** Structured Streaming twins vs their batch equivalents, via
+  * MemoryStream (SURVEY.md §2.10/§5.2). */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val baseEvents = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:20:00"), 1, "view", 2.0),
+    Ev(3, ts("2024-01-01 10:45:00"), 2, "click", 3.0),
+    Ev(4, ts("2024-01-01 11:10:00"), 1, "click", 4.0),
+    Ev(5, ts("2024-01-01 12:30:00"), 2, "view", 5.0))
+
+  test("tumbling: streaming result equals batch twin on same input") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("append").start()
+    try {
+      ms.addData(baseEvents: _*)
+      q.processAllAvailable()
+      // advance the watermark far past all windows so they all emit
+      ms.addData(Ev(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .filter($"wstart" < ts("2024-01-01 23:00:00"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDecimal(3))).toSet
+      val batch = StreamingOps.tumbling _ // batch twin over same rows:
+      val batchDf = baseEvents.toDF()
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"value"
+            .cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+        .select($"w.start", $"event_type", $"n", $"sum_value")
+      val batchSet = batchDf.collect().map(r => (r.getTimestamp(0),
+        r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+      assert(streamed == batchSet)
+    } finally q.stop()
+  }
+
+  test("tumbling: late row beyond the watermark is dropped") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      ms.addData(baseEvents: _*)
+      q.processAllAvailable()
+      ms.addData(Ev(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val before = spark.table("late").count()
+      // 14 hours late — far beyond the 10-minute watermark
+      ms.addData(Ev(100, ts("2024-01-01 10:06:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("late")
+      assert(after.count() == before, "late row must not re-emit a window")
+      val h10 = after.filter($"wstart" === ts("2024-01-01 10:00:00"))
+        .collect()
+      assert(h10.forall(_.getLong(2) <= 2L), "late row must not be counted")
+    } finally q.stop()
+  }
+
+  test("session_window twin groups like the batch lag/cumsum twin") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.session(ms.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      ms.addData(baseEvents: _*)
+      ms.addData(Ev(99, ts("2024-01-03 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .filter($"user_id" < 9)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = StreamingOps.sessionOn(baseEvents.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+          r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+        .toSet
+      assert(streamed == batch,
+        s"streaming $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-watermark duplicates") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.dedup(ms.toDF())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      ms.addData(baseEvents: _*)
+      q.processAllAvailable()
+      ms.addData(baseEvents.head) // duplicate event_id 1
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == baseEvents.length.toLong)
+    } finally q.stop()
+  }
+
+  test("stateful events-since-signup (flatMapGroupsWithState, batch mode)") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 1, "view", 0.0),
+      Ev(4, ts("2024-01-01 10:00:00"), 2, "click", 0.0)).toDF()
+    val out = StreamingTwins.eventsSinceSignup(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (1L, 2L)))
+  }
+}
