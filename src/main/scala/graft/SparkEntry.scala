@@ -78,6 +78,10 @@ object SparkEntry {
     "q_stream_sliding" -> (StreamingOps.sliding _),
     "q_stream_session" -> (StreamingOps.session _),
     "q_stream_dedup" -> (StreamingOps.dedup _),
+    // §2.12 multimodal (binary media columns; decode step stubbed)
+    "q_mm_decode" -> (Multimodal.decode _),
+    "q_mm_meta" -> (Multimodal.meta _),
+    "q_mm_frame_sample" -> (Multimodal.frameSample _),
     // §2.7 set ops
     "q_union_all" -> (Relational.unionAll _),
     "q_union_distinct" -> (Relational.unionDistinct _),

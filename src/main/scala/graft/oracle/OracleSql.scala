@@ -489,6 +489,49 @@ object OracleSql {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
-        |FROM events ORDER BY user_id, event_type, hr""".stripMargin
+        |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
+
+    // ---- §2.12 multimodal ----
+    "q_mm_decode" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type FROM documents),
+        |ch AS (SELECT doc_id, media_type, text,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  unnest(range(1, length(text) + 1)) AS p FROM d),
+        |cs AS (SELECT doc_id, media_type, any_value(n_bytes) AS n_bytes,
+        |  SUM(ascii(substring(text, CAST(p AS INT), 1))) AS checksum
+        |  FROM ch GROUP BY doc_id, media_type)
+        |SELECT media_type, COUNT(*) AS n,
+        |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |CAST(SUM(checksum) AS BIGINT) AS total_checksum
+        |FROM cs GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    "q_mm_meta" ->
+      """WITH d AS (SELECT source,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+        |SELECT source, media_type, COUNT(*) AS n,
+        |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
+        |FROM d GROUP BY source, media_type ORDER BY source, media_type""".stripMargin,
+
+    "q_mm_frame_sample" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+        |f AS (SELECT media_type, nb,
+        |  unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS fi
+        |  FROM d WHERE nb > 0),
+        |s AS (SELECT media_type, LEAST(64, nb - fi * 64) AS flen
+        |  FROM f WHERE fi % 4 = 0)
+        |SELECT media_type, COUNT(*) AS n_sampled_frames,
+        |CAST(SUM(flen) AS BIGINT) AS sampled_bytes
+        |FROM s GROUP BY media_type ORDER BY media_type""".stripMargin
   )
 }
