@@ -55,23 +55,42 @@ object DedupSim {
     // transform) is a trap: CollapseProject inlines the shingle array
     // into every permutation slot and evaluation goes interpreted —
     // thousands of times slower.
-    val docs = documents
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      .filter(size(col("toks")) >= 5)
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")))
-    val sh = docs.select(col("doc_id"),
-      explode(col("shingles")).as("shingle"))
+    // Shingle identity is a ROLLING HASH, fully codegen'd: explode
+    // tokens, hash each once, then xxhash64 over (h, lead1..lead4) in a
+    // window ordered by position — the 5-gram string is never
+    // materialized and no higher-order function touches the hot path
+    // (interpreted HOF evaluation + its per-element allocations was the
+    // dominant cost and GC load of earlier variants). The window's
+    // shuffle by doc_id is shared by the signature and verification
+    // branches via ReuseExchange.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh5 = documents
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("th"))
+      .select(col("doc_id"), col("th"),
+        lead(col("th"), 1).over(w).as("t1"),
+        lead(col("th"), 2).over(w).as("t2"),
+        lead(col("th"), 3).over(w).as("t3"),
+        lead(col("th"), 4).over(w).as("t4"))
+      .filter(col("t4").isNotNull) // docs shorter than 5 tokens drop out
+      .select(col("doc_id"),
+        xxhash64(col("th"), col("t1"), col("t2"), col("t3"), col("t4"))
+          .as("sh"))
     // Base hash masked to 32 bits so the affine permutations can't
     // overflow a long under ANSI arithmetic (32-bit value × 9-bit odd
-    // multiplier + small offset stays < 2^42).
-    val hashed = sh.withColumn("h",
-      xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+    // multiplier + small offset stays < 2^42). Duplicate shingles don't
+    // perturb a min, so no distinct pass is needed here.
+    val hashed = sh5.withColumn("h", col("sh").bitwiseAND(lit(0xFFFFFFFFL)))
     val minCols = (0 until 128).map { k =>
       min(col("h") * lit(2L * k + 1) + lit(k * 1315423911L)).as(s"m$k")
     }
     val sig = hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
+    // Distinct shingle-hash set per doc for exact Jaccard (collect_set
+    // dedupes; sort for deterministic arrays).
+    val docsH = sh5.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("hs"))
     val bandCols = (0 until 32).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*).as("bh"))
@@ -84,15 +103,13 @@ object DedupSim {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // Exact-Jaccard verification over sorted shingle-hash ARRAYS kept
-    // per doc (~8 B per shingle ⇒ the whole doc set is a few MB):
-    // broadcast to both sides of the candidate pairs, so the big
-    // exploded shingle table is never shuffled for verification and
-    // Jaccard is a pure array_intersect expression. At 100 TB the
-    // broadcast becomes a shuffle join by doc_id — still linear in
-    // candidates, never O(n²).
-    val docsH = docs.select(col("doc_id"),
-      expr("array_sort(transform(shingles, sh -> xxhash64(sh)))").as("hs"))
+    // Exact-Jaccard verification over the same sorted shingle-hash
+    // arrays (~8 B per shingle ⇒ the whole doc set is a few MB):
+    // broadcast to both sides of the candidate pairs, so the exploded
+    // hash table is never shuffled for verification and Jaccard is a
+    // pure array_intersect expression. At 100 TB the broadcast becomes
+    // a shuffle join by doc_id — still linear in candidates, never
+    // O(n²).
     cands
       .join(broadcast(docsH.as("za")), col("a") === col("za.doc_id"))
       .join(broadcast(docsH.as("zb")), col("b") === col("zb.doc_id"))
