@@ -73,6 +73,10 @@ object SparkEntry {
     "q_text_wordcount" -> (TextOps.wordCount _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),
+    "q_text_langid" -> (TextOps.langId _),
+    "q_text_quality" -> (TextOps.quality _),
+    "q_text_tokens" -> (TextOps.tokenCounts _),
+    "q_text_fingerprint" -> (TextOps.fingerprint _),
     // §2.10 streaming batch twins
     "q_stream_tumbling" -> (StreamingOps.tumbling _),
     "q_stream_sliding" -> (StreamingOps.sliding _),

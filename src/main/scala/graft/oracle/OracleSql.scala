@@ -440,6 +440,61 @@ object OracleSql {
         |COUNT(DISTINCT doc_id) AS d_docs
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    "q_text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  SUM(CASE WHEN term IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS s_en,
+        |  SUM(CASE WHEN term IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS s_de,
+        |  SUM(CASE WHEN term IN ('el','los','las','de','y') THEN 1 ELSE 0 END) AS s_es,
+        |  SUM(CASE WHEN term IN ('le','les','et','est','une') THEN 1 ELSE 0 END) AS s_fr,
+        |  SUM(CASE WHEN term IN ('的','是','了','在','我') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM tok GROUP BY doc_id, lang),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, COUNT(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |pd AS (SELECT doc_id, source, COUNT(*) AS n_tokens,
+        |  SUM(CASE WHEN term IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS n_stop,
+        |  SUM(length(term)) AS token_chars,
+        |  SUM(CASE WHEN length(term) >= 8 THEN 1 ELSE 0 END) AS n_long
+        |  FROM tok GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |ROUND(CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS stop_ratio,
+        |ROUND(CAST(SUM(token_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS mean_token_len,
+        |ROUND(CAST(SUM(n_long) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS long_ratio,
+        |CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_tokens" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |SELECT doc_id, COUNT(*) AS ws_tokens,
+        |CAST(SUM(CAST(ceil(length(term) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est,
+        |COUNT(DISTINCT term) AS distinct_tokens
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS p FROM documents),
+        |e AS (SELECT doc_id, source, p, unnest(range(1, len(p) - 3)) AS i
+        |  FROM d WHERE len(p) >= 5),
+        |s AS (SELECT doc_id, source,
+        |  md5(array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS h
+        |  FROM e)
+        |SELECT doc_id, source, MIN(h) AS fp
+        |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Lower, Upper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Custom Catalyst surface (SURVEY.md §4.3).
+  *
+  * The t2 contract needs zero custom rules — every operator composes
+  * from built-ins — so this module exists to (a) exercise the real
+  * extension mechanism end-to-end and (b) mark where heavier custom
+  * work would attach:
+  *
+  *  - scalar/agg functions → custom `Expression` with `doGenCode`
+  *    (beats a Scala UDF: codegen + Catalyst visibility), injected via
+  *    `FunctionRegistry` / `ext.injectFunction`;
+  *  - whole-operator semantics (e.g. a range-partitioned merge as-of
+  *    join replacing the union+window rewrite in Joins.joinAsofOn) →
+  *    custom `LogicalPlan` node + `Rule[LogicalPlan]` +
+  *    `SparkStrategy` producing a custom `SparkPlan`, injected via
+  *    `ext.injectPlannerStrategy(_ => AsofMergeStrategy)`;
+  *  - install with
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => CollapseRedundantCase)
+}
+
+/** Small but real optimizer rule: collapses stacked case-conversion
+  * calls (`upper(upper(x))` → `upper(x)`, `upper(lower(x))` →
+  * `upper(x)`, …) that show up when composed cleaning pipelines each
+  * defensively normalize case — the reference's CURIE-normalization
+  * layers do exactly this. Also runtime-injectable for tests via
+  * `spark.experimental.extraOptimizations`. */
+object CollapseRedundantCase extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Upper(Upper(c))  => Upper(c)
+      case Upper(Lower(c))  => Upper(c)
+      case Lower(Lower(c))  => Lower(c)
+      case Lower(Upper(c))  => Lower(c)
+    }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.CollapseRedundantCase
+
+class ExtensionsSpec extends GraftSuite {
+
+  test("CollapseRedundantCase rewrites stacked case conversions") {
+    val df = Tables.customer(spark, sf)
+      .select(upper(upper(lower(col("c_name")))).as("u"))
+    val before = df.queryExecution.analyzed
+    val after = CollapseRedundantCase(before)
+    def uppers(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+      var n = 0
+      p.transformAllExpressions {
+        case e: org.apache.spark.sql.catalyst.expressions.Upper => n += 1; e
+      }
+      n
+    }
+    assert(uppers(before) == 2)
+    assert(uppers(after) == 1)
+  }
+
+  test("rule is injectable at runtime and preserves results") {
+    val df = Tables.customer(spark, sf)
+      .select(upper(upper(col("c_name"))).as("u")).orderBy(col("u"))
+    val plain = df.collect().map(_.getString(0)).toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ CollapseRedundantCase
+    try {
+      val optimized = df.collect().map(_.getString(0)).toSeq
+      assert(plain == optimized)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("upper(upper("), s"not collapsed:\n$opt")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == CollapseRedundantCase)
+    }
+  }
+
+  test("XML ingest: write and read back with the built-in xml source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    Tables.nation(spark, sf)
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "nation").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "nation").load(dir)
+    assert(back.count() == 25)
+    assert(back.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+}
