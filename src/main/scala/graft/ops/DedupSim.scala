@@ -147,6 +147,40 @@ object DedupSim {
       .limit(10)
   }
 
+  /** q_sim_ann_lsh — the ANN *scale path* for similarity search:
+    * random-hyperplane LSH. Every vector gets a bucket id from the sign
+    * pattern of 6 fixed Gaussian hyperplane dots (seeded, deterministic,
+    * evaluated as a row-local sequential fold so no partition-order
+    * effects); search ranks only the query's bucket with the native
+    * codegen `cosine_sim` expression. At 100 TB: bucketing is one
+    * narrow map + one shuffle by bucket; brute force would be a full
+    * cross product. No oracle (approximate by construction) — recall
+    * against brute force asserted in tests with planted neighbors. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame =
+    simAnnLshOn(Tables.embeddings(s, d), queryVecId = 0L)
+
+  def simAnnLshOn(embeddings: DataFrame, queryVecId: Long): DataFrame = {
+    val s = embeddings.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+    val e = embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = "array(" + p.map(x => s"${x}d").mkString(",") + ")"
+      expr(s"case when aggregate(zip_with(v, $arr, (x, y) -> x * y), 0d, (a, x) -> a + x) >= 0 then ${1 << i} else 0 end")
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucket)
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("bucket"), col("v").as("qv"))
+    bucketed.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), "bucket")
+      .select(col("vec_id"), col("label"),
+        round(expr("cosine_sim(v, qv)"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q_sim_centroid — per-label centroid (64 dims) + centroid L2 norm.
     * All cross-row sums ride exact decimals; the norm uses
     * Σ(Σv)² / n² so no division happens before the final double —

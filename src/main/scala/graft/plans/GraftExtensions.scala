@@ -25,8 +25,30 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseRedundantCase)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.CosineSimilarity
+
+  /** `cosine_sim(array<double>, array<double>) -> double` — the native
+    * codegen expression (one fused loop, no interpreted lambdas). */
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
+  /** Runtime registration for an existing session (tests, notebooks). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
+      "built-in")
 }
 
 /** Small but real optimizer rule: collapses stacked case-conversion

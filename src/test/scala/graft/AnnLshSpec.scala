@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.DedupSim
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class AnnLshSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("native cosine_sim equals the HOF formulation on real embeddings") {
+    GraftExtensions.registerFunctions(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val both = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select(
+        expr("cosine_sim(v, qv)").as("native"),
+        (expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(transform(v, x -> x * x), 0d, (a, x) -> a + x)")) *
+           sqrt(expr("aggregate(transform(qv, x -> x * x), 0d, (a, x) -> a + x)"))))
+          .as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("LSH ANN finds planted near-identical neighbors") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Float) = base.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      (0L, base, 0),
+      (1L, jitter(0.01f), 0),   // near-identical → must be retrieved
+      (2L, jitter(0.01f), 0)) ++
+      (3L to 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val top = DedupSim.simAnnLshOn(df, queryVecId = 0L).collect()
+      .map(_.getLong(0)).toSet
+    assert(top.contains(1L) && top.contains(2L),
+      s"planted neighbors missing from $top")
+  }
+
+  test("ANN results are a subset of brute-force candidates with high cos") {
+    val out = DedupSim.simAnnLsh(spark, sf).collect()
+    assert(out.length <= 10)
+    assert(out.forall(r => r.getAs[Double]("cos") <= 1.0))
+  }
+}
