@@ -149,12 +149,16 @@ object TextOps {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = tokens(s, d)
-    val tf = tok.groupBy(col("doc_id"), col("term"))
+    // tf is per-doc, so the doc_id<10 restriction commutes with the
+    // grouping — push it below the aggregate (99% fewer tf rows); df
+    // must still see the whole corpus.
+    val tf = tok.filter(col("doc_id") < 10)
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-    val scored = tf.filter(col("doc_id") < 10)
+    val scored = tf
       .join(df, "term")
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"),
