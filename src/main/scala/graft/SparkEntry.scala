@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_near" -> (DedupSim.dedupNear _),
     "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),
+    "q_sim_ann_ivf" -> (DedupSim.simAnnIvf _),
     "q_sim_centroid" -> (DedupSim.simCentroid _),
     "q_text_wordcount" -> (TextOps.wordCount _),
     "q_text_stats" -> (TextOps.textStats _),

@@ -181,6 +181,61 @@ object DedupSim {
       .limit(10)
   }
 
+  /** q_sim_ann_ivf — the OTHER ANN scale path: IVF (inverted-file)
+    * search. Coarse quantizer = the 10 exact per-label centroids
+    * (computed like q_sim_centroid, so fully deterministic); every
+    * vector is assigned to its nearest centroid by cosine (which may
+    * disagree with its label — that IS the quantization), giving 10
+    * inverted lists; the query probes the nprobe=2 nearest lists and
+    * ranks only those with the native codegen cosine. At 100 TB the
+    * centroid table is a broadcast, assignment is one narrow map, and
+    * search touches nprobe/nlists of the data instead of all of it.
+    * No oracle (approximate by construction); recall vs brute force
+    * asserted in tests. */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // exact decimal centroids per label (deterministic under any
+    // partitioning), reassembled into arrays ordered by dim
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), emb(col("col")).as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+      .select(col("label").as("list_id"), col("cv"))
+    // assign every vector to its nearest centroid (rounded cosine,
+    // list_id tiebreak → deterministic argmax)
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("v"), col("list_id"),
+        round(expr("cosine_sim(v, cv)"), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("list_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("list_id"))
+    // query = vec 0: probe its 2 nearest inverted lists
+    val qlists = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("list_id"), col("qv"),
+        round(expr("cosine_sim(qv, cv)"), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col("list_id"))
+      .limit(2)
+      .select(col("list_id"), col("qv"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qlists), "list_id")
+      .select(col("vec_id"), col("label"),
+        round(expr("cosine_sim(v, qv)"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q_sim_centroid — per-label centroid (64 dims) + centroid L2 norm.
     * All cross-row sums ride exact decimals; the norm uses
     * Σ(Σv)² / n² so no division happens before the final double —

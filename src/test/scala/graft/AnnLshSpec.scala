@@ -47,4 +47,16 @@ class AnnLshSpec extends GraftSuite {
     assert(out.length <= 10)
     assert(out.forall(r => r.getAs[Double]("cos") <= 1.0))
   }
+
+  test("IVF ANN recall vs brute force is substantial") {
+    val brute = DedupSim.simCosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = DedupSim.simAnnIvf(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    // probing 2 of 10 lists: expect a meaningful share of the true
+    // top-10 (exact recall depends on the quantizer; >= 30% is the
+    // sanity floor for this synthetic data)
+    assert((brute & ivf).size >= 3, s"recall too low: ${(brute & ivf).size}/10")
+  }
 }
