@@ -68,6 +68,8 @@ object SparkEntry {
     // §2.9 dedup / similarity / text
     "q_dedup_exact" -> (DedupSim.dedupExact _),
     "q_dedup_near" -> (DedupSim.dedupNear _),
+    "q_dedup_simhash" -> (DedupSim.dedupSimhash _),
+    "q_dedup_embcos" -> (DedupSim.dedupEmbCos _),
     "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),
     "q_sim_ann_ivf" -> (DedupSim.simAnnIvf _),

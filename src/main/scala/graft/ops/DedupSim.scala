@@ -147,6 +147,70 @@ object DedupSim {
       .limit(10)
   }
 
+  /** q_dedup_simhash — SimHash near-dup detection, fully oracle-checked:
+    * a 60-bit fingerprint per doc (bit j = sign of the count-weighted
+    * sum of term-hash bit j), banded into 4×15-bit LSH buckets, with
+    * candidate pairs kept when Hamming distance ≤ 3. The term hash is
+    * the first 15 hex chars of md5 (portable: DuckDB parses the same
+    * value), so every step is exact integer arithmetic in both engines.
+    * Same O(n·bands) candidate structure as MinHash — never O(n²). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    dedupSimhashOn(Tables.documents(s, d))
+
+  def dedupSimhashOn(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h",
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 60).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sh = sums.select(col("doc_id"), simhash.as("simhash"))
+    val bands = array((0 until 4).map { b =>
+      struct(lit(b).as("bi"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("bv"))
+    }: _*)
+    val bk = sh.select(col("doc_id"), col("simhash"), explode(bands).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.bi"), col("bd.bv"))
+    bk.as("x").join(bk.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q_dedup_embcos — embedding-cosine near-dup: the 50 closest vector
+    * pairs by cosine (native codegen expression), totally ordered by
+    * (rounded cos DESC, pair ids) so the cut is deterministic. A
+    * threshold filter would be data-dependent (this synthetic set has
+    * no true dup vectors — max pairwise cosine ≈ 0.51); top-k keeps
+    * the operator meaningful at every scale. One side broadcasts; the
+    * 100 TB path replaces the pair enumeration with the LSH/IVF
+    * bucketing above. */
+  def dedupEmbCos(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    e.as("x").join(broadcast(e.as("y")),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(expr("cosine_sim(x.v, y.v)"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** q_sim_ann_lsh — the ANN *scale path* for similarity search:
     * random-hyperplane LSH. Every vector gets a bucket id from the sign
     * pattern of 6 fixed Gaussian hyperplane dots (seeded, deterministic,

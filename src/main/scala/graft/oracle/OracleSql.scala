@@ -405,6 +405,39 @@ object OracleSql {
         |COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_dedup_simhash" -> {
+      val bitSums = (0 until 60).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS b$j")
+        .mkString(",\n")
+      val shBits = (0 until 60).map(j =>
+        s"CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+         |tfh AS (SELECT doc_id, cnt, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+         |sums AS (SELECT doc_id,
+         |$bitSums
+         |FROM tfh GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $shBits AS simhash FROM sums),
+         |bk AS (SELECT doc_id, simhash, b.bi AS bi,
+         |  (simhash >> (CAST(b.bi AS INT) * 15)) & 32767 AS bv
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS bi) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM bk x JOIN bk y
+         |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "q_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |ROUND(list_dot_product(x.v, y.v) /
+        |  (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 50""".stripMargin,
+
     "q_sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

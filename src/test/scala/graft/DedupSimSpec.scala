@@ -41,6 +41,15 @@ class DedupSimSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Double]("cnorm") >= 0.0))
   }
 
+  test("simhash: exact duplicates have hamming distance 0") {
+    val t = "spark hash join sort merge filter scan window group agg"
+    val docs = Seq((1L, t), (2L, t),
+      (3L, "totally different vocabulary about graphs nodes edges merge")).toDF("doc_id", "text")
+    val pairs = DedupSim.dedupSimhashOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"dup pair missing/nonzero: $pairs")
+  }
+
   test("exact dedup: distinct counts never exceed doc counts") {
     val rows = DedupSim.dedupExact(spark, sf).collect()
     rows.foreach { r =>
