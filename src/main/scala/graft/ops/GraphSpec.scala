@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-spec layer (reference EP3: `graph_specs` YAML →
+  * `KGXFileMerger` — a named graph composed from N normalized sources).
+  *
+  * The reference describes a graph as YAML: a name plus the source ids
+  * to merge. No YAML dependency ships in this environment, so the
+  * parser accepts the minimal indented-list subset those spec files
+  * actually use (see [[GraphSpec.parse]]); the spec itself is plain
+  * case classes, matching SURVEY §1.1's "config case classes, not a
+  * runtime data structure".
+  */
+case class GraphSource(sourceId: String)
+case class GraphSpec(graphId: String, sources: Seq[GraphSource])
+
+object GraphSpec {
+  /** Parse the minimal spec format:
+    * {{{
+    * graph_id: my_graph
+    * sources:
+    *   - source_a
+    *   - source_b
+    * }}} */
+  def parse(text: String): GraphSpec = {
+    val lines = text.linesIterator.map(_.stripTrailing)
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).toList
+    val graphId = lines.collectFirst {
+      case l if l.trim.startsWith("graph_id:") =>
+        l.trim.stripPrefix("graph_id:").trim
+    }.getOrElse(throw new IllegalArgumentException("graph_id missing"))
+    val sources = lines.dropWhile(!_.trim.startsWith("sources:"))
+      .drop(1).takeWhile(_.trim.startsWith("-"))
+      .map(l => GraphSource(l.trim.stripPrefix("-").trim))
+    GraphSpec(graphId, sources)
+  }
+}
+
+/** EP3 composition: given a spec and a node frame per source id, build
+  * the merged graph the way `KGXFileMerger` does — union the selected
+  * sources, merge same-id nodes (category-set union, max name, source
+  * provenance list). One hash aggregate; at 100 TB this is exactly the
+  * distributed form of the reference's external merge sort.
+  */
+object GraphBuilder {
+  def mergeNodes(spec: GraphSpec,
+      sources: Map[String, DataFrame]): DataFrame = {
+    val selected = spec.sources.map { gs =>
+      val df = sources.getOrElse(gs.sourceId,
+        throw new IllegalArgumentException(s"unknown source ${gs.sourceId}"))
+      df.select(col("id"), col("category"), col("name"),
+        lit(gs.sourceId).as("provenance"))
+    }
+    selected.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_set(col("category"))).as("cats"),
+        max(col("name")).as("name"),
+        sort_array(collect_set(col("provenance"))).as("provenance"),
+        count(lit(1)).as("n_srcs"))
+      .orderBy(col("id"))
+  }
+}

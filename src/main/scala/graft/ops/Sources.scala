@@ -81,10 +81,14 @@ object Sources {
     edges.select(to_json(struct(col("subject"), col("predicate"),
         col("object"), col("quantity"))))
       .write.mode("overwrite").text(tmp("kgx_edges", d))
-    nodes
+    val counts = nodes
       .select(explode(col("category")).as("category"))
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("category"))
+    // metadata sidecar — the reference's SourceMetadata JSON (parse
+    // counts per category) written next to the KGX files
+    counts.coalesce(1).write.mode("overwrite").json(tmp("kgx_meta", d))
+    counts
   }
 }
