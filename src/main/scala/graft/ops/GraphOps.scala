@@ -106,6 +106,9 @@ object GraphOps {
     val edges = Tables.lineitem(s, d)
       .select(col("l_orderkey"), (col("l_partkey") + offset).as("part"))
       .distinct()
+      // cap partitions: Pregel pays per-partition overhead every
+      // iteration, and 600k edges want a few fat partitions, not 32
+      .coalesce(math.min(8, s.sparkContext.defaultParallelism))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
     val graph = GXGraph.fromEdgeTuples(edges, 1)
     val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
