@@ -27,6 +27,37 @@ import org.apache.spark.sql.types.DecimalType
   * an Encoder TypeTag exists). */
 case class SignupState(signedUp: Boolean, n: Long)
 
+/** transformWithState processor (Spark 4 stateful API, the successor to
+  * flatMapGroupsWithState): per-user running count of events since the
+  * first signup, with explicit ValueState. Requires the RocksDB state
+  * store provider when run in a streaming query. */
+class SignupCounterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[SignupState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SignupState]("signup_state",
+      Encoders.product[SignupState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    var s = Option(st.get()).getOrElse(SignupState(signedUp = false, 0L))
+    val out = rows.flatMap { case (_, et) =>
+      if (et == "signup" && !s.signedUp) {
+        s = SignupState(signedUp = true, 0L); None
+      } else if (s.signedUp) {
+        s = s.copy(n = s.n + 1); Some((key, s.n))
+      } else None
+    }.toList
+    st.update(s)
+    out.iterator
+  }
+}
+
 object StreamingTwins {
   private val D = DecimalType(12, 2)
 

@@ -41,6 +41,25 @@ class DedupSimSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Double]("cnorm") >= 0.0))
   }
 
+  test("near-dup precision = 1 vs independent brute-force Jaccard at sf0.001") {
+    // recompute shingle-set Jaccard in plain Scala for every reported
+    // pair — completely independent of the Spark pipeline
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").sliding(5)
+          .map(_.mkString(" ")).toSet)
+      .toMap
+    val pairs = DedupSim.dedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    pairs.foreach { case (a, b, j) =>
+      val (sa, sb) = (docs(a), docs(b))
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      assert(trueJ >= 0.8, s"pair ($a,$b) reported j=$j but true j=$trueJ")
+      assert(math.abs(trueJ - j) < 1e-6)
+    }
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val t = "spark hash join sort merge filter scan window group agg"
     val docs = Seq((1L, t), (2L, t),

@@ -70,6 +70,31 @@ class PropertiesSpec extends GraftSuite {
     assert(sessions.map(_.getAs[Long]("n_events")).toSeq.sorted == Seq(1L, 2L))
   }
 
+  test("sessionization invariant: intra-gaps ≤ 30min, inter-gaps > 30min") {
+    import java.sql.Timestamp
+    check(Prop.forAll(Gen.listOfN(40,
+        Gen.zip(Gen.choose(0L, 3000L), Gen.choose(0L, 4L)))) { evs =>
+      val df = evs.zipWithIndex.map { case ((mins, user), i) =>
+        (i.toLong, new Timestamp(1704100000000L + mins * 60000L),
+          user, "click", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = graft.ops.StreamingOps.sessionOn(df).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      val gapUs = 30L * 60 * 1000000
+      val byUser = sessions.groupBy(_._1)
+      val interOk = byUser.values.forall { ss =>
+        ss.sortBy(_._2).sliding(2).forall {
+          case Array(a, b) => b._2 - a._3 > gapUs
+          case _ => true
+        }
+      }
+      val countOk = sessions.map(_._4).sum ==
+        evs.length // every event lands in exactly one session
+      interOk && countOk
+    })
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
     val df = Seq((0L, v, 0), (1L, v, 1)).toDF("vec_id", "embedding", "label")

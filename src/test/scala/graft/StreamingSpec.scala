@@ -98,6 +98,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sliding: streaming result equals batch twin on same input") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.sliding(ms.toDF())
+      .writeStream.format("memory").queryName("slid")
+      .outputMode("append").start()
+    try {
+      ms.addData(baseEvents: _*)
+      ms.addData(Ev(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("slid")
+        .filter($"wstart" < ts("2024-01-01 23:00:00"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = baseEvents.toDF()
+        .select(org.apache.spark.sql.functions
+          .window($"ts", "1 hour", "15 minutes").as("w"),
+          ($"user_id" % 10).as("ub"))
+        .groupBy($"w.start".as("wstart"), $"ub")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops in-watermark duplicates") {
     val ms = MemoryStream[Ev]
     val q = StreamingTwins.dedup(ms.toDF())
@@ -110,6 +136,40 @@ class StreamingSpec extends GraftSuite {
       q.processAllAvailable()
       assert(spark.table("dd").count() == baseEvents.length.toLong)
     } finally q.stop()
+  }
+
+  test("transformWithState processor matches flatMapGroupsWithState semantics") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = ms.toDF().select($"user_id", $"event_type")
+        .as[(Long, String)](Encoders.product[(Long, String)])
+        .groupByKey(_._1)(Encoders.scalaLong)
+        .transformWithState(new graft.streaming.SignupCounterProcessor,
+          TimeMode.None, OutputMode.Append)(
+          Encoders.product[(Long, Long)])
+        .toDF("user_id", "n")
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("append").start()
+      try {
+        ms.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+          Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 0.0),
+          Ev(3, ts("2024-01-01 10:02:00"), 1, "view", 0.0),
+          Ev(4, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+        q.processAllAvailable()
+        // second batch exercises state restore across micro-batches
+        ms.addData(Ev(5, ts("2024-01-01 10:03:00"), 1, "click", 0.0))
+        q.processAllAvailable()
+        val out = spark.table("tws").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(out == Set((1L, 1L), (1L, 2L), (1L, 3L)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("stateful events-since-signup (flatMapGroupsWithState, batch mode)") {
