@@ -85,12 +85,17 @@ object DedupSim {
     val minCols = (0 until 128).map { k =>
       min(col("h") * lit(2L * k + 1) + lit(k * 1315423911L)).as(s"m$k")
     }
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-    // Distinct shingle-hash set per doc for exact Jaccard (collect_set
-    // dedupes; sort for deterministic arrays).
-    val docsH = sh5.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("sh"))).as("hs"))
+    // ONE aggregate produces both the 128-slot signature and the
+    // distinct sorted hash set for verification: separate groupBys
+    // would each re-run the rolling-hash window over the million-row
+    // token table (different partial aggregates → different exchanges
+    // → no reuse); a single aggregate shares one exchange among every
+    // downstream branch.
+    val perDoc = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head,
+        minCols.tail :+ sort_array(collect_set(col("sh"))).as("hs"): _*)
+    val sig = perDoc.drop("hs")
+    val docsH = perDoc.select(col("doc_id"), col("hs"))
     val bandCols = (0 until 32).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*).as("bh"))
