@@ -44,11 +44,18 @@ object GraftExtensions {
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
   /** Runtime registration for an existing session (tests, notebooks). */
-  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min_est",
+      (children: Seq[Expression]) =>
+        graft.functions.CountMinEstimate(children(0), children(1))
+          .toAggregateExpression(),
+      "built-in")
+  }
 }
 
 /** Small but real optimizer rule: collapses stacked case-conversion
