@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing entry point: make an existing SparkSession graft-aware.
+  *
+  * `init` registers the native functions (cosine_sim, count_min_est)
+  * and the custom planner strategy (native as-of join);
+  * `registerTables` exposes a scale-factor directory as SQL temp views
+  * so every operator is reachable from plain `spark.sql(...)` as well
+  * as the typed/DataFrame APIs. For a fresh session, the equivalent is
+  * `SparkSession.builder.withExtensions(new graft.plans.GraftExtensions)`.
+  */
+object Graft {
+  def init(spark: SparkSession): Unit = {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.CollapseRedundantCase))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CollapseRedundantCase
+  }
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      val df = t match {
+        case "events"     => Tables.events(spark, sfDir)
+        case "documents"  => Tables.documents(spark, sfDir)
+        case "embeddings" => Tables.embeddings(spark, sfDir)
+        case other => spark.read.parquet(s"$sfDir/$other.parquet")
+      }
+      df.createOrReplaceTempView(t)
+    }
+}
