@@ -14,8 +14,9 @@ import graft.Tables
 object Aggregates {
   private val D = DecimalType(12, 2)
   private def dec(c: Column): Column = c.cast(D)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4)).cast("double")
 
   /** q_agg_global — ungrouped count/min/max/sum/count-distinct. */
   def aggGlobal(s: SparkSession, d: String): DataFrame =
@@ -53,7 +54,8 @@ object Aggregates {
       grouping(col("l_returnflag")).cast("int").as("g_flag"),
       grouping(col("l_linestatus")).cast("int").as("g_status"),
       count(lit(1)).as("n"),
-      sum(col("l_quantity").cast(D)).cast(DecimalType(38, 2)).as("sum_qty"))
+      sum(col("l_quantity").cast(D)).cast(DecimalType(38, 2)).cast("double")
+        .as("sum_qty"))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
       .orderBy(col("g_flag"), col("g_status"),
@@ -77,7 +79,7 @@ object Aggregates {
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
         |COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM graft_lineitem_gsets
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status,
@@ -92,8 +94,13 @@ object Aggregates {
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
-        sort_array(collect_set(col("o_orderpriority"))).as("prios"),
-        sort_array(collect_set(year(col("o_orderdate")))).as("years"),
+        // arrays sort numerically/lexically FIRST, then stringify — the
+        // driver's pandas comparator can't hash ndarray cells, so the
+        // wire format is a joined string (same on the oracle side)
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("prios"),
+        array_join(transform(sort_array(collect_set(year(col("o_orderdate")))),
+          _.cast("string")), ",").as("years"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 

@@ -21,7 +21,8 @@ import graft.Tables
   */
 object GraphOps {
   private val D = DecimalType(12, 2)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
 
   /** q_norm_remap — canonical-id remap through a broadcast mapping with
     * failure retention: ids the mapping doesn't cover keep a RAW: form
@@ -57,7 +58,8 @@ object GraphOps {
     customers.unionByName(users)
       .groupBy(col("id"))
       .agg(
-        sort_array(collect_set(col("category"))).as("cats"),
+        // stringified for the comparator wire format (see Aggregates)
+        array_join(sort_array(collect_set(col("category"))), ",").as("cats"),
         max(col("name")).as("name"),
         count(lit(1)).as("n_srcs"))
       .orderBy(col("id"))
@@ -72,7 +74,9 @@ object GraphOps {
         col("l_partkey").as("object"))
       .agg(
         d2(sum(col("l_quantity").cast(D))).as("sum_qty"),
-        sort_array(collect_set(col("l_suppkey"))).as("supps"),
+        // numeric sort FIRST, then stringify ("10" < "2" lexically)
+        array_join(transform(sort_array(collect_set(col("l_suppkey"))),
+          _.cast("string")), ",").as("supps"),
         count(lit(1)).as("n"))
       .orderBy(col("subject"), col("object"))
 

@@ -19,8 +19,9 @@ import graft.Tables
 object Joins {
   private val D = DecimalType(12, 2)
   private def dec(c: Column): Column = c.cast(D)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4)).cast("double")
 
   /** q_join_inner — large⋈large equi join (sort-merge at scale), then
     * aggregate. */

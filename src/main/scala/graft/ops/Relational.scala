@@ -25,12 +25,16 @@ object Relational {
   private val F = DecimalType(4, 2)
   private def dec(c: Column): Column = c.cast(D)
   private def fac(c: Column): Column = c.cast(F)
-  // Final outputs widen to DECIMAL(38,s) — a widening cast never rounds,
-  // and pinning precision=38 on both engines keeps the written parquet
-  // schema identical to DuckDB's result schema.
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def d4(c: Column): Column = c.cast(DecimalType(38, 4))
-  private def d6(c: Column): Column = c.cast(DecimalType(38, 6))
+  // Final outputs: widen to DECIMAL(38,s) (never rounds; double inputs
+  // round identically half-away-from-zero on both engines), then cast to
+  // DOUBLE for the wire format. The internal aggregation stays exact
+  // decimal; only the *output representation* is double — both engines
+  // do correctly-rounded decimal→double, so the float64s are bitwise
+  // equal, and the driver's pandas comparator sees float64 on both
+  // sides instead of object(Decimal) vs float64.
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+  private def d4(c: Column): Column = c.cast(DecimalType(38, 4)).cast("double")
+  private def d6(c: Column): Column = c.cast(DecimalType(38, 6)).cast("double")
 
   /** §2.1 q_scan_project — pruned scan + rename + computed decimal col.
     * Catalyst pushes the projection into the parquet scan (ReadSchema

@@ -16,7 +16,8 @@ import graft.Tables
   */
 object StreamingOps {
   private val D = DecimalType(12, 2)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
 
   /** q_stream_tumbling — 1h tumbling window counts/sums per event type.
     * Streaming twin: groupBy(window($"ts","1 hour"), ...) + 10 min

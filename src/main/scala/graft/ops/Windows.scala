@@ -14,7 +14,8 @@ import graft.Tables
 object Windows {
   private val D = DecimalType(12, 2)
   private def dec(c: Column): Column = c.cast(D)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
 
   /** q_win_rank — ranking family. rank/dense_rank/percent_rank are
     * ordered by a tie-bearing key (deterministic on ties by definition);

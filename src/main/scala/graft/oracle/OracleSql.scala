@@ -6,7 +6,12 @@ package graft.oracle
   * hashing). Determinism rules per SURVEY §7.4 plus two learned locally:
   *  - money operands cast to DECIMAL(12,2), (1±x) factors to DECIMAL(4,2),
   *    NO scale-reducing cast afterwards (Spark HALF_UP vs DuckDB HALF_EVEN
-  *    diverge on .xx50 ties) — outputs widen to DECIMAL(38,s) only;
+  *    diverge on .xx50 ties) — outputs widen to DECIMAL(38,s), then cast
+  *    ::DOUBLE for the wire (the driver's pandas comparator hashes
+  *    float64 on the DuckDB side vs object(Decimal) on the Spark side
+  *    otherwise; decimal→double is correctly rounded in both engines);
+  *  - array outputs are array_to_string(list_sort(...), ',') — the
+  *    comparator's pandas sort_values crashes on ndarray cells;
   *  - (l_orderkey,l_linenumber) is NOT unique in this data, so row-level
   *    lineitem queries ORDER BY every output column.
   */
@@ -14,13 +19,13 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
-        |CAST(l_quantity AS DECIMAL(38,2)) AS qty,
-        |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS revenue
+        |CAST(l_quantity AS DECIMAL(38,2))::DOUBLE AS qty,
+        |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(38,4))::DOUBLE AS revenue
         |FROM lineitem ORDER BY okey, lnum, qty, revenue""".stripMargin,
 
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber,
-        |CAST(l_quantity AS DECIMAL(38,2)) AS qty,
+        |CAST(l_quantity AS DECIMAL(38,2))::DOUBLE AS qty,
         |l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem
         |WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
@@ -37,18 +42,18 @@ object OracleSql {
         |CASE WHEN o_orderstatus = 'F' THEN 'done'
         |     WHEN o_orderstatus = 'O' THEN 'open'
         |     ELSE 'other' END AS status_word,
-        |CAST(o_totalprice AS DECIMAL(38,2)) AS price,
-        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(38,2)) AS double_price,
+        |CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE AS price,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(38,2))::DOUBLE AS double_price,
         |COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS prio,
         |o_custkey % 10 AS custmod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))::DOUBLE AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6))::DOUBLE AS sum_charge,
         |COUNT(*) AS count_order,
         |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
@@ -57,17 +62,17 @@ object OracleSql {
 
     "q_sort_multi" ->
       """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
-        |CAST(c_acctbal AS DECIMAL(38,2)) AS bal
+        |CAST(c_acctbal AS DECIMAL(38,2))::DOUBLE AS bal
         |FROM customer
         |ORDER BY seg DESC NULLS LAST, bal DESC, c_custkey ASC""".stripMargin,
 
     "q_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS price
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE AS price
         |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "q_union_all" ->
       """SELECT tag, COUNT(*) AS cnt,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS total
         |FROM (
         |  SELECT 'A' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F'
         |  UNION ALL
@@ -95,13 +100,13 @@ object OracleSql {
     // ---- §2.3 joins ----
     "q_join_inner" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_bal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -109,7 +114,7 @@ object OracleSql {
 
     "q_join_left" ->
       """SELECT o_orderkey, COALESCE(c_name, '(none)') AS cust,
-        |CAST(o_totalprice AS DECIMAL(38,2)) AS price
+        |CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE AS price
         |FROM orders LEFT JOIN
         |  (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
         |  ON o_custkey = c_custkey
@@ -139,7 +144,7 @@ object OracleSql {
 
     "q_join_range" ->
       """SELECT p_brand, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
         |FROM lineitem JOIN part
         |  ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -154,7 +159,7 @@ object OracleSql {
 
     "q_join_multi" ->
       """SELECT n_name, year(o_orderdate) AS yr, COUNT(*) AS n_lines,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))::DOUBLE AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -166,15 +171,15 @@ object OracleSql {
     // ---- §2.4 aggregation ----
     "q_agg_global" ->
       """SELECT COUNT(*) AS n,
-        |CAST(MIN(l_quantity) AS DECIMAL(38,2)) AS min_qty,
-        |CAST(MAX(l_quantity) AS DECIMAL(38,2)) AS max_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+        |CAST(MIN(l_quantity) AS DECIMAL(38,2))::DOUBLE AS min_qty,
+        |CAST(MAX(l_quantity) AS DECIMAL(38,2))::DOUBLE AS max_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_price,
         |COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
 
     "q_agg_having" ->
       """SELECT l_suppkey, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 600
         |ORDER BY l_suppkey""".stripMargin,
 
@@ -190,7 +195,7 @@ object OracleSql {
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
         |COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -200,7 +205,7 @@ object OracleSql {
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
         |COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -210,15 +215,15 @@ object OracleSql {
         |CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |CAST(GROUPING(l_linestatus) AS INT) AS g_status,
         |COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT o_orderstatus,
-        |list_sort(list(DISTINCT o_orderpriority)) AS prios,
-        |list_sort(list(DISTINCT year(o_orderdate))) AS years,
+        |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+        |array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',') AS years,
         |COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -239,7 +244,7 @@ object OracleSql {
         |  SELECT o_orderpriority,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
-        |  o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS price
+        |  o_orderkey, CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE AS price
         |  FROM orders) t
         |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
 
@@ -256,7 +261,7 @@ object OracleSql {
     "q_win_topk_group" ->
       """SELECT o_custkey, o_orderkey, price, rank FROM (
         |  SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+        |  CAST(o_totalprice AS DECIMAL(38,2))::DOUBLE AS price,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders) t
@@ -266,7 +271,7 @@ object OracleSql {
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_sum,
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))::DOUBLE AS run_sum,
         |COUNT(*) OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
@@ -285,7 +290,7 @@ object OracleSql {
         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
         |  PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mov_sum,
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))::DOUBLE AS mov_sum,
         |COUNT(*) OVER (
         |  PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS mov_cnt
@@ -377,14 +382,14 @@ object OracleSql {
         |  UNION ALL
         |  SELECT DISTINCT user_id AS id, 'user' AS category,
         |    'user_' || CAST(user_id AS VARCHAR) AS name FROM events)
-        |SELECT id, list_sort(list(DISTINCT category)) AS cats,
+        |SELECT id, array_to_string(list_sort(list(DISTINCT category)), ',') AS cats,
         |max(name) AS name, COUNT(*) AS n_srcs
         |FROM nodes GROUP BY id ORDER BY id""".stripMargin,
 
     "q_graph_edge_merge" ->
       """SELECT l_orderkey AS subject, l_partkey AS object,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |list_sort(list(DISTINCT l_suppkey)) AS supps,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty,
+        |array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supps,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY subject, object ORDER BY subject, object""".stripMargin,
 
@@ -548,7 +553,7 @@ object OracleSql {
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
         |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |COUNT(*) AS n,
-        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_value
         |FROM e GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
 
@@ -569,7 +574,7 @@ object OracleSql {
         |        ROWS UNBOUNDED PRECEDING) AS sess FROM b)
         |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
         |COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_value,
         |epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
         |epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin,

@@ -11,7 +11,7 @@ class GraphOpsSpec extends GraftSuite {
     val merged = rows.filter(_.getAs[Long]("n_srcs") == 2L)
     assert(merged.length == 15) // 15 distinct users at sf0.001
     merged.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[String]]("cats").toSeq == Seq("customer", "user"))
+      assert(r.getAs[String]("cats") == "customer,user")
     }
   }
 

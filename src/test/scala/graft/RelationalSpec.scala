@@ -10,10 +10,8 @@ class RelationalSpec extends GraftSuite {
     val rows = Relational.aggGroup(spark, sf).collect()
     assert(rows.length == 6)
     val af = rows.find(r => r.getString(0) == "A" && r.getString(1) == "F").get
-    assert(af.getAs[java.math.BigDecimal]("sum_qty")
-      .compareTo(new java.math.BigDecimal("24851.00")) == 0)
-    assert(af.getAs[java.math.BigDecimal]("sum_base_price")
-      .compareTo(new java.math.BigDecimal("50132697.39")) == 0)
+    assert(af.getAs[Double]("sum_qty") == 24851.00)
+    assert(af.getAs[Double]("sum_base_price") == 50132697.39)
     assert(af.getAs[Long]("count_order") == 977L)
     val nf = rows.find(r => r.getString(0) == "N" && r.getString(1) == "F").get
     assert(nf.getAs[Long]("count_order") == 1066L)
@@ -27,9 +25,9 @@ class RelationalSpec extends GraftSuite {
 
   test("q_topk returns 20 rows in strictly decreasing price order") {
     val prices = Relational.topK(spark, sf).collect()
-      .map(_.getAs[java.math.BigDecimal]("price"))
+      .map(_.getAs[Double]("price"))
     assert(prices.length == 20)
-    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
 
   test("set ops partition consistently: |A∩B| + |A\\B| = |A|") {
