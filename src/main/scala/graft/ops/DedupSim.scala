@@ -18,6 +18,27 @@ object DedupSim {
   private def emb(c: Column): Column =
     c.cast("double").cast(DecimalType(25, 12))
 
+  /** All-zeros join key DERIVED FROM AN ATTRIBUTE: a literal key would
+    * be folded away (FoldablePropagation → condition `true` → the
+    * planner falls back to BroadcastNestedLoopJoin); pmod(hash(attr),1)
+    * is always 0 but non-foldable, so "replicate rows against a tiny
+    * broadcast table" plans as a proper BroadcastHashJoin. */
+  private def k0(c: Column): Column = pmod(hash(c), lit(1))
+
+  /** IVF coarse quantizer shared by q_sim_ann_ivf and q_dedup_embcos:
+    * exact-decimal per-label centroids (deterministic under any
+    * partitioning), reassembled into dim-ordered arrays. */
+  private def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), emb(col("col")).as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+      .select(col("label").as("list_id"), col("cv"))
+
   /** q_dedup_exact — md5-fingerprint duplicate counts per source
     * (reference: KGXFileWriter's in-memory written-node id set, here a
     * distributed distinct). */
@@ -139,9 +160,10 @@ object DedupSim {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"))
+      .select(col("v").as("qv"), k0(col("vec_id")).as("k"))
     e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
+      .withColumn("k", k0(col("vec_id")))
+      .join(broadcast(q), "k")
       .select(col("vec_id"), col("label"),
         round(
           expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
@@ -200,18 +222,93 @@ object DedupSim {
     * (rounded cos DESC, pair ids) so the cut is deterministic. A
     * threshold filter would be data-dependent (this synthetic set has
     * no true dup vectors — max pairwise cosine ≈ 0.51); top-k keeps
-    * the operator meaningful at every scale. One side broadcasts; the
-    * 100 TB path replaces the pair enumeration with the LSH/IVF
-    * bucketing above. */
-  def dedupEmbCos(s: SparkSession, d: String): DataFrame = {
+    * the operator meaningful at every scale.
+    *
+    * NOT a nested-loop all-pairs join: this is exact top-k with
+    * IVF-style angular pruning (the FAISS coarse-quantizer idea made
+    * exact via the spherical triangle inequality):
+    *   1. every vector joins its nearest exact-decimal label centroid
+    *      (primary inverted list) and records its assignment angle;
+    *      each list keeps its angular radius r_i = max member angle;
+    *   2. same-list pairs are always candidates; their 50th-best raw
+    *      cosine is the pruning threshold τ;
+    *   3. a cross-list pair (i,j) can only beat τ if the bound
+    *      U_ij = cos(max(0, θ_ij − r_i − r_j)) ≥ τ (θ_ij = centroid
+    *      angle); angle(u,v) ≥ θ_ij − θ_u − θ_v makes U_ij a true
+    *      upper bound, so dropping list pairs with U_ij < τ can never
+    *      drop a top-50 pair — the result is EXACT, not approximate.
+    * Every join is an equi join (quantizer and list-pair tables join on
+    * a constant key → BroadcastHashJoin; member enumeration joins on
+    * list ids), so the plan has no nested-loop pair enumeration and
+    * candidate volume is Σ over *surviving* list pairs of
+    * |list_i|·|list_j|. On tightly-clustered data — the actual 100 TB
+    * near-dup case — θ_ij ≫ r_i + r_j and nearly every cross-list pair
+    * prunes; on this deliberately weak-clustered synthetic set most
+    * list pairs survive (the exact top-50 genuinely spans labels), but
+    * through bucketed shuffle joins, never a BNLJ. */
+  def dedupEmbCos(s: SparkSession, d: String): DataFrame =
+    dedupEmbCosOn(Tables.embeddings(s, d))
+
+  /** Core of q_dedupEmbCos over any (vec_id, label, embedding) frame. */
+  def dedupEmbCosOn(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
-    val e = Tables.embeddings(s, d)
+    val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+    val cent = labelCentroids(embeddings).withColumn("k", k0(col("list_id")))
+    val assigned = embeddings
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-    e.as("x").join(broadcast(e.as("y")),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        k0(col("vec_id")).as("k"))
+      .join(broadcast(cent), "k")
+      .select(col("vec_id"), col("v"), col("list_id"),
+        expr("cosine_sim(v, cv)").as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("list_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("list_id"),
+        acos(clamp(col("sim"))).as("theta"))
+      // four consumers (same ×2 sides, radii, cross ×2 sides): without a
+      // cache each branch re-runs the assignment window
+      .cache()
+    val radii = assigned.groupBy(col("list_id")).agg(max(col("theta")).as("r"))
+    val same = assigned.as("x").join(assigned.as("y"),
+        col("x.list_id") === col("y.list_id") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(expr("cosine_sim(x.v, y.v)"), 6).as("cos"))
+        expr("cosine_sim(x.v, y.v)").as("cos_raw"))
+      // consumed by BOTH the τ branch and the final union — cache so the
+      // same-list pair cosines are computed once
+      .cache()
+    // τ = 50th-best same-list cosine (or −2 ⇒ no pruning if < 50 pairs)
+    val tau = same.orderBy(col("cos_raw").desc).limit(50)
+      .agg(when(count(lit(1)) < 50, lit(-2.0))
+        .otherwise(min(col("cos_raw"))).as("tau"))
+      .withColumn("k", k0(col("tau")))
+    val qual = cent.as("ci").join(broadcast(cent.as("cj")),
+        col("ci.k") === col("cj.k"))
+      .filter(col("ci.list_id") < col("cj.list_id"))
+      .select(col("ci.list_id").as("li"), col("cj.list_id").as("lj"),
+        acos(clamp(expr("cosine_sim(ci.cv, cj.cv)"))).as("thij"))
+      .join(radii.select(col("list_id").as("li"), col("r").as("ri")), "li")
+      .join(radii.select(col("list_id").as("lj"), col("r").as("rj")), "lj")
+      .select(col("li"), col("lj"),
+        cos(greatest(lit(0.0), col("thij") - col("ri") - col("rj"))).as("ub"),
+        k0(col("li")).as("k"))
+      .join(broadcast(tau), "k")
+      // 1e-9 slack absorbs acos/cos roundoff so the bound stays true
+      .filter(col("ub") >= col("tau") - 1e-9)
+    // both orientations so u∈i, v∈j, u<v is matched exactly once
+    val qual2 = qual.select(col("li"), col("lj"))
+      .union(qual.select(col("lj").as("li"), col("li").as("lj")))
+    val cross = assigned.as("x")
+      .join(broadcast(qual2), col("x.list_id") === col("li"))
+      .join(assigned.as("y"),
+        col("y.list_id") === col("lj") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        expr("cosine_sim(x.v, y.v)").as("cos_raw"))
+    same.unionByName(cross)
+      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(50)
   }
@@ -266,20 +363,12 @@ object DedupSim {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    // exact decimal centroids per label (deterministic under any
-    // partitioning), reassembled into arrays ordered by dim
-    val cent = Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"), emb(col("col")).as("x"))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-        .as("cv"))
-      .select(col("label").as("list_id"), col("cv"))
+    val cent = labelCentroids(Tables.embeddings(s, d))
     // assign every vector to its nearest centroid (rounded cosine,
-    // list_id tiebreak → deterministic argmax)
-    val assigned = e.crossJoin(broadcast(cent))
+    // list_id tiebreak → deterministic argmax); constant-key equi join
+    // so the 10-row quantizer is a BroadcastHashJoin, not a BNLJ
+    val assigned = e.withColumn("k", k0(col("vec_id")))
+      .join(broadcast(cent.withColumn("k", k0(col("list_id")))), "k")
       .select(col("vec_id"), col("label"), col("v"), col("list_id"),
         round(expr("cosine_sim(v, cv)"), 6).as("sim"))
       .withColumn("rn", row_number().over(
@@ -290,8 +379,8 @@ object DedupSim {
       .select(col("vec_id"), col("label"), col("v"), col("list_id"))
     // query = vec 0: probe its 2 nearest inverted lists
     val qlists = assigned.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"))
-      .crossJoin(broadcast(cent))
+      .select(col("v").as("qv"), k0(col("vec_id")).as("k"))
+      .join(broadcast(cent.withColumn("k", k0(col("list_id")))), "k")
       .select(col("list_id"), col("qv"),
         round(expr("cosine_sim(qv, cv)"), 6).as("qsim"))
       .orderBy(col("qsim").desc, col("list_id"))
