@@ -95,28 +95,106 @@ object GraphOps {
       .limit(20)
   }
 
-  /** q_graph_cc — connected components of the bipartite order–part
-    * graph via GraphX (Pregel label propagation); returns the component
-    * size histogram. No oracle (iterative); invariants asserted in
-    * tests: Σ(size × n_components) = node count.
-    * Part vertex ids offset by 2^31 so the two id spaces don't collide.
-    * At 100 TB one would switch to the large-star/small-star algorithm
-    * over DataFrames with checkpointing; Pregel CC is fine at bench
-    * scale and the surface (edge list in, labeled vertices out) is
-    * identical. */
-  def connectedComponents(s: SparkSession, d: String): DataFrame = {
+  /** Connected-component labels via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the DataFrame-native, 100 TB-safe formulation: every step is a
+    * hash aggregate + equi join, converging in O(log n) rounds, with a
+    * local checkpoint per round so the plan/lineage stays constant-size
+    * instead of growing with the iteration count (each round's
+    * checkpoint is a few MB of (long,long) edges; the handful that stay
+    * resident until session end is the price of truncated lineage).
+    *
+    * large-star: every node's strictly-larger neighbors re-point to
+    * m(u) = min(N(u) ∪ {u}); small-star: each node's smaller neighbors
+    * (and itself) re-point to its minimum neighbor. Fixpoint = a union
+    * of stars whose centers are component minima. Convergence is
+    * detected by (count, xxhash-sum) equality of consecutive edge sets
+    * — both sets are canonical (src > dst, distinct), so equality of
+    * the pair is a set-equality check up to hash collision (~2⁻⁶⁴).
+    *
+    * Input: any two-column (long, long) undirected edge frame.
+    * Output: (node, comp) — comp is the component's minimum node id. */
+  def ccLabels(edgesIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = edgesIn.columns
+    var edges = edgesIn
+      .select(greatest(col(cols(0)), col(cols(1))).as("src"),
+        least(col(cols(0)), col(cols(1))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // Fixpoint ⟺ star set: with every edge oriented src > dst, the set
+    // is a union of min-centered stars exactly when no src appears as a
+    // dst — an O(|E|) semi-join probe on the checkpointed set, which
+    // detects convergence one round earlier than comparing consecutive
+    // edge-set checksums.
+    def isStarSet(df: DataFrame): Boolean =
+      df.as("l").join(df.as("r"), col("l.src") === col("r.dst"), "left_semi")
+        .isEmpty
+    // min-over-window rather than groupBy+self-join: one exchange per
+    // star step instead of two
+    val w = Window.partitionBy(col("src"))
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // large-star over both orientations: strictly-larger neighbors
+      // re-point to m(u) = min(N(u) ∪ {u}). m ≤ src < dst, so the
+      // emitted (dst, m) is already strictly oriented; duplicates can't
+      // perturb the min below and are swept by small-star's distinct.
+      val nbr = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val large = nbr
+        .withColumn("m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star: each node's smaller neighbors (and itself) re-point
+      // to its minimum neighbor
+      val small = large
+        .withColumn("m", min(col("dst")).over(w))
+        .select(explode(array(
+          struct(col("src").as("a"), col("m").as("b")),
+          struct(col("dst").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("src"), col("e.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = isStarSet(small)
+      edges = small
+      rounds += 1
+    }
+    edges.select(col("src").as("node"), col("dst").as("comp"))
+      .unionByName(edges.select(col("dst").as("node"), col("dst").as("comp")))
+      .distinct()
+  }
+
+  /** GraphX Pregel CC over the same edge list — kept as an independent
+    * implementation for cross-checking ccLabels in tests (not in the
+    * query path: RDD Pregel re-pays per-partition overhead every
+    * superstep and its lineage handling is the wrong plan at 100 TB). */
+  def ccLabelsGraphX(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
     import s.implicits._
+    val cols = edgesIn.columns
+    val edges = edgesIn
+      .select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+      .distinct()
+      .coalesce(math.min(8, s.sparkContext.defaultParallelism))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents
+      .run(GXGraph.fromEdgeTuples(edges, 1))
+    cc.vertices.map { case (node, comp) => (node, comp) }.toDF("node", "comp")
+  }
+
+  /** q_graph_cc — connected components of the bipartite order–part
+    * graph; returns the component size histogram. No oracle
+    * (iterative); invariants + GraphX cross-check asserted in tests.
+    * Part vertex ids offset by 2^31 so the two id spaces don't
+    * collide. */
+  def connectedComponents(s: SparkSession, d: String): DataFrame = {
     val offset = 1L << 31
     val edges = Tables.lineitem(s, d)
       .select(col("l_orderkey"), (col("l_partkey") + offset).as("part"))
-      .distinct()
-      // cap partitions: Pregel pays per-partition overhead every
-      // iteration, and 600k edges want a few fat partitions, not 32
-      .coalesce(math.min(8, s.sparkContext.defaultParallelism))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-    val graph = GXGraph.fromEdgeTuples(edges, 1)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
-    cc.vertices.map { case (_, comp) => comp }.toDF("comp")
+    ccLabels(edges)
       .groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
       .orderBy(col("size"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops._
+import org.apache.spark.sql.functions.col
 
 class GraphOpsSpec extends GraftSuite {
   import spark.implicits._
@@ -32,12 +33,33 @@ class GraphOpsSpec extends GraftSuite {
 
   test("connected components on a hand-built graph") {
     // Two components: {1,2,3} via edges 1-2, 2-3; {10,11} via 10-11.
-    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 1)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
-      .vertices.map(_._2).distinct().count()
-    assert(cc == 2)
+    // A long path (20-21-...-27) exercises multi-round convergence.
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 27L).map(i => (i, i + 1))).toDF("a", "b")
+    val labels = GraphOps.ccLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 13)
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L).forall(labels(_) == 10L))
+    assert((20L to 27L).forall(labels(_) == 20L))
+  }
+
+  test("ccLabels matches the independent GraphX implementation") {
+    val offset = 1L << 31
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        (col("l_partkey") + offset).as("part"))
+    val df = GraphOps.ccLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = GraphOps.ccLabelsGraphX(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df.keySet == gx.keySet)
+    // same partition of nodes into components (label choice may differ:
+    // GraphX also picks the min id, but don't depend on it — compare
+    // co-membership via canonical label-of-label maps)
+    val dfGroups = df.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val gxGroups = gx.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(dfGroups == gxGroups)
   }
 
   test("cc size histogram sums to the vertex count") {
