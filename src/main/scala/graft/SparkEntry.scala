@@ -18,6 +18,7 @@ object SparkEntry {
     "q_sink_kgx" -> (Sources.sinkKgx _),
     // §2.11 graph / ETL
     "q_norm_remap" -> (GraphOps.normRemap _),
+    "q_norm_edges" -> (GraphOps.normEdges _),
     "q_graph_node_merge" -> (GraphOps.nodeMerge _),
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
     "q_graph_degree" -> (GraphOps.degree _),

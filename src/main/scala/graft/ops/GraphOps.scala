@@ -42,6 +42,71 @@ object GraphOps {
       .orderBy(col("canonical"))
   }
 
+  /** Edge normalization — the reference's edge-side normalize stage,
+    * pairing with [[normRemap]]'s node side: every edge's predicate is
+    * remapped through a (small, broadcast) predicate mapping — unmapped
+    * predicates are retained with a `raw:` prefix, mirroring node-norm
+    * failure retention — and edges are classified by whether their
+    * endpoints survived node normalization (`retained`,
+    * `dropped_subject`, `dropped_object`, `dropped_both`), so callers
+    * can keep the retained set and log the rest (the reference's
+    * norm-failure file). Endpoint checks are equi joins against the
+    * normalized-id sets — shuffle joins at 100 TB, never per-row
+    * lookups; the predicate map is dimension-sized and broadcasts.
+    *
+    * edges: (subject, predicate, object); subjectIds/objectIds: (id);
+    * predicateMap: (raw, pred). */
+  def normalizeEdges(edges: DataFrame, subjectIds: DataFrame,
+      objectIds: DataFrame, predicateMap: DataFrame): DataFrame = {
+    val e = edges.select(col("subject"),
+      col("predicate").as("raw_predicate"), col("object"))
+    e.join(broadcast(predicateMap),
+        e("raw_predicate") === predicateMap("raw"), "left")
+      .join(subjectIds.select(col("id").as("s_id")),
+        col("subject") === col("s_id"), "left")
+      .join(objectIds.select(col("id").as("o_id")),
+        col("object") === col("o_id"), "left")
+      .select(col("subject"),
+        coalesce(col("pred"),
+          concat(lit("raw:"), lower(col("raw_predicate")))).as("predicate"),
+        col("object"),
+        when(col("s_id").isNotNull && col("o_id").isNotNull, "retained")
+          .when(col("s_id").isNull && col("o_id").isNull, "dropped_both")
+          .when(col("s_id").isNull, "dropped_subject")
+          .otherwise("dropped_object").as("status"))
+  }
+
+  /** The retained / dropped split (dropped = the failure-log twin). */
+  def normalizeEdgesSplit(edges: DataFrame, subjectIds: DataFrame,
+      objectIds: DataFrame, predicateMap: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val annotated = normalizeEdges(edges, subjectIds, objectIds, predicateMap)
+    (annotated.filter(col("status") === "retained").drop("status"),
+      annotated.filter(col("status") =!= "retained"))
+  }
+
+  /** q_norm_edges — edge normalization over the order→part edge set:
+    * return-flag predicates remap through a 2-row map ('N' stays
+    * raw:n), subjects must be non-'P' orders, objects must be parts
+    * with size ≤ 45; per-(status, predicate) edge counts. */
+  def normEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pm = Seq(("A", "biolink:affects"), ("R", "biolink:related_to"))
+      .toDF("raw", "pred")
+    val edges = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("subject"),
+      col("l_returnflag").as("predicate"),
+      col("l_partkey").as("object"))
+    val subj = Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey").as("id"))
+    val obj = Tables.part(s, d).filter(col("p_size") <= 45)
+      .select(col("p_partkey").as("id"))
+    normalizeEdges(edges, subj, obj, pm)
+      .groupBy(col("status"), col("predicate"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("status"), col("predicate"))
+  }
+
   /** q_graph_node_merge — same-id nodes from two sources merge into one
     * node with the union of category sets (sorted for determinism) and
     * max name — GraphMerger.merge_nodes semantics as one hash

@@ -376,6 +376,24 @@ object OracleSql {
         |  ON c_nationkey = n_nationkey
         |GROUP BY canonical ORDER BY canonical""".stripMargin,
 
+    "q_norm_edges" ->
+      """WITH pm AS (SELECT * FROM (VALUES ('A', 'biolink:affects'),
+        |  ('R', 'biolink:related_to')) v(raw, pred)),
+        |no AS (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'P'),
+        |np AS (SELECT p_partkey FROM part WHERE p_size <= 45),
+        |j AS (SELECT
+        |  COALESCE(pm.pred, 'raw:' || lower(l_returnflag)) AS predicate,
+        |  CASE WHEN no.o_orderkey IS NOT NULL AND np.p_partkey IS NOT NULL THEN 'retained'
+        |       WHEN no.o_orderkey IS NULL AND np.p_partkey IS NULL THEN 'dropped_both'
+        |       WHEN no.o_orderkey IS NULL THEN 'dropped_subject'
+        |       ELSE 'dropped_object' END AS status
+        |  FROM lineitem
+        |  LEFT JOIN pm ON l_returnflag = pm.raw
+        |  LEFT JOIN no ON l_orderkey = no.o_orderkey
+        |  LEFT JOIN np ON l_partkey = np.p_partkey)
+        |SELECT status, predicate, COUNT(*) AS n_edges
+        |FROM j GROUP BY status, predicate ORDER BY status, predicate""".stripMargin,
+
     "q_graph_node_merge" ->
       """WITH nodes AS (
         |  SELECT c_custkey AS id, 'customer' AS category, c_name AS name FROM customer

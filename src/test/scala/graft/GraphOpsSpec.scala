@@ -31,6 +31,34 @@ class GraphOpsSpec extends GraftSuite {
     assert(rows.exists(_.getString(0).startsWith("NATION:")))
   }
 
+  test("edge normalization: retained/dropped/logged sets on a fixture") {
+    // subjectIds {1,3}; objectIds {10,12,13}; predicate map A,R
+    val edges = Seq(
+      (1L, "A", 10L),  // both ok            -> retained, biolink:affects
+      (2L, "R", 10L),  // subject missing    -> dropped_subject
+      (3L, "X", 99L),  // object missing     -> dropped_object, raw:x
+      (5L, "R", 98L)   // both missing       -> dropped_both
+    ).toDF("subject", "predicate", "object")
+    val subj = Seq(1L, 3L).toDF("id")
+    val obj = Seq(10L, 12L, 13L).toDF("id")
+    val pm = Seq(("A", "biolink:affects"), ("R", "biolink:related_to"))
+      .toDF("raw", "pred")
+    val (retained, dropped) =
+      GraphOps.normalizeEdgesSplit(edges, subj, obj, pm)
+    val r = retained.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("subject") == 1L)
+    assert(r.head.getAs[String]("predicate") == "biolink:affects")
+    val d = dropped.collect()
+      .map(x => x.getAs[Long]("subject") -> x.getAs[String]("status")).toMap
+    assert(d == Map(2L -> "dropped_subject", 3L -> "dropped_object",
+      5L -> "dropped_both"))
+    // unmapped predicate retained with raw: prefix, not dropped
+    val px = dropped.filter(col("subject") === 3L)
+      .select("predicate").first().getString(0)
+    assert(px == "raw:x")
+  }
+
   test("connected components on a hand-built graph") {
     // Two components: {1,2,3} via edges 1-2, 2-3; {10,11} via 10-11.
     // A long path (20-21-...-27) exercises multi-round convergence.
