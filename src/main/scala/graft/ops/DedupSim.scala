@@ -62,7 +62,8 @@ object DedupSim {
     *   → exact shingle-set Jaccard ≥ 0.8 on candidates only.
     * At 100 TB scale the band explode is 32 rows/doc and the bucket
     * groupBy is the only shuffle before the (tiny) candidate join;
-    * skewed buckets (boilerplate docs) would be salted/capped. */
+    * hot buckets (boilerplate docs) spread over a 2-D block grid in
+    * [[bucketPairs]] so no single reducer owns a quadratic bucket. */
   def dedupNear(s: SparkSession, d: String): DataFrame =
     dedupNearOn(Tables.documents(s, d))
 
@@ -124,11 +125,7 @@ object DedupSim {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("bd.band"), col("bd.bh"), col("doc_id"))
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val cands = bucketPairs(buckets, cap = 64)
     // Exact-Jaccard verification over the same sorted shingle-hash
     // arrays (~8 B per shingle ⇒ the whole doc set is a few MB):
     // broadcast to both sides of the candidate pairs, so the exploded
@@ -147,6 +144,45 @@ object DedupSim {
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Candidate-pair enumeration within (band, bh) buckets, with hot
+    * buckets spread over a 2-D block grid — the boilerplate-document
+    * skew fix: 500 identical docs share every band bucket, and a plain
+    * self-join would put all ~125k of that bucket's pairs on ONE
+    * reducer. Here a bucket of size B gets S = min(16, ⌈B/cap⌉)
+    * deterministic hash blocks; the x side replicates each member
+    * against every y-block and vice versa, so the join key
+    * (band, bh, block_x, block_y) splits one hot bucket's pair grid
+    * across S² reducers. Every (u, v) pair meets on exactly one key
+    * (u's block, v's block), so the candidate SET — and therefore
+    * near-dup recall — is identical to the unsalted join (asserted by
+    * a planted-cluster property test). Cold buckets have S = 1: no
+    * replication, same plan as before. */
+  private[graft] def bucketPairs(buckets: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = buckets
+      .withColumn("s",
+        least(ceil(count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bh"))) / lit(cap.toDouble)),
+          lit(16L)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+    val x = sized
+      .withColumn("rep", explode(sequence(lit(0), col("s") - 1)))
+      .select(col("band"), col("bh"), col("blk").as("bx"),
+        col("rep").as("ry"), col("doc_id"))
+      .as("x")
+    val y = sized
+      .withColumn("rep", explode(sequence(lit(0), col("s") - 1)))
+      .select(col("band"), col("bh"), col("rep").as("rx"),
+        col("blk").as("by"), col("doc_id"))
+      .as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.bx") === col("y.rx") && col("x.ry") === col("y.by") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
   }
 
   /** q_sim_cosine_topk — brute-force cosine top-10 against one query

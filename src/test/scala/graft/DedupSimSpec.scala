@@ -60,6 +60,37 @@ class DedupSimSpec extends GraftSuite {
     }
   }
 
+  test("hot-bucket blocking: bucketPairs equals the plain self-join") {
+    // 3 buckets: one hot (120 members -> blocked S>1), two cold
+    val rows = (0 until 120).map(i => (0, 7L, i.toLong)) ++
+      (0 until 10).map(i => (1, 8L, (200 + i).toLong)) ++
+      Seq((2, 9L, 500L))
+    val buckets = rows.toDF("band", "bh", "doc_id")
+    val blocked = DedupSim.bucketPairs(buckets, cap = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = rows.groupBy(r => (r._1, r._2)).values.flatMap { g =>
+      for (u <- g; v <- g if u._3 < v._3) yield (u._3, v._3)
+    }.toSet
+    assert(blocked == expected)
+    assert(expected.size == 120 * 119 / 2 + 10 * 9 / 2)
+  }
+
+  test("near-dup recall survives a planted 200-doc boilerplate cluster") {
+    // 200 identical docs: every band bucket is hot; the blocked join
+    // must still surface all C(200,2) pairs at jaccard 1.0, and the
+    // distinct docs must not pair with them
+    val boiler = (0 until 200).map(i =>
+      (1000L + i, "this exact boilerplate legal disclaimer text appears on every single page"))
+    val normal = (0 until 10).map(i =>
+      (i.toLong, s"unique document number $i talking about alpha$i beta$i gamma$i delta$i"))
+    val docs = (boiler ++ normal).toDF("doc_id", "text")
+    val pairs = DedupSim.dedupNearOn(docs).collect()
+    val bp = pairs.filter(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L)
+    assert(bp.length == 200 * 199 / 2)
+    assert(bp.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(pairs.length == bp.length, "distinct docs must not pair")
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val t = "spark hash join sort merge filter scan window group agg"
     val docs = Seq((1L, t), (2L, t),
