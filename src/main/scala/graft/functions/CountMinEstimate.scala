@@ -2,10 +2,11 @@ package graft.functions
 
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count–Min sketch aggregate over a string column — the
@@ -30,6 +31,23 @@ case class CountMinEstimate(child: Expression, targetsExpr: Expression,
 
   private val depth = 4
   private val width = 256
+
+  // validate at analysis time: without this, a non-string child or a
+  // non-foldable/non-string targets argument surfaces as a runtime
+  // ClassCastException/NPE instead of a clear analysis error (sketch
+  // built-ins validate their literal parameters the same way)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"count_min_est requires a STRING column, got ${child.dataType.simpleString}")
+    else if (!targetsExpr.foldable || !targetsExpr.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        "count_min_est targets must be a foldable STRING like 'a,b,c', got " +
+          s"${targetsExpr.dataType.simpleString} (foldable=${targetsExpr.foldable})")
+    else if (targetsExpr.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure("count_min_est targets must not be NULL")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private lazy val targets: Seq[UTF8String] =
     targetsExpr.eval(InternalRow.empty).asInstanceOf[UTF8String]

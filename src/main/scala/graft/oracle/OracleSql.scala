@@ -603,16 +603,21 @@ object OracleSql {
         |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
 
     // ---- §2.12 multimodal ----
+    // BYTE-based checksum over the UTF-8 octets (hex(encode(text)) →
+    // 2-hex-char slices), matching the Spark stub's unsigned byte sum
+    // exactly — SUM(ascii(char)) over character positions would agree
+    // only on pure-ASCII corpora
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type FROM documents),
-        |ch AS (SELECT doc_id, media_type, text,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |  unnest(range(1, length(text) + 1)) AS p FROM d),
+        |h AS (SELECT doc_id, media_type, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n_bytes FROM d),
+        |ch AS (SELECT doc_id, media_type, n_bytes, hx,
+        |  unnest(range(0, n_bytes)) AS p FROM h),
         |cs AS (SELECT doc_id, media_type, any_value(n_bytes) AS n_bytes,
-        |  SUM(ascii(substring(text, CAST(p AS INT), 1))) AS checksum
+        |  SUM(('0x' || substring(hx, CAST(p * 2 + 1 AS INT), 2))::INT) AS checksum
         |  FROM ch GROUP BY doc_id, media_type)
         |SELECT media_type, COUNT(*) AS n,
         |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
@@ -624,7 +629,7 @@ object OracleSql {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+        |  octet_length(encode(text)) AS n_bytes FROM documents)
         |SELECT source, media_type, COUNT(*) AS n,
         |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
@@ -635,7 +640,7 @@ object OracleSql {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type,
-        |  octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+        |  octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT media_type, nb,
         |  unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS fi
         |  FROM d WHERE nb > 0),

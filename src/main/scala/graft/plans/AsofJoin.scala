@@ -98,13 +98,22 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         private var haveLast = false
         private var nextOut: InternalRow = _
 
-        private def pullRight(): Unit =
-          if (rIter.hasNext) {
+        // SQL join semantics: NULL keys/timestamps never match — rows
+        // with a null key or ts are discarded here rather than read as
+        // 0 via getLong (which would let a NULL-keyed row match key 0).
+        // The ascending sort puts null groups first, so skipping them
+        // on the fly preserves the merge invariants.
+        private def pullRight(): Unit = {
+          haveAhead = false
+          while (!haveAhead && rIter.hasNext) {
             val r = rIter.next()
             val k = rProj(r)
-            rAheadKey = k.getLong(0); rAheadTs = k.getLong(1)
-            haveAhead = true
-          } else haveAhead = false
+            if (!k.isNullAt(0) && !k.isNullAt(1)) {
+              rAheadKey = k.getLong(0); rAheadTs = k.getLong(1)
+              haveAhead = true
+            }
+          }
+        }
 
         pullRight()
 
@@ -113,23 +122,25 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           while (nextOut == null && lIter.hasNext) {
             val lRow = lIter.next()
             val lk = lProj(lRow)
-            val key = lk.getLong(0); val ts = lk.getLong(1)
-            if (haveLast && lastKey != key) haveLast = false
-            // consume right rows up to (key, ts) inclusive
-            while (haveAhead && (rAheadKey < key ||
-                (rAheadKey == key && rAheadTs <= ts))) {
-              if (rAheadKey == key) {
-                lastKey = key; lastTs = rAheadTs; haveLast = true
+            if (!lk.isNullAt(0) && !lk.isNullAt(1)) {
+              val key = lk.getLong(0); val ts = lk.getLong(1)
+              if (haveLast && lastKey != key) haveLast = false
+              // consume right rows up to (key, ts) inclusive
+              while (haveAhead && (rAheadKey < key ||
+                  (rAheadKey == key && rAheadTs <= ts))) {
+                if (rAheadKey == key) {
+                  lastKey = key; lastTs = rAheadTs; haveLast = true
+                }
+                pullRight()
               }
-              pullRight()
-            }
-            if (haveLast && lastKey == key) {
-              tsRow.update(0, lastTs)
-              // copy: the projection reuses its buffer and the
-              // one-row lookahead would overwrite it before the
-              // consumer reads the previous row
-              nextOut = result(joined(lRow, tsRow)).copy()
-            } // else: inner semantics — drop the left row
+              if (haveLast && lastKey == key) {
+                tsRow.update(0, lastTs)
+                // copy: the projection reuses its buffer and the
+                // one-row lookahead would overwrite it before the
+                // consumer reads the previous row
+                nextOut = result(joined(lRow, tsRow)).copy()
+              } // else: inner semantics — drop the left row
+            } // else: null key/ts never matches — drop the left row
           }
         }
 

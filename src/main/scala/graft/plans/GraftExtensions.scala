@@ -58,18 +58,21 @@ object GraftExtensions {
   }
 }
 
-/** Small but real optimizer rule: collapses stacked case-conversion
-  * calls (`upper(upper(x))` → `upper(x)`, `upper(lower(x))` →
-  * `upper(x)`, …) that show up when composed cleaning pipelines each
-  * defensively normalize case — the reference's CURIE-normalization
-  * layers do exactly this. Also runtime-injectable for tests via
-  * `spark.experimental.extraOptimizations`. */
+/** Small but real optimizer rule: collapses IDEMPOTENT stacked
+  * case-conversion calls (`upper(upper(x))` → `upper(x)`,
+  * `lower(lower(x))` → `lower(x)`) that show up when composed cleaning
+  * pipelines each defensively normalize case — the reference's
+  * CURIE-normalization layers do exactly this. Deliberately does NOT
+  * rewrite mixed stacks (`lower(upper(x))` ≠ `lower(x)`): Unicode case
+  * mapping is not an involution — e.g. upper('ß') = "SS" so
+  * lower(upper('ß')) = "ss" ≠ 'ß', and lower('İ') round-trips
+  * differently under dotted-I rules — so the mixed collapse would
+  * silently change results for non-ASCII data. Also runtime-injectable
+  * for tests via `spark.experimental.extraOptimizations`. */
 object CollapseRedundantCase extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Upper(Upper(c))  => Upper(c)
-      case Upper(Lower(c))  => Upper(c)
       case Lower(Lower(c))  => Lower(c)
-      case Lower(Upper(c))  => Lower(c)
     }
 }

@@ -49,6 +49,28 @@ class AsofStrategySpec extends GraftSuite {
     assert(!out.contains(4L), "user with no signups drops")
   }
 
+  test("native as-of: NULL keys and timestamps never match") {
+    // right row with NULL key and left rows with NULL key/ts: SQL join
+    // semantics say NULL matches nothing — they must neither pair with
+    // key 0 (the getLong-on-null trap) nor appear in the output
+    val events = Seq(
+      (1L, Some(ts("2024-01-01 10:30:00")), Some(0L)),   // key 0, real
+      (2L, Some(ts("2024-01-01 10:30:00")), None),       // null key
+      (3L, None, Some(0L))                                // null ts
+    ).toDF("event_id", "ts", "user_id")
+    val signups = Seq(
+      (Some(0L), Some(ts("2024-01-01 10:00:00"))),
+      (None, Some(ts("2024-01-01 09:00:00"))),           // null key
+      (Some(0L), None)                                   // null ts
+    ).toDF("user_id", "ts")
+    val out = Asof.join(events, signups, "user_id", "ts")
+      .select($"event_id", unix_micros($"asof_ts").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val us10 = ts("2024-01-01 10:00:00").getTime * 1000
+    assert(out == Map(1L -> us10),
+      s"null keys/timestamps must drop, got $out")
+  }
+
   test("physical plan contains the custom exec, not a window") {
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
     val signups = Tables.events(spark, sf)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.plans.CollapseRedundantCase
 
 class ExtensionsSpec extends GraftSuite {
+  import spark.implicits._
 
   test("CollapseRedundantCase rewrites stacked case conversions") {
     val df = Tables.customer(spark, sf)
@@ -19,6 +20,18 @@ class ExtensionsSpec extends GraftSuite {
     }
     assert(uppers(before) == 2)
     assert(uppers(after) == 1)
+  }
+
+  test("CollapseRedundantCase leaves mixed-case stacks alone (Unicode)") {
+    // lower(upper('ß')) = "ss" ≠ lower('ß') = 'ß': the mixed collapse
+    // would be semantically unsound, so the rule must not fire on it
+    val df = Seq("straße", "ı").toDF("s")
+      .select(lower(upper(col("s"))).as("v"))
+    val before = df.queryExecution.analyzed
+    val after = CollapseRedundantCase(before)
+    assert(after == before, "mixed-case stack must be preserved")
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got.contains("strasse"), s"Unicode semantics changed: $got")
   }
 
   test("rule is injectable at runtime and preserves results") {
