@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupSim.dedupExact _),
     "q_dedup_near" -> (DedupSim.dedupNear _),
     "q_dedup_simhash" -> (DedupSim.dedupSimhash _),
+    "q_dedup_ngram" -> (DedupSim.dedupNgram _),
     "q_dedup_embcos" -> (DedupSim.dedupEmbCos _),
     "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),

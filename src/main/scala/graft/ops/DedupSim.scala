@@ -146,6 +146,74 @@ object DedupSim {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q_dedup_ngram — EXACT n-gram Jaccard near-dup (the fourth member
+    * of the dedup family: exact ↔ MinHash ↔ SimHash ↔ n-gram Jaccard):
+    * every pair of documents whose distinct word-5-gram sets have
+    * Jaccard ≥ 0.5, computed exactly via a set-similarity join with
+    * PREFIX FILTERING — never an all-pairs join:
+    *   1. distinct (doc, 5-gram) rows; per-doc set size n;
+    *   2. canonical gram order = (global document frequency ASC, gram):
+    *      rarest grams first maximizes pruning;
+    *   3. each doc indexes only its first p = n − ⌈τ·n⌉ + 1 grams: two
+    *      sets with Jaccard ≥ τ MUST share a gram inside both prefixes
+    *      (prefix-filter theorem), so candidates from the prefix
+    *      inverted index are complete — the result is exact, and the
+    *      index join avoids the stop-gram blowup of a full inverted
+    *      index (a df-10⁶ gram contributes C(10⁶,2) pairs unfiltered);
+    *   4. exact intersection counts only for candidate pairs, then
+    *      J = inter / (na + nb − inter) ≥ τ.
+    * All equi joins + hash aggregates; candidate volume is bounded by
+    * Σ C(prefix-df, 2), which τ controls. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    dedupNgramOn(Tables.documents(s, d))
+
+  def dedupNgramOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.5
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = documents
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"),
+        lead(col("t0"), 3).over(w).as("t3"),
+        lead(col("t0"), 4).over(w).as("t4"))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"),
+          col("t4")).as("ng"))
+      .distinct()
+      // five consumers (sizes, df, ranked, both inter sides): cache so
+      // the tokenize+window+distinct pipeline runs once
+      .cache()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = grams.groupBy(col("ng")).agg(count(lit(1)).as("gdf"))
+    val ranked = grams.join(df, "ng")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("gdf"), col("ng"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("doc_id"), col("ng"))
+    val cands = ranked.as("x").join(ranked.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = cands
+      .join(grams.select(col("doc_id").as("a"), col("ng")), "a")
+      .join(grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
+        col("b") === col("b2") && col("ng") === col("ng2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Candidate-pair enumeration within (band, bh) buckets, with hot
     * buckets spread over a 2-D block grid — the boilerplate-document
     * skew fix: 500 identical docs share every band bucket, and a plain

@@ -91,6 +91,41 @@ class DedupSimSpec extends GraftSuite {
     assert(pairs.length == bp.length, "distinct docs must not pair")
   }
 
+  test("ngram jaccard: exact dups score 1.0, disjoint docs don't pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // J = 1.0
+      (3L, base + " lambda"),                       // high overlap
+      (4L, "totally different text about storage engines and columnar formats")
+    ).toDF("doc_id", "text")
+    val out = DedupSim.dedupNgramOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard prefix filter matches unfiltered brute force") {
+    // independent brute force in plain Scala over the sf corpus
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").sliding(5)
+          .filter(_.length == 5).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty).toSeq
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if math.rint(j * 1e6) / 1e6 >= 0.5
+    } yield (a, b)).toSet
+    val got = DedupSim.dedupNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val t = "spark hash join sort merge filter scan window group agg"
     val docs = Seq((1L, t), (2L, t),
