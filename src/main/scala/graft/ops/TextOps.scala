@@ -157,10 +157,14 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
+    // non-foldable all-zeros key (pmod(hash,1)): a literal key would be
+    // constant-folded and the 1-row broadcast would plan as a BNLJ
     val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      .withColumn("k", pmod(hash(col("nd")), lit(1)))
     val scored = tf
       .join(df, "term")
-      .crossJoin(broadcast(nd))
+      .withColumn("k", pmod(hash(col("term")), lit(1)))
+      .join(broadcast(nd), "k")
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("nd").cast("double") / col("df")), 4)
           .as("tfidf"))
