@@ -91,6 +91,7 @@ object SparkEntry {
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),
+    "q_mm_features" -> (Multimodal.features _),
     "q_mm_frame_sample" -> (Multimodal.frameSample _),
     // §2.7 set ops
     "q_union_all" -> (Relational.unionAll _),

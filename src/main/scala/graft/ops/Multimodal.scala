@@ -93,6 +93,37 @@ object Multimodal {
         max(col("n_bytes")).as("max_bytes"))
       .orderBy(col("source"), col("media_type"))
 
+  /** q_mm_features — batched feature extraction: binary payload → a
+    * fixed-length numeric vector per item, the plumbing every
+    * embedding/feature model needs (one extractor init per partition,
+    * batch in, vectors out). ===== STUB ===== the "model" is a 16-bin
+    * byte histogram — deterministic and oracle-checkable; a real
+    * deployment swaps `featureStub` for a codec+model call with the
+    * identical batching shape. Output explodes the vector to
+    * (media_type, bin, n) rows so the wire format stays
+    * comparator-friendly (no array columns). */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def featureStub(bytes: Array[Byte]): Array[Long] = {
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+      hist
+    }
+    val src = mediaTable(s, d)
+      .select(col("media_type"), col("media"))
+      .as[(String, Array[Byte])]
+    val feats = src.mapPartitions { rows =>
+      // one extractor/model init per partition would go here
+      rows.map { case (mt, bytes) => (mt, featureStub(bytes)) }
+    }
+    feats.toDF("media_type", "hist")
+      .select(col("media_type"), posexplode(col("hist")))
+      .groupBy(col("media_type"), col("pos").as("bin"))
+      .agg(sum(col("col")).as("n"))
+      .orderBy(col("media_type"), col("bin"))
+  }
+
   /** q_mm_frame_sample — frame sampling plumbing: treat the binary as
     * fixed-64-byte frames, keep every 4th frame, count sampled frames
     * and bytes per media type. substr on binary columns — the real

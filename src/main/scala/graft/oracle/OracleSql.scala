@@ -654,6 +654,27 @@ object OracleSql {
         |MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
         |FROM d GROUP BY source, media_type ORDER BY source, media_type""".stripMargin,
 
+    // all 16 bins are emitted even when empty (fixed-length feature
+    // vector contract on the Spark side) — hence the grid left join
+    "q_mm_features" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type FROM documents),
+        |h AS (SELECT media_type, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS nb FROM d),
+        |ch AS (SELECT media_type,
+        |  ('0x' || substring(hx, CAST(p.p * 2 + 1 AS INT), 2))::INT AS byte
+        |  FROM h, LATERAL (SELECT unnest(range(0, nb)) AS p) p),
+        |c AS (SELECT media_type, CAST(byte // 16 AS INT) AS bin,
+        |  COUNT(*) AS cnt FROM ch GROUP BY media_type, bin),
+        |grid AS (SELECT media_type, CAST(b.b AS INT) AS bin
+        |  FROM (SELECT DISTINCT media_type FROM d) mt,
+        |       (SELECT unnest(range(0, 16)) AS b) b)
+        |SELECT g.media_type, g.bin, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c ON g.media_type = c.media_type AND g.bin = c.bin
+        |ORDER BY g.media_type, g.bin""".stripMargin,
+
     "q_mm_frame_sample" ->
       """WITH d AS (SELECT
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -21,6 +21,16 @@ class MultimodalSpec extends GraftSuite {
     assert(total == chars)
   }
 
+  test("feature histogram: bins sum to total payload bytes") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = Multimodal.features(spark, sf)
+    assert(rows.count() == 3 * 16) // 3 media types x 16 bins, even empty
+    val histTotal = rows.agg(sum(col("n"))).first().getLong(0)
+    val byteTotal = Multimodal.meta(spark, sf)
+      .agg(sum(col("total_bytes"))).first().getLong(0)
+    assert(histTotal == byteTotal)
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)
