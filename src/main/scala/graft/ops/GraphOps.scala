@@ -182,12 +182,13 @@ object GraphOps {
   def ccLabels(edgesIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = edgesIn.columns
+    // no up-front distinct/materialization: duplicate edges cannot
+    // perturb the min-aggregates, and small-star's distinct produces
+    // the canonical set — the first round absorbs dedup for free
     var edges = edgesIn
       .select(greatest(col(cols(0)), col(cols(1))).as("src"),
         least(col(cols(0)), col(cols(1))).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
     // Fixpoint ⟺ star set: with every edge oriented src > dst, the set
     // is a union of min-centered stars exactly when no src appears as a
     // dst — an O(|E|) semi-join probe on the checkpointed set, which
