@@ -143,6 +143,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_sample_split — deterministic train/val/test assignment
+    * (90/5/5) by an md5-derived bucket of the document id: the
+    * reproducible, engine-portable way to split a training corpus —
+    * rand()-based sampling is banned (partition-order dependent,
+    * unrepeatable across runs/engines), and a hash split is stable
+    * under repartitioning, incremental appends, and re-runs, which is
+    * what a 100 TB pipeline needs (every worker decides a row's split
+    * locally, no shuffle, no coordination). Output: per-(source,
+    * split) doc counts and char sums. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The
     * ranking orders by the ROUNDED score (ties broken by term) so a
     * 1-ulp ln() divergence between engines cannot flip ranks. */

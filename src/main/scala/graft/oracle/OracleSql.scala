@@ -570,6 +570,18 @@ object OracleSql {
         |SELECT doc_id, source, MIN(h) AS fp
         |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
+    "q_sample_split" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT source, n_chars,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM b)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

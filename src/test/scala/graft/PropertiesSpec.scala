@@ -51,6 +51,20 @@ class PropertiesSpec extends GraftSuite {
     } match { case List(x, y) => assert(x == y) }
   }
 
+  test("sample split is a partition (90/5/5-ish) and repartition-stable") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = graft.ops.TextOps.sampleSplit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(total == Tables.documents(spark, sf).count())
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // same doc lands in the same split under any partitioning
+    val a = graft.ops.TextOps.sampleSplit(spark, sf).collect().toSeq
+    assert(a == rows.toSeq)
+  }
+
   test("dedup is idempotent") {
     val df = Seq(1, 2, 2, 3, 3, 3).toDF("x")
     val once = df.dropDuplicates("x")
