@@ -84,6 +84,7 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_sample_split" -> (TextOps.sampleSplit _),
+    "q_pack_shards" -> (TextOps.packShards _),
     // §2.10 streaming batch twins
     "q_stream_tumbling" -> (StreamingOps.tumbling _),
     "q_stream_sliding" -> (StreamingOps.sliding _),

@@ -166,6 +166,33 @@ object TextOps {
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("source"), col("split"))
 
+  /** q_pack_shards — contiguous token-budget shard packing: documents
+    * ordered by id within each source accumulate whitespace-token
+    * counts, and a doc's shard is ⌊tokens-before-it / budget⌋ — the
+    * deterministic "build ≤N-token training shards" operator. A shard
+    * may overshoot by at most one document (the straddler), which is
+    * the standard contract for streaming packers. Contiguous packing
+    * is inherently sequential, so the cumulative sum partitions by
+    * source (each source packs independently and in parallel); a
+    * single global sequence would force a one-task window — the wrong
+    * plan at any scale. Budget: 2000 tokens. */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("toks")) / budget).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_tokens"))
+      .orderBy(col("source"), col("shard"))
+  }
+
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The
     * ranking orders by the ROUNDED score (ties broken by term) so a
     * 1-ulp ln() divergence between engines cannot flip ranks. */

@@ -582,6 +582,19 @@ object OracleSql {
         |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
+    "q_pack_shards" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |  SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |sh AS (SELECT source, toks,
+        |  CAST(floor((cum - toks) / 2000.0) AS BIGINT) AS shard FROM c)
+        |SELECT source, shard, COUNT(*) AS n_docs,
+        |CAST(SUM(toks) AS BIGINT) AS sum_tokens
+        |FROM sh GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -65,6 +65,22 @@ class PropertiesSpec extends GraftSuite {
     assert(a == rows.toSeq)
   }
 
+  test("shard packing: docs and tokens conserved, shards contiguous") {
+    import org.apache.spark.sql.functions.{col, sum, size, split, lower}
+    val rows = graft.ops.TextOps.packShards(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val tokTotal = docs
+      .select(size(split(lower(col("text")), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == tokTotal)
+    // shard ids are 0..max contiguous within each source
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("shard")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq)
+    }
+  }
+
   test("dedup is idempotent") {
     val df = Seq(1, 2, 2, 3, 3, 3).toDF("x")
     val once = df.dropDuplicates("x")
