@@ -15,7 +15,9 @@ import java.nio.file.Paths
   */
 object Sources {
   private val D = DecimalType(12, 2)
-  private def d2(c: Column): Column = c.cast(DecimalType(38, 2))
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2) —
+  // these queries are rows-only checked, but one wire rule everywhere
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
 
   private def tmp(name: String, d: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
