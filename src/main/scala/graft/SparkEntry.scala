@@ -37,6 +37,7 @@ object SparkEntry {
     "q_agg_collect" -> (Aggregates.aggCollect _),
     "q_agg_stats" -> (Aggregates.aggStats _),
     "q_agg_approx" -> (Aggregates.aggApprox _),
+    "q_agg_quantile" -> (Aggregates.aggQuantile _),
     "q_udaf_topk" -> (Aggregates.udafTopK _),
     // §2.5 windows
     "q_win_rank" -> (Windows.winRank _),

@@ -128,6 +128,25 @@ object Aggregates {
           / (col("n") - 1)), 4).as("std_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** q_agg_quantile — exact interpolated percentiles (median, p90, p99)
+    * per group over doubles: Spark `percentile` sorts within the
+    * aggregate (exact, unlike percentile_approx) and both engines use
+    * linear interpolation over the same sorted order, so a 6dp round
+    * absorbs any final-ulp divergence. At 100 TB the approx sketch
+    * (q_agg_approx's HLL cousin, percentile_approx/t-digest) replaces
+    * this when a full per-group sort is too dear; exact is the oracle
+    * surface. */
+  def aggQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(q, 0.5)"), 6).as("p50"),
+        round(expr("percentile(q, 0.9)"), 6).as("p90"),
+        round(expr("percentile(q, 0.99)"), 6).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   /** q_agg_approx — HyperLogLog++ distinct estimate (no oracle: approx
     * by construction; exact-vs-approx tolerance asserted in tests).
     * At 100 TB this replaces an Expand+shuffle-heavy exact distinct with

@@ -200,22 +200,21 @@ object GraphOps {
     // min-over-window rather than groupBy+self-join: one exchange per
     // star step instead of two
     val w = Window.partitionBy(col("src"))
-    var converged = edges.isEmpty
-    var rounds = 0
-    while (!converged && rounds < 50) {
+    // one large-star + small-star alternation, built lazily
+    def starRound(e: DataFrame): DataFrame = {
       // large-star over both orientations: strictly-larger neighbors
       // re-point to m(u) = min(N(u) ∪ {u}). m ≤ src < dst, so the
       // emitted (dst, m) is already strictly oriented; duplicates can't
       // perturb the min below and are swept by small-star's distinct.
-      val nbr = edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val nbr = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val large = nbr
         .withColumn("m", least(min(col("dst")).over(w), col("src")))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
       // small-star: each node's smaller neighbors (and itself) re-point
       // to its minimum neighbor
-      val small = large
+      large
         .withColumn("m", min(col("dst")).over(w))
         .select(explode(array(
           struct(col("src").as("a"), col("m").as("b")),
@@ -223,10 +222,18 @@ object GraphOps {
         .select(col("e.a").as("src"), col("e.b").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
+    }
+    var converged = edges.isEmpty
+    var pairs = 0
+    while (!converged && pairs < 25) {
+      // TWO alternations per checkpoint/probe: the intermediate round
+      // is never materialized and the convergence probe runs half as
+      // often — a star set is a fixpoint, so overshooting by one
+      // already-converged alternation changes nothing
+      val small = starRound(starRound(edges)).localCheckpoint(true)
       converged = isStarSet(small)
       edges = small
-      rounds += 1
+      pairs += 1
     }
     edges.select(col("src").as("node"), col("dst").as("comp"))
       .unionByName(edges.select(col("dst").as("node"), col("dst").as("comp")))

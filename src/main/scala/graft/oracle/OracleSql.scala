@@ -239,6 +239,13 @@ object OracleSql {
         |ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS std_qty
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
+    "q_agg_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        |ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+        |ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_udaf_topk" ->
       """SELECT o_orderpriority, rank, o_orderkey, price FROM (
         |  SELECT o_orderpriority,
