@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
   def init(spark: SparkSession): Unit = {
+    // events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it with
+    // this flag (Tables.events then floors ns→µs). Session-level conf is
+    // set HERE, once, not inside table readers.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.GraftExtensions.registerFunctions(spark)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofStrategy))
       spark.experimental.extraStrategies =

@@ -46,13 +46,16 @@ object Tables {
   /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
     * read as a timestamp. Read nanos as long and floor to µs (DuckDB's
     * CAST(ts_ns AS TIMESTAMP) truncates identically; the generator's ns
-    * values are µs-aligned anyway, so the floor is lossless). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * values are µs-aligned anyway, so the floor is lossless).
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session — set by `Graft.init` and the Verify/Bench/test harnesses.
+    * Deliberately NOT set here: a reader function mutating session conf
+    * is a global side effect library consumers don't expect. */
+  def events(s: SparkSession, d: String): DataFrame =
     cached(s, d, "events")(
       s.read.parquet(p(d, "events"))
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
-  }
   def documents(s: SparkSession, d: String): DataFrame =
     cached(s, d, "documents")(s.read.parquet(p(d, "documents")))
   def embeddings(s: SparkSession, d: String): DataFrame =

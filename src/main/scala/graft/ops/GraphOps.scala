@@ -180,7 +180,6 @@ object GraphOps {
     * Input: any two-column (long, long) undirected edge frame.
     * Output: (node, comp) — comp is the component's minimum node id. */
   def ccLabels(edgesIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cols = edgesIn.columns
     // no up-front distinct/materialization: duplicate edges cannot
     // perturb the min-aggregates, and small-star's distinct produces
@@ -197,48 +196,141 @@ object GraphOps {
     def isStarSet(df: DataFrame): Boolean =
       df.as("l").join(df.as("r"), col("l.src") === col("r.dst"), "left_semi")
         .isEmpty
-    // min-over-window rather than groupBy+self-join: one exchange per
-    // star step instead of two
-    val w = Window.partitionBy(col("src"))
-    // one large-star + small-star alternation, built lazily
-    def starRound(e: DataFrame): DataFrame = {
-      // large-star over both orientations: strictly-larger neighbors
-      // re-point to m(u) = min(N(u) ∪ {u}). m ≤ src < dst, so the
-      // emitted (dst, m) is already strictly oriented; duplicates can't
-      // perturb the min below and are swept by small-star's distinct.
-      val nbr = e.select(col("src"), col("dst"))
-        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      val large = nbr
-        .withColumn("m", least(min(col("dst")).over(w), col("src")))
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-      // small-star: each node's smaller neighbors (and itself) re-point
-      // to its minimum neighbor
-      large
-        .withColumn("m", min(col("dst")).over(w))
+    // The one aggregate both star steps need: each node's minimum
+    // out-neighbor. Because every edge is oriented src > dst, a node's
+    // globally-minimum neighbor is always an OUT-neighbor (a larger
+    // neighbor can never be the min), so m(u) = min(N(u) ∪ {u}) =
+    // coalesce(minNbr(u), u) — no both-orientations union needed.
+    // Partial (map-side) aggregation keeps its shuffle volume ~|V|;
+    // the result is dimension-sized, so AQE broadcasts the join at
+    // bench scale and falls back to a shuffle equi join at 100 TB —
+    // both scale-safe, neither sorts anything.
+    def minNbr(e: DataFrame): DataFrame =
+      e.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+    // large-star: strictly-larger neighbors of u re-point to m(u).
+    // Every edge (s,d) IS d paired with its larger neighbor s, so the
+    // whole step is: attach m(dst) by dst, emit (src, m(dst)). Output
+    // stays strictly oriented (m(d) ≤ d < s); duplicates are swept by
+    // small-star's distinct.
+    def largeStar(e: DataFrame): DataFrame =
+      e.join(minNbr(e), col("dst") === col("u"), "left")
+        .select(col("src"), coalesce(col("mn"), col("dst")).as("dst"))
+    // small-star: each node's smaller neighbors (and itself) re-point
+    // to its minimum neighbor. Window-min rather than minNbr+join here:
+    // the window computes mn(src) AND keeps the rows in one pass, so
+    // the (unmaterialized, join-shaped) large-star input is evaluated
+    // exactly once — a groupBy+join formulation would evaluate it twice
+    // (once under each branch; DataFrames re-execute shared subplans
+    // that don't end in an exchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("m", min(col("dst")).over(w))
         .select(explode(array(
           struct(col("src").as("a"), col("m").as("b")),
           struct(col("dst").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("src"), col("e.b").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-    }
-    var converged = edges.isEmpty
+    // Endgame threshold: once the contracted edge set fits ONE task's
+    // memory (pairs of longs ≈ 16 B/edge; union-find state a few
+    // hundred MB at the cap), finishing with a single-pass union-find
+    // in one NARROW stage replaces the remaining O(log n) rounds of
+    // full shuffles — the standard terminal move for iterative
+    // distributed CC. At 100 TB the star rounds above threshold do the
+    // contraction (each halves-or-better the frontier), and the local
+    // pass only ever sees ≤ threshold edges.
+    val localThreshold =
+      edgesIn.sparkSession.conf
+        .getOption("spark.graft.cc.localEdgeThreshold")
+        .map(_.toLong).getOrElse(4000000L)
+    // star-fixpoint label extraction: each component is one star
+    // centered at its minimum
+    def starLabels(e: DataFrame): DataFrame =
+      e.select(col("src").as("node"), col("dst").as("comp"))
+        .unionByName(e.select(col("dst").as("node"), col("dst").as("comp")))
+        .distinct()
+    var labels: Option[DataFrame] = None
+    var prev: Option[DataFrame] = None
     var pairs = 0
-    while (!converged && pairs < 25) {
-      // TWO alternations per checkpoint/probe: the intermediate round
-      // is never materialized and the convergence probe runs half as
-      // often — a star set is a fixpoint, so overshooting by one
-      // already-converged alternation changes nothing
-      val small = starRound(starRound(edges)).localCheckpoint(true)
-      converged = isStarSet(small)
-      edges = small
+    var curCount = edges.count()
+    while (labels.isEmpty && pairs < 25) {
+      if (curCount <= localThreshold) {
+        labels = Some(localUnionFind(edges))
+      } else {
+        // TWO alternations per checkpoint: the intermediate rounds are
+        // never materialized; a star set is a fixpoint, so overshooting
+        // an already-converged alternation changes nothing. The
+        // checkpoint is LAZY: the count below is the action that
+        // materializes it, folding what used to be separate checkpoint
+        // + probe jobs into one.
+        val small = smallStar(largeStar(smallStar(largeStar(edges))))
+          .localCheckpoint(false)
+        curCount = small.count()
+        // still above the local threshold? then check the star-set
+        // fixpoint directly (many-small-components graphs converge
+        // while still wide)
+        if (curCount > localThreshold && isStarSet(small))
+          labels = Some(starLabels(small))
+        // superseded checkpoint: the new round is materialized, nothing
+        // references the old one — free its blocks now instead of
+        // accumulating a few MB per round until session end
+        prev.foreach(unpersistCheckpoint)
+        prev = Some(small)
+        edges = small
+      }
       pairs += 1
     }
-    edges.select(col("src").as("node"), col("dst").as("comp"))
-      .unionByName(edges.select(col("dst").as("node"), col("dst").as("comp")))
-      .distinct()
+    labels.getOrElse(starLabels(edges))
   }
+
+  /** One-pass union-find over an edge set small enough for a single
+    * task (gated by `spark.graft.cc.localEdgeThreshold` in
+    * [[ccLabels]]): union-by-minimum with path compression, so every
+    * root is its component's minimum node id — the same labeling the
+    * star fixpoint produces. Runs executor-side in one narrow stage
+    * (`coalesce(1)` + `mapPartitions`), never on the driver. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression: point the whole chain at the root
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // snapshot the keys: find()'s path compression mutates the map,
+        // which must not race the iteration
+        parent.keys.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("node", "comp")
+  }
+
+  /** Free the local-checkpoint blocks backing a frame derived from
+    * [[ccLabels]]. The final round's checkpoint must outlive the
+    * returned (lazy) frame — its lineage is truncated, so the blocks
+    * are the only copy — hence callers that are done with the result
+    * release it explicitly; superseded intermediate rounds are already
+    * freed inside the loop. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** GraphX Pregel CC over the same edge list — kept as an independent
     * implementation for cross-checking ccLabels in tests (not in the

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev utility: time the named queries (or all) N times each at the
+  * Bench config and print per-rep + min seconds — for iterating on one
+  * slow query without paying a full bench pass.
+  * Usage: runMain graft.tools.Time <sfDir> <reps> [query ...]
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      // warm-up rep (codegen, table cache), then timed reps
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"$n failed: ${e.getMessage}") }
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-22s min=${ts.min}%6.2fs  reps=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

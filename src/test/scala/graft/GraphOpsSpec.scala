@@ -90,6 +90,50 @@ class GraphOpsSpec extends GraftSuite {
     assert(dfGroups == gxGroups)
   }
 
+  test("ccLabels distributed star rounds (forced) match GraphX and the local endgame") {
+    // push the endgame threshold to 0 so the large-star/small-star
+    // rounds — the 100 TB path — run end-to-end instead of the
+    // single-task union-find
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+        (20L until 27L).map(i => (i, i + 1))).toDF("a", "b")
+      val labels = GraphOps.ccLabels(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 13)
+      assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L))
+      assert(Seq(10L, 11L).forall(labels(_) == 10L))
+      assert((20L to 27L).forall(labels(_) == 20L))
+      // real-data cross-check through the distributed path
+      val offset = 1L << 31
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), (col("l_partkey") + offset).as("part"))
+      val df = GraphOps.ccLabels(li).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gx = GraphOps.ccLabelsGraphX(li).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(df.keySet == gx.keySet)
+      assert(df.groupBy(_._2).values.map(_.keys.toSet).toSet ==
+        gx.groupBy(_._2).values.map(_.keys.toSet).toSet)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("superseded cc checkpoints are freed; only the live round survives") {
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.size
+      val edges = (20L until 27L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = GraphOps.ccLabels(edges)
+      labels.count()
+      // multi-round convergence, but at most ONE checkpoint (the final
+      // round backing the result) may remain persisted
+      assert(sc.getPersistentRDDs.size <= before + 1)
+      GraphOps.unpersistCheckpoint(labels)
+      assert(sc.getPersistentRDDs.size <= before)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("cc size histogram sums to the vertex count") {
     import org.apache.spark.sql.functions.{col, sum}
     val hist = GraphOps.connectedComponents(spark, sf)
