@@ -23,6 +23,7 @@ object SparkEntry {
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
     "q_graph_degree" -> (GraphOps.degree _),
     "q_graph_cc" -> (GraphOps.connectedComponents _),
+    "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project
     "q_filter_pred" -> (Relational.filterPred _),
     "q_project_expr" -> (Relational.projectExpr _),

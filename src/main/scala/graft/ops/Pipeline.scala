@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import java.nio.file.Paths
+
+/** q_pipeline_kgx — the reference's daily artifact, EP1→EP2→EP3 as ONE
+  * composed run (SURVEY.md §3.1): parse sources → normalize node ids
+  * (broadcast mapping, failures retained + logged) → normalize edges
+  * (predicate remap + endpoint drop/log via
+  * [[GraphOps.normalizeEdgesSplit]]) → merge nodes/edges → write KGX
+  * JSON Lines + the norm-failure log. The returned frame is the
+  * per-stage count ledger — the reference's `load_metadata` /
+  * normalization-metadata JSON as wire rows (stage, n), every value an
+  * exact integer.
+  *
+  * The synthetic "node-normalization service response" is the nation
+  * mapping: customers in a mapped nation (< 20) get canonical id
+  * `CANON:<key>`; event users normalize iff their id is a mapped
+  * customer key — so two RAW id spaces (`CUST:`, `USER:`) collapse
+  * onto one canonical id and the merge stage genuinely merges
+  * (category set union), exactly the reference's equivalent-identifier
+  * story. Parts normalize on a size predicate (`CANONP:<key>`).
+  *
+  * Scale shape: the mapping is dimension-sized (broadcast); endpoint
+  * checks are the same equi joins normalizeEdges always uses; merges
+  * are hash aggregates; the sink is a straight columnar write. Nothing
+  * in the composition adds a shuffle the stages didn't already have.
+  */
+object Pipeline {
+  private def tmp(name: String, d: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+
+  def pipelineKgx(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // ---- EP1 parse: three node sources + one edge source ----
+    val customers = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_nationkey"))
+    val users = Tables.events(s, d)
+      .select(col("user_id").as("key")).distinct()
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey").as("key"), col("p_size"))
+    val edgesRaw = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("CUST:"), col("o_custkey")).as("subject"),
+        col("l_returnflag").as("predicate"),
+        concat(lit("PART:"), col("l_partkey")).as("object"))
+    // ---- EP2 node normalization (broadcast mapping; unmapped ids keep
+    // their raw form and go to the failure log, never silently dropped)
+    val mappedNations = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 20).select(col("n_nationkey").as("mk"))
+    val custNorm = customers
+      .join(broadcast(mappedNations), col("c_nationkey") === col("mk"), "left")
+      .select(concat(lit("CUST:"), col("key")).as("raw_id"),
+        when(col("mk").isNotNull, concat(lit("CANON:"), col("key")))
+          .as("canonical"), // null = normalization failure
+        lit("customer").as("category"))
+    val custOk = customers
+      .join(broadcast(mappedNations), col("c_nationkey") === col("mk"))
+      .select(col("key").as("ck"))
+    val userNorm = users
+      .join(custOk, col("key") === col("ck"), "left")
+      .select(concat(lit("USER:"), col("key")).as("raw_id"),
+        when(col("ck").isNotNull, concat(lit("CANON:"), col("key")))
+          .as("canonical"),
+        lit("user").as("category"))
+    val partNorm = parts
+      .select(concat(lit("PART:"), col("key")).as("raw_id"),
+        when(col("p_size") <= 45, concat(lit("CANONP:"), col("key")))
+          .as("canonical"),
+        lit("part").as("category"))
+    val nodesNorm = custNorm.unionByName(userNorm).unionByName(partNorm)
+    // ---- EP2 edge normalization: predicate remap + endpoint checks
+    // against the ids that SURVIVED node normalization ----
+    val pm = Seq(("A", "biolink:affects"), ("R", "biolink:related_to"))
+      .toDF("raw", "pred")
+    val subjIds = custNorm.filter(col("canonical").isNotNull)
+      .select(col("raw_id").as("id"))
+    val objIds = partNorm.filter(col("canonical").isNotNull)
+      .select(col("raw_id").as("id"))
+    val (retained, dropped) =
+      GraphOps.normalizeEdgesSplit(edgesRaw, subjIds, objIds, pm)
+    // ---- EP3 merge: same-canonical nodes union their category sets;
+    // same-(s,p,o) edges collapse with multiplicity ----
+    val mergedNodes = nodesNorm.filter(col("canonical").isNotNull)
+      .groupBy(col("canonical"))
+      .agg(array_join(sort_array(collect_set(col("category"))), ",").as("cats"),
+        count(lit(1)).as("n_srcs"))
+    val mergedEdges = retained
+      .groupBy(col("subject"), col("predicate"), col("object"))
+      .agg(count(lit(1)).as("n"))
+    // ---- sink: KGX node/edge JSON Lines + the failure log ----
+    mergedNodes
+      .select(to_json(struct(col("canonical").as("id"), col("cats"),
+        col("n_srcs"))))
+      .write.mode("overwrite").text(tmp("pipe_nodes", d))
+    mergedEdges
+      .select(to_json(struct(col("subject"), col("predicate"),
+        col("object"), col("n"))))
+      .write.mode("overwrite").text(tmp("pipe_edges", d))
+    dropped
+      .select(to_json(struct(col("subject"), col("predicate"),
+        col("object"), col("status"))))
+      .write.mode("overwrite").text(tmp("pipe_failures", d))
+    // ---- the wire rows: per-stage ledger ----
+    def c1(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+    c1("parsed_nodes", nodesNorm)
+      .unionByName(c1("parsed_edges", edgesRaw))
+      .unionByName(c1("normalized_nodes",
+        nodesNorm.filter(col("canonical").isNotNull)))
+      .unionByName(c1("norm_failed_nodes",
+        nodesNorm.filter(col("canonical").isNull)))
+      .unionByName(c1("retained_edges", retained))
+      .unionByName(c1("dropped_edges", dropped))
+      .unionByName(c1("merged_nodes", mergedNodes))
+      .unionByName(c1("merged_multi_source_nodes",
+        mergedNodes.filter(col("n_srcs") >= 2)))
+      .unionByName(c1("merged_edges", mergedEdges))
+      .unionByName(c1("written_nodes", mergedNodes))
+      .unionByName(c1("written_edges", mergedEdges))
+      .orderBy(col("stage"))
+  }
+}

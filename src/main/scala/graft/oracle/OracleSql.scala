@@ -401,6 +401,58 @@ object OracleSql {
         |SELECT status, predicate, COUNT(*) AS n_edges
         |FROM j GROUP BY status, predicate ORDER BY status, predicate""".stripMargin,
 
+    // Composed EP1→EP2→EP3 pipeline ledger: every stage count re-derived
+    // relationally. Mapped users are a subset of mapped customer keys by
+    // construction, so multi-source canonicals = mapped users exactly.
+    "q_pipeline_kgx" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |mc AS (SELECT c_custkey FROM customer WHERE c_nationkey < 20),
+        |mu AS (SELECT user_id FROM users
+        |       WHERE user_id IN (SELECT c_custkey FROM mc)),
+        |mp AS (SELECT p_partkey FROM part WHERE p_size <= 45),
+        |edges AS (SELECT o_custkey AS subject,
+        |  CASE WHEN l_returnflag = 'A' THEN 'biolink:affects'
+        |       WHEN l_returnflag = 'R' THEN 'biolink:related_to'
+        |       ELSE 'raw:' || lower(l_returnflag) END AS predicate,
+        |  l_partkey AS object,
+        |  (o_custkey IN (SELECT c_custkey FROM mc)) AS s_ok,
+        |  (l_partkey IN (SELECT p_partkey FROM mp)) AS o_ok
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+        |SELECT 'parsed_nodes' AS stage,
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM users)
+        |  + (SELECT count(*) FROM part) AS n
+        |UNION ALL SELECT 'parsed_edges', (SELECT count(*) FROM edges)
+        |UNION ALL SELECT 'normalized_nodes',
+        |  (SELECT count(*) FROM mc) + (SELECT count(*) FROM mu)
+        |  + (SELECT count(*) FROM mp)
+        |UNION ALL SELECT 'norm_failed_nodes',
+        |  (SELECT count(*) FROM customer WHERE c_nationkey >= 20)
+        |  + (SELECT count(*) FROM users
+        |     WHERE user_id NOT IN (SELECT c_custkey FROM mc))
+        |  + (SELECT count(*) FROM part WHERE p_size > 45)
+        |UNION ALL SELECT 'retained_edges',
+        |  (SELECT count(*) FROM edges WHERE s_ok AND o_ok)
+        |UNION ALL SELECT 'dropped_edges',
+        |  (SELECT count(*) FROM edges WHERE NOT (s_ok AND o_ok))
+        |UNION ALL SELECT 'merged_nodes',
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM mc
+        |    UNION SELECT user_id FROM mu))
+        |  + (SELECT count(*) FROM mp)
+        |UNION ALL SELECT 'merged_multi_source_nodes',
+        |  (SELECT count(*) FROM mu)
+        |UNION ALL SELECT 'merged_edges',
+        |  (SELECT count(*) FROM (SELECT DISTINCT subject, predicate, object
+        |    FROM edges WHERE s_ok AND o_ok))
+        |UNION ALL SELECT 'written_nodes',
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM mc
+        |    UNION SELECT user_id FROM mu))
+        |  + (SELECT count(*) FROM mp)
+        |UNION ALL SELECT 'written_edges',
+        |  (SELECT count(*) FROM (SELECT DISTINCT subject, predicate, object
+        |    FROM edges WHERE s_ok AND o_ok))
+        |) ORDER BY stage""".stripMargin,
+
     "q_graph_node_merge" ->
       """WITH nodes AS (
         |  SELECT c_custkey AS id, 'customer' AS category, c_name AS name FROM customer
