@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GAF-style ingest (reference capability: the GOA parser reads GO
+  * Annotation File 2.x — a `!`-commented, headerless 17-column TSV —
+  * and emits gene→GO-term edges keyed by aspect, skipping negated
+  * annotations).
+  *
+  * Same Spark-first pattern as [[Mitab]]: schema-pinned TSV scan (no
+  * inference pass), then pure column expressions do the row surgery —
+  * CURIE assembly, aspect→Biolink predicate mapping, pipe-list
+  * explosion. Filters are Catalyst predicates, so at 100 TB they push
+  * into the scan.
+  */
+object Gaf {
+  /** The 17 GAF 2.x columns, all read as strings (GAF is untyped). */
+  val schema: StructType = StructType(Seq(
+    "db", "db_object_id", "db_object_symbol", "qualifier", "go_id",
+    "reference", "evidence_code", "with_from", "aspect",
+    "db_object_name", "synonym", "db_object_type", "taxon", "date",
+    "assigned_by", "annotation_extension", "gene_product_form_id")
+    .map(StructField(_, StringType)))
+
+  /** GAF aspect → Biolink predicate (the GO-recommended mapping). */
+  private val aspectPredicate = Map(
+    "F" -> "biolink:enables",
+    "P" -> "biolink:actively_involved_in",
+    "C" -> "biolink:located_in")
+
+  /** Read a GAF-ish TSV into KGX-ready annotation edges: subject CURIE
+    * from (db, id), predicate from aspect, object = GO id, publications
+    * from the pipe-separated reference list, taxon id extracted.
+    * Negated (`NOT|...`) annotations are dropped, mirroring the
+    * reference's GOA loader. */
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val pred = aspectPredicate.foldLeft(lit("biolink:related_to")) {
+      case (acc, (k, v)) => when(col("aspect") === k, v).otherwise(acc)
+    }
+    spark.read
+      .schema(schema)
+      .option("sep", "\t")
+      .option("comment", "!")
+      .csv(path)
+      .filter(col("db_object_id").isNotNull && col("go_id").isNotNull)
+      .filter(!coalesce(col("qualifier"), lit("")).startsWith("NOT"))
+      .select(
+        concat(col("db"), lit(":"), col("db_object_id")).as("subject"),
+        pred.as("predicate"),
+        col("go_id").as("object"),
+        col("evidence_code"),
+        split(coalesce(col("reference"), lit("")), "\\|").as("publications"),
+        regexp_extract(coalesce(col("taxon"), lit("")),
+          "taxon:(\\d+)", 1).as("taxon"))
+  }
+}
+
+/** OBO-style ontology ingest (reference capability: ontology predicate
+  * and class hierarchies — GO/MONDO/CHEBI `.obo` files — feed predicate
+  * normalization and category assignment).
+  *
+  * OBO is stanza-based, not row-based, so the Spark-first read is
+  * `wholetext` per file → explode on stanza boundaries → regexp column
+  * surgery. Ontologies are DIMENSION data (MBs, not TBs): one task per
+  * file is the right plan, and the resulting node/edge frames broadcast
+  * into downstream normalization joins.
+  */
+object Obo {
+  private def stanzas(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), "\n\\[")).as("stanza"))
+      .filter(col("stanza").startsWith("Term]"))
+
+  /** `[Term]` stanzas → ontology node table (id, name, namespace,
+    * obsolete flag). */
+  def readTerms(spark: SparkSession, path: String): DataFrame =
+    stanzas(spark, path).select(
+      regexp_extract(col("stanza"), "(?m)^id: *(\\S+)", 1).as("id"),
+      regexp_extract(col("stanza"), "(?m)^name: *(.+?)\\s*$", 1).as("name"),
+      regexp_extract(col("stanza"), "(?m)^namespace: *(\\S+)", 1)
+        .as("namespace"),
+      (regexp_count(col("stanza"),
+        lit("(?m)^is_obsolete: *true")) > 0).as("obsolete"))
+      .filter(col("id") =!= "")
+
+  /** `is_a:` and `relationship:` lines → ontology edge table
+    * (subject, predicate, object); obsolete terms excluded, `is_a`
+    * mapped to biolink:subclass_of. */
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val live = stanzas(spark, path)
+      .filter(regexp_count(col("stanza"),
+        lit("(?m)^is_obsolete: *true")) === 0)
+      .select(regexp_extract(col("stanza"), "(?m)^id: *(\\S+)", 1).as("id"),
+        col("stanza"))
+      .filter(col("id") =!= "")
+    val isA = live.select(col("id").as("subject"),
+        explode(expr("regexp_extract_all(stanza, '(?m)^is_a: *(\\\\S+)', 1)"))
+          .as("object"))
+      .select(col("subject"), lit("biolink:subclass_of").as("predicate"),
+        col("object"))
+    val rel = live.select(col("id").as("subject"),
+        explode(expr(
+          "regexp_extract_all(stanza, '(?m)^relationship: *(\\\\S+ +\\\\S+)', 1)"))
+          .as("r"))
+      .select(col("subject"),
+        split(col("r"), " +").getItem(0).as("predicate"),
+        split(col("r"), " +").getItem(1).as("object"))
+    isA.unionByName(rel)
+  }
+}

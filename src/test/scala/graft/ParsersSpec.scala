@@ -24,6 +24,75 @@ class ParsersSpec extends GraftSuite {
     assert(e1.getString(3) == "ncbigene")
   }
 
+  test("GAF-style TSV parses to annotation edges, negated rows dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaf")
+    val f = dir.resolve("annotations.gaf")
+    def row(db: String, id: String, qual: String, go: String, ref: String,
+        ev: String, aspect: String, taxon: String): String =
+      Seq(db, id, "SYM", qual, go, ref, ev, "", aspect,
+        "name", "", "protein", taxon, "20240101", "UniProt", "", "")
+        .mkString("\t")
+    java.nio.file.Files.writeString(f,
+      "!gaf-version: 2.2\n" +
+      row("UniProtKB", "P12345", "enables", "GO:0003674",
+        "PMID:111|PMID:222", "IDA", "F", "taxon:9606") + "\n" +
+      row("UniProtKB", "Q99999", "NOT|enables", "GO:0005575",
+        "PMID:333", "IEA", "C", "taxon:10090") + "\n" +
+      row("MGI", "MGI:88059", "located_in", "GO:0005634",
+        "PMID:444", "IBA", "C", "taxon:10090") + "\n")
+    val edges = graft.ops.Gaf.readEdges(spark, dir.toString).collect()
+    assert(edges.length == 2) // NOT| row dropped
+    val e0 = edges.find(_.getString(0) == "UniProtKB:P12345").get
+    assert(e0.getString(1) == "biolink:enables")
+    assert(e0.getString(2) == "GO:0003674")
+    assert(e0.getAs[scala.collection.Seq[String]]("publications").toSeq ==
+      Seq("PMID:111", "PMID:222"))
+    assert(e0.getAs[String]("taxon") == "9606")
+    val e1 = edges.find(_.getString(0) == "MGI:MGI:88059").get
+    assert(e1.getString(1) == "biolink:located_in")
+  }
+
+  test("OBO stanzas parse to term nodes and is_a/relationship edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_obo")
+    val f = dir.resolve("mini.obo")
+    java.nio.file.Files.writeString(f,
+      """format-version: 1.2
+        |ontology: go
+        |
+        |[Term]
+        |id: GO:0000001
+        |name: mitochondrion inheritance
+        |namespace: biological_process
+        |is_a: GO:0048308 ! organelle inheritance
+        |is_a: GO:0048311 ! mitochondrion distribution
+        |relationship: part_of GO:0007005 ! mitochondrion organization
+        |
+        |[Term]
+        |id: GO:0000002
+        |name: obsolete thing
+        |is_obsolete: true
+        |is_a: GO:0048308
+        |
+        |[Typedef]
+        |id: part_of
+        |name: part of
+        |""".stripMargin)
+    val terms = graft.ops.Obo.readTerms(spark, dir.toString).collect()
+    assert(terms.length == 2) // Typedef stanza excluded
+    val t = terms.find(_.getString(0) == "GO:0000001").get
+    assert(t.getString(1) == "mitochondrion inheritance")
+    assert(t.getString(2) == "biological_process")
+    assert(!t.getBoolean(3))
+    assert(terms.find(_.getString(0) == "GO:0000002").get.getBoolean(3))
+    val edges = graft.ops.Obo.readEdges(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // obsolete term contributes no edges
+    assert(edges == Set(
+      ("GO:0000001", "biolink:subclass_of", "GO:0048308"),
+      ("GO:0000001", "biolink:subclass_of", "GO:0048311"),
+      ("GO:0000001", "part_of", "GO:0007005")))
+  }
+
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geo_mean",
