@@ -185,7 +185,13 @@ object DedupSim {
           col("t4")).as("ng"))
       .distinct()
       // five consumers (sizes, df, ranked, both inter sides): cache so
-      // the tokenize+window+distinct pipeline runs once
+      // the tokenize+window+distinct pipeline runs once. 100 TB story:
+      // memory cache becomes the wrong tool once the gram table exceeds
+      // cluster RAM — there the swap is materializing this intermediate
+      // to parquet (checkpoint / write+re-read between pipeline stages),
+      // which keeps the run-once property, adds spill-free durability,
+      // and lets each consumer's scan prune columns; the query shape
+      // above is unchanged.
       .cache()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = grams.groupBy(col("ng")).agg(count(lit(1)).as("gdf"))

@@ -113,20 +113,36 @@ object Joins {
       .orderBy(col("p_brand"))
 
   /** q_join_asof — each event joins the most recent signup at-or-before
-    * its timestamp (per user). Spark has no native as-of join; rewrite:
-    * union signup rows (tag 0) with event rows (tag 1), one window pass
-    * ordered (ts, tag) carrying `last(signup_ts, ignoreNulls)` — tag
-    * ordering makes the boundary inclusive (ts >= signup_ts), matching
-    * DuckDB ASOF. Inner semantics: events before any signup drop.
-    * One shuffle on user_id, linear scan — as-of at 100 TB without a
-    * per-row lookup. Timestamps exported as epoch-µs (parquet ns is
-    * floored to µs identically by both engines). */
-  def joinAsof(s: SparkSession, d: String): DataFrame =
-    joinAsofOn(Tables.events(s, d))
+    * its timestamp (per user). Default path since round 3: the NATIVE
+    * as-of operator (plans/AsofJoin.scala — custom LogicalPlan +
+    * Strategy + two-pointer merge exec): shuffle both sides by key,
+    * sort (key, ts), ONE pipelined forward-merge pass with O(1) state —
+    * no union of the streams and no window buffer, the plan a
+    * purpose-built engine picks at 100 TB. Boundary semantics equal to
+    * DuckDB ASOF (inclusive, most recent, inner) and pinned equal to
+    * the union+window rewrite below by AsofStrategySpec on real events.
+    * Timestamps exported as epoch-µs (parquet ns is floored to µs
+    * identically by both engines). */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.plans.Asof.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")), signups,
+        key = "user_id", ts = "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("signup_us"))
+      .orderBy(col("event_id"))
+  }
 
-  /** Core of q_join_asof over any events-shaped frame (tests plant
-    * boundary cases: event at exactly a signup ts, event before any
-    * signup). */
+  /** The union+window REWRITE twin of q_join_asof (the pre-round-3
+    * default, kept as the independent implementation for the A/B in
+    * AsofStrategySpec): union signup rows (tag 0) with event rows
+    * (tag 1), one window pass ordered (ts, tag) carrying
+    * `last(signup_ts, ignoreNulls)` — tag ordering makes the boundary
+    * inclusive. Tests plant boundary cases: event at exactly a signup
+    * ts, event before any signup. */
   def joinAsofOn(eventsDf: DataFrame): DataFrame = {
     val ev = eventsDf
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))

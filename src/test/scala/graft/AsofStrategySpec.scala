@@ -10,19 +10,10 @@ class AsofStrategySpec extends GraftSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  test("native as-of equals the union+window rewrite on real events") {
-    val ev = Tables.events(spark, sf)
-    val signups = ev.filter($"event_type" === "signup")
-      .select($"user_id", $"ts")
-    val native = Asof.join(
-        ev.select($"event_id", $"user_id", $"ts"), signups,
-        key = "user_id", ts = "ts")
-      .select($"event_id", $"user_id",
-        unix_micros($"ts").as("ts_us"),
-        unix_micros($"asof_ts").as("signup_us"))
-      .orderBy($"event_id")
+  test("native as-of (the q_join_asof default) equals the union+window rewrite") {
+    val native = Joins.joinAsof(spark, sf) // native Asof.join since round 3
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
-    val rewrite = Joins.joinAsof(spark, sf)
+    val rewrite = Joins.joinAsofOn(Tables.events(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(native == rewrite)
   }
