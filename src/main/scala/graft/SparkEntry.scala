@@ -73,6 +73,7 @@ object SparkEntry {
     "q_dedup_near" -> (DedupSim.dedupNear _),
     "q_dedup_simhash" -> (DedupSim.dedupSimhash _),
     "q_dedup_ngram" -> (DedupSim.dedupNgram _),
+    "q_dedup_cluster" -> (DedupSim.dedupCluster _),
     "q_dedup_embcos" -> (DedupSim.dedupEmbCos _),
     "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),
@@ -86,7 +87,10 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_sample_split" -> (TextOps.sampleSplit _),
+    "q_sample_mixture" -> (TextOps.sampleMixture _),
     "q_pack_shards" -> (TextOps.packShards _),
+    "q_text_contamination" -> (TextOps.contamination _),
+    "q_text_repetition" -> (TextOps.repetition _),
     // §2.10 streaming batch twins
     "q_stream_tumbling" -> (StreamingOps.tumbling _),
     "q_stream_sliding" -> (StreamingOps.sliding _),

@@ -220,6 +220,40 @@ object DedupSim {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q_dedup_cluster — near-dup CLUSTER collapse, the step after pair
+    * finding that an actual dedup run needs: exact n-gram Jaccard pairs
+    * ([[dedupNgramOn]]) become connected components
+    * ([[GraphOps.ccLabels]] — pair graphs are exactly where transitive
+    * closure matters: A~B, B~C ⇒ one cluster even when A,C don't pair),
+    * each cluster keeps its minimum doc_id as the canonical survivor,
+    * and everything else is removed. Per-source ledger: docs, docs in
+    * dup clusters, removed docs, kept docs.
+    *
+    * Scale shape: pairs are sparse (bounded by the prefix filter), the
+    * CC runs on the PAIR graph (≪ corpus), and the final classification
+    * is one equi join of the corpus against the (tiny) label table —
+    * broadcastable at any realistic dup rate. No oracle (iterative CC);
+    * planted-cluster invariants in DedupSimSpec. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    dedupClusterOn(Tables.documents(s, d))
+
+  def dedupClusterOn(documents: DataFrame): DataFrame = {
+    val pairs = dedupNgramOn(documents).select(col("a"), col("b"))
+    val labels = GraphOps.ccLabels(pairs)
+      .withColumnRenamed("node", "doc_id")
+    documents.join(labels, Seq("doc_id"), "left")
+      .select(col("source"),
+        col("comp").isNotNull.cast("int").as("in_cluster"),
+        (col("comp").isNotNull && col("comp") =!= col("doc_id"))
+          .cast("int").as("removed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("in_cluster")).cast("long").as("n_in_dup_clusters"),
+        sum(col("removed")).cast("long").as("n_removed"),
+        (count(lit(1)) - sum(col("removed"))).cast("long").as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Candidate-pair enumeration within (band, bh) buckets, with hot
     * buckets spread over a 2-D block grid — the boilerplate-document
     * skew fix: 500 identical docs share every band bucket, and a plain

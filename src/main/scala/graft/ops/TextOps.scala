@@ -193,6 +193,127 @@ object TextOps {
       .orderBy(col("source"), col("shard"))
   }
 
+  /** Rolling word-5-gram shingles (lower, whitespace) — the shared
+    * construction of fingerprint / near-dup / contamination. */
+  private def shingles5(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("t0"),
+        lead(col("col"), 1).over(w).as("t1"),
+        lead(col("col"), 2).over(w).as("t2"),
+        lead(col("col"), 3).over(w).as("t3"),
+        lead(col("col"), 4).over(w).as("t4"))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"),
+          col("t4")).as("ng"))
+  }
+
+  /** q_text_contamination — benchmark-contamination detection: flag
+    * every training document sharing at least one word-5-gram with the
+    * held-out benchmark set (here: doc_id % 100 == 0, the synthetic
+    * stand-in for an eval suite). THE pre-training hygiene op — leaked
+    * eval shingles inflate benchmark scores.
+    *
+    * Scale shape: a benchmark suite is FIXED-SIZE (MBs of eval items),
+    * not a corpus fraction, so its distinct-shingle set broadcasts and
+    * the 100 TB training side is only scanned once — explode, semi
+    * join against the broadcast, distinct doc ids. No shuffle of the
+    * corpus beyond the per-doc distinct. */
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOn(Tables.documents(s, d))
+
+  def contaminationOn(docs: DataFrame): DataFrame = {
+    val g = shingles5(docs)
+    val bench = g.filter(col("doc_id") % 100 === 0)
+      .select(col("ng")).distinct()
+    val contaminated = g.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("ng"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("c", lit(1L))
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_train"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_train"), 6)
+          .as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** q_text_repetition — Gopher-style repetition quality flags per
+    * source: documents whose single most frequent token exceeds 20% of
+    * all tokens, and documents whose duplicate word-2-gram share
+    * exceeds 20%. Flag thresholds compare INTEGER products (top·5 >
+    * total), never floats, so the counts are exact and
+    * partition-order independent; the one ratio on the wire divides
+    * exact sums once and rounds. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOn(Tables.documents(s, d))
+
+  def repetitionOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTerm = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTerm.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc2 = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"),
+        lead(col("col"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1")).as("g2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("g2")).as("d2"))
+    perDoc.join(perDoc2, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top_c") * 5 > col("n_tokens"), 1).otherwise(0))
+          .as("n_top_token_heavy"),
+        sum(when((col("n2") - col("d2")) * 5 > col("n2"), 1).otherwise(0))
+          .as("n_dup_2gram_heavy"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("n_tokens") - col("n_distinct")).as("tot_dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_top_token_heavy"),
+        col("n_dup_2gram_heavy"),
+        round(col("tot_dup_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("dup_token_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** q_sample_mixture — deterministic domain-mixture sampling: each
+    * language gets a target keep-rate (the "data mixture" a training
+    * run specifies), applied by md5-bucket so the sample is
+    * reproducible, repartition-stable, and append-stable — every worker
+    * decides each row locally with zero shuffle (rand() has none of
+    * these properties). A distinct salt ('#mix') keeps this bucketing
+    * independent of q_sample_split's. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    val rate = typedLit(Map(
+      "en" -> 100, "zh" -> 50, "de" -> 25, "es" -> 25, "fr" -> 25))
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#mix"))), 1, 4), 16, 10).cast("int") % 100)
+      .withColumn("kept",
+        (col("bucket") < rate(col("lang"))).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("kept") * col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The
     * ranking orders by the ROUNDED score (ties broken by term) so a
     * 1-ulp ln() divergence between engines cannot flip ranks. */

@@ -629,6 +629,61 @@ object OracleSql {
         |SELECT doc_id, source, MIN(h) AS fp
         |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
+    "q_text_contamination" ->
+      """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS p FROM documents),
+        |e AS (SELECT doc_id, source, p, unnest(range(1, len(p) - 3)) AS i
+        |  FROM d WHERE len(p) >= 5),
+        |g AS (SELECT doc_id, source,
+        |  array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS ng
+        |  FROM e),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 100 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g
+        |  WHERE doc_id % 100 <> 0 AND ng IN (SELECT ng FROM bench))
+        |SELECT source, COUNT(*) AS n_train,
+        |CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |round(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |  THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS contamination_rate
+        |FROM documents WHERE doc_id % 100 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |pt AS (SELECT doc_id, source, term, COUNT(*) AS c
+        |  FROM tok GROUP BY doc_id, source, term),
+        |pd AS (SELECT doc_id, source, SUM(c) AS n_tokens,
+        |  COUNT(*) AS n_distinct, MAX(c) AS top_c
+        |  FROM pt GROUP BY doc_id, source),
+        |d2src AS (SELECT doc_id, string_split(lower(text), ' ') AS p FROM documents),
+        |g2 AS (SELECT doc_id,
+        |  array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS g
+        |  FROM (SELECT doc_id, p, unnest(range(1, len(p))) AS i
+        |        FROM d2src WHERE len(p) >= 2)),
+        |pd2 AS (SELECT doc_id, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2
+        |  FROM g2 GROUP BY doc_id),
+        |j AS (SELECT pd.*, pd2.n2, pd2.d2 FROM pd LEFT JOIN pd2 USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN top_c * 5 > n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_top_token_heavy,
+        |CAST(SUM(CASE WHEN (n2 - d2) * 5 > n2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_2gram_heavy,
+        |round(SUM(n_tokens - n_distinct)::DOUBLE / SUM(n_tokens), 6)
+        |  AS dup_token_ratio
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 4))::INT % 100 AS bucket
+        |  FROM documents),
+        |k AS (SELECT lang, n_chars,
+        |  CASE WHEN bucket < (CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50
+        |    ELSE 25 END) THEN 1 ELSE 0 END AS kept FROM b)
+        |SELECT lang, COUNT(*) AS n_total,
+        |CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_sample_split" ->
       """WITH b AS (SELECT source, n_chars,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{DedupSim, TextOps}
+import org.apache.spark.sql.functions.col
+
+/** Planted-case tests for the training-data curation operators added in
+  * round 3 (contamination, repetition flags, cluster collapse, mixture
+  * sampling). The oracle gate value-checks the three SQL-expressible
+  * ones on real data; these tests pin the SEMANTICS on hand-built
+  * corpora where the right answer is known by construction. */
+class TrainingDataSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+
+  test("contamination flags exactly the train docs sharing a benchmark 5-gram") {
+    val corpus = docs(
+      (100L, "alpha beta gamma delta epsilon zeta", "en", "s1"), // benchmark
+      (1L, "alpha beta gamma delta epsilon different tail", "en", "s1"), // leaked
+      (2L, "totally unrelated words with no overlap at all", "en", "s1"),
+      (3L, "short doc", "en", "s2")) // < 5 tokens: cannot be contaminated
+    val out = TextOps.contaminationOn(corpus).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_train"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(out("s1") == ((2L, 1L)))
+    assert(out("s2") == ((1L, 0L)))
+  }
+
+  test("repetition flags: top-token and duplicate-2-gram thresholds") {
+    val corpus = docs(
+      // "spam" is 4/6 of tokens (>20%) and "spam spam" repeats -> both flags
+      (1L, "spam spam spam spam other words", "en", "s1"),
+      // all-distinct tokens -> no flags
+      (2L, "one two three four five six seven eight nine ten", "en", "s1"))
+    val out = TextOps.repetitionOn(corpus).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_top_token_heavy") == 1L)
+    assert(r.getAs[Long]("n_dup_2gram_heavy") == 1L)
+  }
+
+  test("cluster collapse: transitive near-dups keep one representative") {
+    // three docs of identical text (pairwise Jaccard 1.0) + one clean:
+    // one cluster {10,11,12}, representative 10, removed 11 and 12
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = docs(
+      (10L, t, "en", "s1"), (11L, t, "en", "s1"), (12L, t, "en", "s1"),
+      (20L, "completely different content with many unique tokens here", "en", "s1"))
+    val out = DedupSim.dedupClusterOn(corpus).collect().head
+    assert(out.getAs[Long]("n_docs") == 4L)
+    assert(out.getAs[Long]("n_in_dup_clusters") == 3L)
+    assert(out.getAs[Long]("n_removed") == 2L)
+    assert(out.getAs[Long]("n_kept") == 2L)
+  }
+
+  test("mixture sampling is deterministic and repartition-stable") {
+    val a = TextOps.sampleMixture(spark, sf).collect()
+    val b = TextOps.sampleMixture(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    // en keeps everything (rate 100); every lang row satisfies
+    // 0 <= n_kept <= n_total
+    val m = a.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    assert(m("en")._1 == m("en")._2)
+    m.values.foreach { case (tot, kept) => assert(kept >= 0 && kept <= tot) }
+    // zh rate 50: strictly between the extremes on any non-trivial corpus
+    if (m("zh")._1 > 20) assert(m("zh")._2 > 0 && m("zh")._2 < m("zh")._1)
+  }
+}
