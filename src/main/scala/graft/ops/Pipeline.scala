@@ -80,8 +80,12 @@ object Pipeline {
       .select(col("raw_id").as("id"))
     val objIds = partNorm.filter(col("canonical").isNotNull)
       .select(col("raw_id").as("id"))
-    val (retained, dropped) =
-      GraphOps.normalizeEdgesSplit(edgesRaw, subjIds, objIds, pm)
+    // annotated (not yet split) edge set: ONE pass feeds the
+    // retained/dropped counts, the failure log, and the merge input
+    val annotated =
+      GraphOps.normalizeEdges(edgesRaw, subjIds, objIds, pm)
+    val retained = annotated.filter(col("status") === "retained").drop("status")
+    val dropped = annotated.filter(col("status") =!= "retained")
     // ---- EP3 merge: same-canonical nodes union their category sets;
     // same-(s,p,o) edges collapse with multiplicity ----
     val mergedNodes = nodesNorm.filter(col("canonical").isNotNull)
@@ -91,6 +95,13 @@ object Pipeline {
     val mergedEdges = retained
       .groupBy(col("subject"), col("predicate"), col("object"))
       .agg(count(lit(1)).as("n"))
+    // Each stage frame has multiple consumers below (sink write + one
+    // or more ledger aggregates): cache so the stage runs once — the
+    // exact intra-pipeline materialization the reference gets from its
+    // on-disk inter-stage files, minus the disk round-trip. (At 100 TB
+    // the swap is checkpoint/parquet between stages, same shape.)
+    nodesNorm.cache(); annotated.cache(); mergedNodes.cache()
+    mergedEdges.cache()
     // ---- sink: KGX node/edge JSON Lines + the failure log ----
     mergedNodes
       .select(to_json(struct(col("canonical").as("id"), col("cats"),
@@ -104,23 +115,41 @@ object Pipeline {
       .select(to_json(struct(col("subject"), col("predicate"),
         col("object"), col("status"))))
       .write.mode("overwrite").text(tmp("pipe_failures", d))
-    // ---- the wire rows: per-stage ledger ----
-    def c1(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
-    c1("parsed_nodes", nodesNorm)
-      .unionByName(c1("parsed_edges", edgesRaw))
-      .unionByName(c1("normalized_nodes",
-        nodesNorm.filter(col("canonical").isNotNull)))
-      .unionByName(c1("norm_failed_nodes",
-        nodesNorm.filter(col("canonical").isNull)))
-      .unionByName(c1("retained_edges", retained))
-      .unionByName(c1("dropped_edges", dropped))
-      .unionByName(c1("merged_nodes", mergedNodes))
-      .unionByName(c1("merged_multi_source_nodes",
-        mergedNodes.filter(col("n_srcs") >= 2)))
-      .unionByName(c1("merged_edges", mergedEdges))
-      .unionByName(c1("written_nodes", mergedNodes))
-      .unionByName(c1("written_edges", mergedEdges))
+    // ---- the wire rows: per-stage ledger. ONE conditional-sum
+    // aggregate per cached stage frame, unpivoted to (stage, n) rows —
+    // not one count job per ledger row ----
+    val nodeRows = nodesNorm.agg(
+        count(lit(1)).as("parsed"),
+        count(col("canonical")).as("norm"))
+      .select(explode(map(
+        lit("parsed_nodes"), col("parsed"),
+        lit("normalized_nodes"), col("norm"),
+        lit("norm_failed_nodes"), col("parsed") - col("norm")))
+        .as(Seq("stage", "n")))
+    val edgeRows = annotated.agg(
+        count(lit(1)).as("parsed"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("kept"))
+      .select(explode(map(
+        lit("parsed_edges"), col("parsed"),
+        lit("retained_edges"), col("kept"),
+        lit("dropped_edges"), col("parsed") - col("kept")))
+        .as(Seq("stage", "n")))
+    val mergedNodeRows = mergedNodes.agg(
+        count(lit(1)).as("m"),
+        sum(when(col("n_srcs") >= 2, 1L).otherwise(0L)).as("multi"))
+      .select(explode(map(
+        lit("merged_nodes"), col("m"),
+        lit("merged_multi_source_nodes"), col("multi"),
+        lit("written_nodes"), col("m")))
+        .as(Seq("stage", "n")))
+    val mergedEdgeRows = mergedEdges.agg(count(lit(1)).as("m"))
+      .select(explode(map(
+        lit("merged_edges"), col("m"),
+        lit("written_edges"), col("m")))
+        .as(Seq("stage", "n")))
+    nodeRows.unionByName(edgeRows)
+      .unionByName(mergedNodeRows).unionByName(mergedEdgeRows)
       .orderBy(col("stage"))
   }
 }
