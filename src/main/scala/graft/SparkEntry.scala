@@ -55,6 +55,7 @@ object SparkEntry {
     "q_join_anti" -> (Joins.joinAnti _),
     "q_join_range" -> (Joins.joinRange _),
     "q_join_asof" -> (Joins.joinAsof _),
+    "q_join_bucketed" -> (Joins.joinBucketed _),
     "q_join_multi" -> (Joins.joinMulti _),
     // §2.6 sort/topk
     "q_sort_multi" -> (Relational.sortMulti _),

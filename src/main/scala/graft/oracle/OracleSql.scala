@@ -453,6 +453,12 @@ object OracleSql {
         |    FROM edges WHERE s_ok AND o_ok))
         |) ORDER BY stage""".stripMargin,
 
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_graph_node_merge" ->
       """WITH nodes AS (
         |  SELECT c_custkey AS id, 'customer' AS category, c_name AS name FROM customer

@@ -50,6 +50,37 @@ class JoinsSpec extends GraftSuite {
     assert(out(6L) == us1130, "must pick most recent prior signup")
   }
 
+  test("bucketed join plans zero exchanges between the bucketed scans") {
+    // force SMJ (no auto-broadcast) so the assertion tests the bucket
+    // layout, not a broadcast fallback
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Joins.joinBucketed(spark, sf)
+      // results equal the plain inner join
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == plain)
+      // the join subtree must contain NO shuffle: bucket layout
+      // satisfies the required distribution at read time. (The final
+      // groupBy above the join still exchanges — on o_orderpriority,
+      // never on a join key.) AQE wraps the plan, so assert on the
+      // final plan text.
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+        s"both scans must be bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range join honors the band predicate") {
     val bad = Tables.lineitem(spark, sf)
       .join(Tables.part(spark, sf),
