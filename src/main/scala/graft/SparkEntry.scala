@@ -87,6 +87,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
+    "q_text_vocab_encode" -> (TextOps.vocabEncode _),
     "q_sample_split" -> (TextOps.sampleSplit _),
     "q_sample_mixture" -> (TextOps.sampleMixture _),
     "q_pack_shards" -> (TextOps.packShards _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_stream_sliding" -> (StreamingOps.sliding _),
     "q_stream_session" -> (StreamingOps.session _),
     "q_stream_dedup" -> (StreamingOps.dedup _),
+    "q_stream_join" -> (StreamingOps.streamJoin _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),

@@ -71,6 +71,40 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q_stream_join — stream-stream interval join, batch twin: every
+    * purchase pairs with the same user's clicks in the trailing hour
+    * (attribution join); per-purchase click count + first/last click.
+    * Equi key (user) + time band → SMJ with a residual range predicate,
+    * no nested loop. Streaming twin: two watermarked streams with the
+    * same interval condition ([[graft.streaming.StreamingTwins
+    * .clickAttribution]]) — the watermark + band bound the join state
+    * to one hour per side. */
+  def streamJoin(s: SparkSession, d: String): DataFrame =
+    streamJoinPairsOn(Tables.events(s, d))
+      .groupBy(col("p_id"), col("user_id"), col("p_us"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("c_us")).as("first_click_us"),
+        max(col("c_us")).as("last_click_us"))
+      .orderBy(col("p_id"))
+
+  /** The purchase×click pair set both twins share (tests compare the
+    * streaming join's pairs against exactly this). */
+  def streamJoinPairsOn(eventsDf: DataFrame): DataFrame = {
+    val clicks = eventsDf.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = eventsDf.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"), col("c_id"))
+  }
+
   /** q_stream_dedup — duplicate handling on a composite key; the batch
     * projection keeps only the key columns so the result is
     * deterministic (dropDuplicates keeps an arbitrary survivor row).

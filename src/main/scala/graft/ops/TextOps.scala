@@ -314,6 +314,37 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_text_vocab_encode — tokenizer-shaped vocabulary build + sequence
+    * encoding: dense integer ids assigned by corpus frequency (ties
+    * broken by term — a deterministic total order), then documents
+    * re-emitted as ordered id sequences. The id assignment is a
+    * single-partition window — deliberately: the VOCAB table is a
+    * dimension (|vocab| ≪ corpus, ~1M rows even at 100 TB), and a
+    * one-task pass over a dimension is the correct plan; the corpus
+    * side is encoded by one broadcast join of the exploded tokens.
+    * Wire: first 20 docs as comma-joined id sequences + exact id sums. */
+  def vocabEncode(s: SparkSession, d: String): DataFrame =
+    vocabEncodeOn(Tables.documents(s, d))
+
+  def vocabEncodeOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+    tok.filter(col("doc_id") < 20)
+      .join(broadcast(vocab.select(col("term"), col("id"))), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("id")).as("id_sum"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          x => x("id").cast("string")), ",").as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The
     * ranking orders by the ROUNDED score (ties broken by term) so a
     * 1-ulp ln() divergence between engines cannot flip ranks. */

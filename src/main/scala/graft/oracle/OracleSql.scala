@@ -568,6 +568,22 @@ object OracleSql {
         |FROM g JOIN nrm ON g.label = nrm.label
         |ORDER BY g.label, g.dim""".stripMargin,
 
+    "q_text_vocab_encode" ->
+      """WITH dd AS (SELECT doc_id, string_split(lower(text), ' ') AS p FROM documents),
+        |ix AS (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS pos FROM dd),
+        |tok AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  p[CAST(pos AS INT)] AS term FROM ix),
+        |v AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+        |vid AS (SELECT term,
+        |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS id
+        |  FROM v),
+        |e AS (SELECT doc_id, pos, id FROM tok JOIN vid USING (term)
+        |  WHERE doc_id < 20)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |CAST(SUM(id) AS BIGINT) AS id_sum,
+        |string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS encoded
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_text_wordcount" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
@@ -765,6 +781,20 @@ object OracleSql {
       """SELECT DISTINCT user_id, event_type,
         |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
         |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id AS p_id, p.user_id,
+        |epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_us,
+        |COUNT(*) AS n_clicks,
+        |MIN(epoch_us(CAST(c.ts AS TIMESTAMP))) AS first_click_us,
+        |MAX(epoch_us(CAST(c.ts AS TIMESTAMP))) AS last_click_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY 1, 2, 3 ORDER BY p_id""".stripMargin,
 
     // ---- §2.12 multimodal ----
     // BYTE-based checksum over the UTF-8 octets (hex(encode(text)) →

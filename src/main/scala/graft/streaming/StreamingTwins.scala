@@ -106,6 +106,31 @@ object StreamingTwins {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** q_stream_join twin — STREAM-STREAM interval join: purchases join
+    * the same user's clicks from the trailing hour. Both sides carry
+    * watermarks and the join condition bands the two event-time
+    * columns, so Spark provably evicts click state older than
+    * (watermark + 1 hour) and purchase state older than the watermark —
+    * bounded state on unbounded streams. Inner join: a purchase with no
+    * clicks in the window emits nothing (same as the batch twin). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"), col("c_id"))
+  }
+
   /** Stateful custom operator (§2.10 capability row): per-user running
     * count of events since that user's first signup, via
     * flatMapGroupsWithState — the GroupState surface the reference's

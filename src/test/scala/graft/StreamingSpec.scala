@@ -172,6 +172,34 @@ class StreamingSpec extends GraftSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream interval join emits exactly the batch twin's pairs") {
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingTwins.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      val cs = Seq(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+        Ev(2, ts("2024-01-01 10:50:00"), 1, "click", 0.0),
+        Ev(3, ts("2024-01-01 09:30:00"), 1, "click", 0.0), // >1h before
+        Ev(4, ts("2024-01-01 10:40:00"), 2, "click", 0.0)) // other user
+      val ps = Seq(
+        Ev(10, ts("2024-01-01 11:00:00"), 1, "purchase", 0.0),
+        Ev(11, ts("2024-01-01 12:00:00"), 3, "purchase", 0.0)) // no clicks
+      clicks.addData(cs: _*)
+      purchases.addData(ps: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(4))).toSet
+      val batch = StreamingOps.streamJoinPairsOn((cs ++ ps).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((10L, 1L), (10L, 2L)),
+        "purchase 10 pairs with in-window clicks 1 and 2 only")
+    } finally q.stop()
+  }
+
   test("stateful events-since-signup (flatMapGroupsWithState, batch mode)") {
     val evs = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),

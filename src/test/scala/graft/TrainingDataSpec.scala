@@ -57,6 +57,20 @@ class TrainingDataSpec extends GraftSuite {
     assert(out.getAs[Long]("n_kept") == 2L)
   }
 
+  test("vocab encode: frequency-ranked ids, ordered sequences") {
+    // corpus: "b a a" + "a c" → tf a=3, b=1, c=1 → ids a=1, b=2, c=3
+    // (ties on tf broken by term: b before c)
+    val corpus = docs(
+      (0L, "b a a", "en", "s1"),
+      (1L, "a c", "en", "s1"))
+    val out = TextOps.vocabEncodeOn(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("id_sum"),
+          r.getAs[String]("encoded"))).toMap
+    assert(out(0L) == ((3L, 4L, "2,1,1")))
+    assert(out(1L) == ((2L, 4L, "1,3")))
+  }
+
   test("mixture sampling is deterministic and repartition-stable") {
     val a = TextOps.sampleMixture(spark, sf).collect()
     val b = TextOps.sampleMixture(spark, sf).collect()
