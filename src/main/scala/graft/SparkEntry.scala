@@ -27,6 +27,9 @@ object SparkEntry {
     // §2.2 filter/project
     "q_filter_pred" -> (Relational.filterPred _),
     "q_project_expr" -> (Relational.projectExpr _),
+    "q_pivot" -> (Relational.pivotTypes _),
+    "q_na_funcs" -> (Relational.naFuncs _),
+    "q_subquery_scalar" -> (Relational.subqueryScalar _),
     // §2.4 aggregation (flagship)
     "q_agg_group" -> (Relational.aggGroup _),
     "q_agg_global" -> (Aggregates.aggGlobal _),

@@ -175,4 +175,63 @@ object Relational {
       .select(col("o_custkey").as("custkey"))
     a.except(b).orderBy(col("custkey"))
   }
+
+  /** q_pivot — long→wide reshape: per user-bucket event-type counts as
+    * columns. Pivot values are EXPLICIT (the five known types) — the
+    * values-less overload runs an extra distinct pass over the corpus
+    * to discover them, which is a full scan you don't pay at 100 TB
+    * when the dimension is known. Null cells (bucket never saw a type)
+    * fill to 0 via the na API. */
+  def pivotTypes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 100).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
+  /** q_na_funcs — the DataFrameNaFunctions surface over deterministic
+    * injected nulls: negative balances and the BUILDING segment null
+    * out, then per-nation accounting of nulls, filled sums (fill 0),
+    * replaced segments, and the na.drop survivor count. */
+  def naFuncs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("bal"),
+        when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    val filled = base.na.fill(Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
+    val dropped = base.na.drop(Seq("bal", "seg"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_complete"))
+    filled
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("seg") === "UNKNOWN", 1).otherwise(0)).as("n_null_seg"),
+        d2(sum(col("bal").cast(D))).as("sum_bal_filled"))
+      .join(dropped, Seq("c_nationkey"), "left")
+      .na.fill(Map("n_complete" -> 0L))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q_subquery_scalar — correlated scalar subqueries (orders above 2×
+    * their customer's average) written AS subqueries so Catalyst's
+    * decorrelation rules turn the per-row lookup into an aggregate +
+    * join — the plan shape that survives 100 TB, from the query shape
+    * users actually write. The comparison multiplies by the count
+    * instead of dividing (exact decimal×int arithmetic, no float avg). */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    val v = "sq_orders_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS DOUBLE) AS totalprice
+      FROM $v o
+      WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+            (SELECT COUNT(*) FROM $v o2 WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+                   AS DECIMAL(38,2))
+                 FROM $v o3 WHERE o3.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
 }

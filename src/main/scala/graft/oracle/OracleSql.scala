@@ -453,6 +453,42 @@ object OracleSql {
         |    FROM edges WHERE s_ok AND o_ok))
         |) ORDER BY stage""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT user_id % 100 AS user_bucket,
+        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "q_na_funcs" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |       ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT c_nationkey, COUNT(*) AS n_rows,
+        |CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_null_seg,
+        |CAST(SUM(CAST(COALESCE(bal, 0.0) AS DECIMAL(12,2)))
+        |  AS DECIMAL(38,2))::DOUBLE AS sum_bal_filled,
+        |CAST(SUM(CASE WHEN bal IS NOT NULL AND seg IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
+        |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS DOUBLE) AS totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+        |             AS DECIMAL(38,2))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_join_bucketed" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE AS sum_qty
