@@ -218,6 +218,12 @@ object DedupSim {
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy(col("a"), col("b"))
+      // the final pair table is itself a multi-consumer intermediate:
+      // the pair query and the cluster collapse (dedupClusterOn) both
+      // read it, and CacheManager's plan-canonical matching shares one
+      // materialization across them — a production dedup run
+      // materializes the pair set exactly once, then clusters it
+      .cache()
   }
 
   /** q_dedup_cluster — near-dup CLUSTER collapse, the step after pair
