@@ -23,6 +23,7 @@ object SparkEntry {
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
     "q_graph_degree" -> (GraphOps.degree _),
     "q_graph_cc" -> (GraphOps.connectedComponents _),
+    "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project
     "q_filter_pred" -> (Relational.filterPred _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),
     "q_sim_ann_ivf" -> (DedupSim.simAnnIvf _),
     "q_sim_centroid" -> (DedupSim.simCentroid _),
+    "q_emb_quantize" -> (DedupSim.embQuantize _),
     "q_text_wordcount" -> (TextOps.wordCount _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),

@@ -260,6 +260,33 @@ object DedupSim {
       .orderBy(col("source"))
   }
 
+  /** q_emb_quantize — int8 embedding quantization, the storage/ANN
+    * compression step a 100 TB embedding pipeline runs before indexing:
+    * per-vector max-abs scaling, q = round(v·127/maxabs) ∈ [−127,127]
+    * (zero vectors quantize to zeros). The one double computation uses
+    * an identical IEEE operation order in both engines, so the integer
+    * outputs are exact and oracle-able. Narrow shapes only: posexplode
+    * + one per-vector window max + hash agg — no joins, no data ever
+    * leaves its partition except the final per-label aggregate. */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        col("col").cast("double").as("v"))
+      .withColumn("ma", max(abs(col("v"))).over(w))
+      .withColumn("q", when(col("ma") === 0d, 0L)
+        .otherwise(round(col("v") * lit(127d) / col("ma")).cast("long")))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_extreme"))
+      .orderBy(col("label"))
+  }
+
   /** Candidate-pair enumeration within (band, bh) buckets, with hot
     * buckets spread over a 2-D block grid — the boilerplate-document
     * skew fix: 500 identical docs share every band bucket, and a plain

@@ -332,6 +332,61 @@ object GraphOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
 
+  /** q_kgx_validate — KGX/Biolink-style graph validation, the QC gate
+    * the reference runs before loading a graph: CURIE-format check on
+    * node ids, non-empty category check, dangling-endpoint checks on
+    * edges (endpoint references no node), and predicate-vocabulary
+    * membership. Violations are PLANTED deterministically (every 97th
+    * customer id loses its prefix, every 89th part loses its category)
+    * so the counts are stable and oracle-able; the broken customer ids
+    * cascade into dangling_subject edge violations exactly like a real
+    * bad parse. Wire: (rule, n_violations).
+    *
+    * Scale shape: rule predicates are row-local conditional sums (one
+    * pass over nodes, one over edges); dangling checks are the same
+    * left-anti equi joins the merger uses. */
+  def kgxValidate(s: SparkSession, d: String): DataFrame = {
+    val custNodes = Tables.customer(s, d).select(
+      when(col("c_custkey") % 97 === 0, col("c_custkey").cast("string"))
+        .otherwise(concat(lit("CUST:"), col("c_custkey"))).as("id"),
+      when(col("c_custkey") % 89 === 0, lit(""))
+        .otherwise(lit("biolink:Agent")).as("category"))
+    val partNodes = Tables.part(s, d).select(
+      concat(lit("PART:"), col("p_partkey")).as("id"),
+      when(col("p_partkey") % 89 === 0, lit(""))
+        .otherwise(lit("biolink:ChemicalEntity")).as("category"))
+    val nodes = custNodes.unionByName(partNodes)
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("CUST:"), col("o_custkey")).as("subject"),
+        when(col("l_returnflag") === "A", "biolink:affects")
+          .when(col("l_returnflag") === "R", "biolink:related_to")
+          .otherwise(concat(lit("raw:"), lower(col("l_returnflag"))))
+          .as("predicate"),
+        concat(lit("PART:"), col("l_partkey")).as("object"))
+    val curie = "^[A-Za-z][A-Za-z0-9]*:.+"
+    val nodeRules = nodes.agg(
+        sum(when(!col("id").rlike(curie), 1L).otherwise(0L)).as("bad_id"),
+        sum(when(col("category") === "", 1L).otherwise(0L)).as("no_cat"))
+      .select(explode(map(
+        lit("invalid_curie"), col("bad_id"),
+        lit("missing_category"), col("no_cat"))).as(Seq("rule", "n")))
+    val ids = nodes.select(col("id"))
+    val danglingS = edges.join(ids, col("subject") === col("id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("dangling_subject").as("rule"),
+        col("n"))
+    val danglingO = edges.join(ids, col("object") === col("id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("dangling_object").as("rule"),
+        col("n"))
+    val badPred = edges.agg(
+        sum(when(!col("predicate").isin("biolink:affects",
+          "biolink:related_to"), 1L).otherwise(0L)).as("n"))
+      .select(lit("unknown_predicate").as("rule"), col("n"))
+    nodeRules.unionByName(danglingS).unionByName(danglingO)
+      .unionByName(badPred)
+      .orderBy(col("rule"))
+  }
+
   /** GraphX Pregel CC over the same edge list — kept as an independent
     * implementation for cross-checking ccLabels in tests (not in the
     * query path: RDD Pregel re-pays per-partition overhead every

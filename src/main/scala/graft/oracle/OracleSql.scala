@@ -404,6 +404,59 @@ object OracleSql {
     // Composed EP1→EP2→EP3 pipeline ledger: every stage count re-derived
     // relationally. Mapped users are a subset of mapped customer keys by
     // construction, so multi-source canonicals = mapped users exactly.
+    "q_kgx_validate" ->
+      """WITH nodes AS (
+        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN CAST(c_custkey AS VARCHAR)
+        |              ELSE 'CUST:' || c_custkey END AS id,
+        |         CASE WHEN c_custkey % 89 = 0 THEN ''
+        |              ELSE 'biolink:Agent' END AS category
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'PART:' || p_partkey AS id,
+        |         CASE WHEN p_partkey % 89 = 0 THEN ''
+        |              ELSE 'biolink:ChemicalEntity' END AS category
+        |  FROM part),
+        |edges AS (
+        |  SELECT 'CUST:' || o_custkey AS subject,
+        |         CASE WHEN l_returnflag = 'A' THEN 'biolink:affects'
+        |              WHEN l_returnflag = 'R' THEN 'biolink:related_to'
+        |              ELSE 'raw:' || lower(l_returnflag) END AS predicate,
+        |         'PART:' || l_partkey AS object
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT rule, CAST(n AS BIGINT) AS n FROM (
+        |SELECT 'invalid_curie' AS rule,
+        |  (SELECT COUNT(*) FROM nodes
+        |   WHERE NOT regexp_matches(id, '^[A-Za-z][A-Za-z0-9]*:.+')) AS n
+        |UNION ALL SELECT 'missing_category',
+        |  (SELECT COUNT(*) FROM nodes WHERE category = '')
+        |UNION ALL SELECT 'dangling_subject',
+        |  (SELECT COUNT(*) FROM edges
+        |   WHERE subject NOT IN (SELECT id FROM nodes))
+        |UNION ALL SELECT 'dangling_object',
+        |  (SELECT COUNT(*) FROM edges
+        |   WHERE object NOT IN (SELECT id FROM nodes))
+        |UNION ALL SELECT 'unknown_predicate',
+        |  (SELECT COUNT(*) FROM edges
+        |   WHERE predicate NOT IN ('biolink:affects', 'biolink:related_to'))
+        |) ORDER BY rule""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH x AS (SELECT vec_id, label, unnest(range(1, 65)) AS dim,
+        |  embedding FROM embeddings),
+        |v AS (SELECT vec_id, label,
+        |  CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS v FROM x),
+        |m AS (SELECT vec_id, MAX(abs(v)) AS ma FROM v GROUP BY vec_id),
+        |q AS (SELECT v.vec_id, label,
+        |  CASE WHEN ma = 0 THEN 0
+        |       ELSE CAST(round(v * 127 / ma) AS BIGINT) END AS q
+        |  FROM v JOIN m ON v.vec_id = m.vec_id)
+        |SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+        |CAST(SUM(q) AS BIGINT) AS sum_q,
+        |CAST(MIN(q) AS BIGINT) AS min_q, CAST(MAX(q) AS BIGINT) AS max_q,
+        |CAST(SUM(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_extreme
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
     "q_pipeline_kgx" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
         |mc AS (SELECT c_custkey FROM customer WHERE c_nationkey < 20),
