@@ -71,6 +71,34 @@ class TrainingDataSpec extends GraftSuite {
     assert(out(1L) == ((2L, 4L, "1,3")))
   }
 
+  test("cluster collapse is idempotent: keeping survivors removes nothing") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = docs(
+      (10L, t, "en", "s1"), (11L, t, "en", "s1"), (12L, t, "en", "s1"),
+      (20L, "completely different content with many unique tokens here", "en", "s1"),
+      (21L, "yet another clean document about entirely other matters", "en", "s1"))
+    // survivors = corpus minus removed = {10, 20, 21}
+    val survivors = corpus.filter(col("doc_id") =!= 11L && col("doc_id") =!= 12L)
+    val second = DedupSim.dedupClusterOn(survivors).collect().head
+    assert(second.getAs[Long]("n_removed") == 0L,
+      "a deduped corpus must have nothing left to remove")
+    assert(second.getAs[Long]("n_in_dup_clusters") == 0L)
+  }
+
+  test("quantization stays within int8 bounds and hits the extremes") {
+    import org.apache.spark.sql.functions.{abs => fabs, max => fmax}
+    val out = DedupSim.embQuantize(spark, sf)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_q") >= -127L && r.getAs[Long]("max_q") <= 127L)
+      // max-abs scaling maps each (non-zero) vector's extreme dimension
+      // to exactly ±127
+      assert(r.getAs[Long]("n_extreme") >= r.getAs[Long]("n_vecs"),
+        "each vector contributes at least one saturated dimension")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("mixture sampling is deterministic and repartition-stable") {
     val a = TextOps.sampleMixture(spark, sf).collect()
     val b = TextOps.sampleMixture(spark, sf).collect()
