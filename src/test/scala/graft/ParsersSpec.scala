@@ -93,6 +93,29 @@ class ParsersSpec extends GraftSuite {
       ("GO:0000001", "part_of", "GO:0007005")))
   }
 
+  test("node-norm service responses parse to a mapping table with failures") {
+    val body =
+      """{"MESH:D014867": {"id": {"identifier": "CHEBI:15377", "label": "water"},
+        |  "equivalent_identifiers": [{"identifier": "MESH:D014867"},
+        |                             {"identifier": "CHEBI:15377", "label": "water"}],
+        |  "type": ["biolink:SmallMolecule", "biolink:ChemicalEntity"]},
+        | "FAKE:123": null}""".stripMargin.replace("\n", " ")
+    val df = Seq(body).toDF("resp")
+    val parsed = graft.ops.NodeNorm.parseResponses(df, "resp").collect()
+    assert(parsed.length == 2)
+    val ok = parsed.find(_.getString(0) == "MESH:D014867").get
+    assert(ok.getString(1) == "CHEBI:15377")
+    assert(ok.getString(2) == "water")
+    assert(ok.getAs[scala.collection.Seq[String]]("categories").toSeq ==
+      Seq("biolink:SmallMolecule", "biolink:ChemicalEntity"))
+    assert(ok.getAs[scala.collection.Seq[String]]("equivalent_ids").toSeq ==
+      Seq("MESH:D014867", "CHEBI:15377"))
+    val fail = parsed.find(_.getString(0) == "FAKE:123").get
+    assert(fail.isNullAt(1), "failed normalization keeps NULL canonical id")
+    val mapping = graft.ops.NodeNorm.mappingTable(df, "resp").collect()
+    assert(mapping.length == 1 && mapping.head.getString(0) == "MESH:D014867")
+  }
+
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geo_mean",
