@@ -19,22 +19,22 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Min-of-N per query: the reported time is the best of `reps`
-    // interleaved-by-query runs, so a transient machine-load spike
-    // inflates at most one rep instead of the recorded number (round 2's
-    // driver run recorded a ~46% phantom inflation from exactly that).
-    // Min (not median/mean) because external noise is strictly additive.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var best = Double.MaxValue
-      var i = 0
-      while (i < reps) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        i += 1
-      }
-      name -> best
+    // Min-of-N per query, with the reps INTERLEAVED as full suite
+    // passes (pass 1 times every query, then pass 2, ...): a machine
+    // load spike — even one lasting minutes — overlaps each query's
+    // reps in at most one pass, so the per-query min survives it.
+    // Back-to-back reps would put all N reps of a query inside one
+    // spike (round 2's driver run recorded a ~46% phantom inflation
+    // from exactly that). Min (not median/mean) because external noise
+    // is strictly additive.
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; (name, fn) <- SparkEntry.queries) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val results = SparkEntry.queries.keys.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

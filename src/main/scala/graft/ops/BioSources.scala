@@ -51,7 +51,11 @@ object Gaf {
         pred.as("predicate"),
         col("go_id").as("object"),
         col("evidence_code"),
-        split(coalesce(col("reference"), lit("")), "\\|").as("publications"),
+        // empty reference → empty ARRAY, not [""] (split of "" yields
+        // one empty-string element, a phantom publication)
+        when(length(coalesce(col("reference"), lit(""))) === 0,
+          array().cast("array<string>"))
+          .otherwise(split(col("reference"), "\\|")).as("publications"),
         regexp_extract(coalesce(col("taxon"), lit("")),
           "taxon:(\\d+)", 1).as("taxon"))
   }
@@ -70,7 +74,11 @@ object Gaf {
 object Obo {
   private def stanzas(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), "\n\\[")).as("stanza"))
+      // prepend a newline so a file whose FIRST line is "[Term]" (no
+      // header) still splits on the bracket instead of silently losing
+      // its first stanza
+      .select(explode(split(concat(lit("\n"), col("value")), "\n\\["))
+        .as("stanza"))
       .filter(col("stanza").startsWith("Term]"))
 
   /** `[Term]` stanzas → ontology node table (id, name, namespace,

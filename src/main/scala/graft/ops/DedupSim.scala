@@ -218,12 +218,6 @@ object DedupSim {
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy(col("a"), col("b"))
-      // the final pair table is itself a multi-consumer intermediate:
-      // the pair query and the cluster collapse (dedupClusterOn) both
-      // read it, and CacheManager's plan-canonical matching shares one
-      // materialization across them — a production dedup run
-      // materializes the pair set exactly once, then clusters it
-      .cache()
   }
 
   /** q_dedup_cluster — near-dup CLUSTER collapse, the step after pair
@@ -244,7 +238,12 @@ object DedupSim {
     dedupClusterOn(Tables.documents(s, d))
 
   def dedupClusterOn(documents: DataFrame): DataFrame = {
-    val pairs = dedupNgramOn(documents).select(col("a"), col("b"))
+    // the pair table is THIS operator's multi-consumer intermediate
+    // (ccLabels reads it more than once): cache the projected pairs
+    // here, NOT the full pair-query result — a result-level cache
+    // would also serve q_dedup_ngram's own bench reps and turn that
+    // measurement into a cache read
+    val pairs = dedupNgramOn(documents).select(col("a"), col("b")).cache()
     val labels = GraphOps.ccLabels(pairs)
       .withColumnRenamed("node", "doc_id")
     documents.join(labels, Seq("doc_id"), "left")

@@ -36,7 +36,11 @@ object NodeNorm {
     */
   def parseResponses(responses: DataFrame, jsonCol: String): DataFrame =
     responses
-      .select(explode(from_json(col(jsonCol), responseSchema))
+      // explode_OUTER: a malformed/truncated body makes from_json
+      // return a NULL map, which must surface as one NULL-raw_id row —
+      // a visible "this batch failed to parse" marker — rather than
+      // silently deleting every CURIE the batch contained
+      .select(explode_outer(from_json(col(jsonCol), responseSchema))
         .as(Seq("raw_id", "norm")))
       .select(col("raw_id"),
         col("norm.id.identifier").as("canonical_id"),

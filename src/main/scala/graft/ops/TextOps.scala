@@ -123,25 +123,12 @@ object TextOps {
     * lexicographic min of md5 over all 5-gram shingles (min-hash with
     * k=1, portable to SQL since both engines share md5). Same windowed
     * rolling construction as near-dup, fully codegen'd. */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        posexplode(split(lower(col("text")), " ")))
-      .select(col("doc_id"), col("source"), col("pos"), col("col").as("t0"),
-        lead(col("col"), 1).over(w).as("t1"),
-        lead(col("col"), 2).over(w).as("t2"),
-        lead(col("col"), 3).over(w).as("t3"),
-        lead(col("col"), 4).over(w).as("t4"))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"),
-          col("t3"), col("t4"))).as("h"))
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    shingles5(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), md5(col("ng")).as("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(min(col("h")).as("fp"))
       .orderBy(col("doc_id"))
-  }
 
   /** q_sample_split — deterministic train/val/test assignment
     * (90/5/5) by an md5-derived bucket of the document id: the
@@ -305,8 +292,12 @@ object TextOps {
       .withColumn("bucket",
         conv(substring(md5(concat(col("doc_id").cast("string"),
           lit("#mix"))), 1, 4), 16, 10).cast("int") % 100)
+      // unknown langs default to the base rate 25, matching the
+      // oracle's CASE ... ELSE — without the coalesce a new lang value
+      // would make `bucket < NULL` null out `kept` and silently drop
+      // the whole domain
       .withColumn("kept",
-        (col("bucket") < rate(col("lang"))).cast("int"))
+        (col("bucket") < coalesce(rate(col("lang")), lit(25))).cast("int"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(col("kept")).cast("long").as("n_kept"),

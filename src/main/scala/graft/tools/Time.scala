@@ -31,7 +31,8 @@ object Time {
       catch { case e: Throwable => println(s"$n failed: ${e.getMessage}") }
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () } // already reported by warmup
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-22s min=${ts.min}%6.2fs  reps=${ts.map(t => f"$t%.2f").mkString(",")}")

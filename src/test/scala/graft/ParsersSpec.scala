@@ -114,6 +114,10 @@ class ParsersSpec extends GraftSuite {
     assert(fail.isNullAt(1), "failed normalization keeps NULL canonical id")
     val mapping = graft.ops.NodeNorm.mappingTable(df, "resp").collect()
     assert(mapping.length == 1 && mapping.head.getString(0) == "MESH:D014867")
+    // malformed body surfaces as a NULL-raw_id marker row, not silence
+    val broken = graft.ops.NodeNorm
+      .parseResponses(Seq("{truncated...").toDF("resp"), "resp").collect()
+    assert(broken.length == 1 && broken.head.isNullAt(0))
   }
 
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
