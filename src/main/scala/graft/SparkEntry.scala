@@ -93,6 +93,7 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_text_vocab_encode" -> (TextOps.vocabEncode _),
+    "q_text_pii" -> (TextOps.pii _),
     "q_sample_split" -> (TextOps.sampleSplit _),
     "q_sample_mixture" -> (TextOps.sampleMixture _),
     "q_pack_shards" -> (TextOps.packShards _),

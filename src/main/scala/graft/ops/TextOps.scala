@@ -305,6 +305,37 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_text_pii — PII detection + scrubbing, the redaction pass a
+    * training-data pipeline runs before anything else: find email
+    * addresses, replace them with a redaction token, account for what
+    * was removed. The synthetic corpus carries no PII, so emails are
+    * PLANTED deterministically (every 50th doc gains a contact line) —
+    * same pattern as q_kgx_validate's planted violations — and the
+    * detection regex is plain character classes so Java and RE2
+    * semantics agree. All row-local: the scan is one narrow pass, and
+    * the per-source ledger is a hash aggregate. */
+  def pii(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    Tables.documents(s, d)
+      .withColumn("t",
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com now")))
+          .otherwise(col("text")))
+      .select(col("source"),
+        regexp_count(col("t"), lit(emailRe)).as("n_emails"),
+        length(col("t")).as("len_before"),
+        length(regexp_replace(col("t"), emailRe, "[EMAIL]"))
+          .as("len_after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("len_before") - col("len_after")).as("chars_redacted"))
+      .orderBy(col("source"))
+  }
+
   /** q_text_vocab_encode — tokenizer-shaped vocabulary build + sequence
     * encoding: dense integer ids assigned by corpus frequency (ties
     * broken by term — a deterministic total order), then documents

@@ -657,6 +657,26 @@ object OracleSql {
         |FROM g JOIN nrm ON g.label = nrm.label
         |ORDER BY g.label, g.dim""".stripMargin,
 
+    "q_text_pii" ->
+      """WITH t AS (SELECT source,
+        |  CASE WHEN doc_id % 50 = 0
+        |       THEN text || ' contact: user' || doc_id || '@example.com now'
+        |       ELSE text END AS t
+        |  FROM documents),
+        |x AS (SELECT source,
+        |  length(regexp_split_to_array(t,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) - 1 AS n_emails,
+        |  length(t) AS len_before,
+        |  length(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+',
+        |    '[EMAIL]', 'g')) AS len_after
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_docs_with_pii,
+        |CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |CAST(SUM(len_before - len_after) AS BIGINT) AS chars_redacted
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_vocab_encode" ->
       """WITH dd AS (SELECT doc_id, string_split(lower(text), ' ') AS p FROM documents),
         |ix AS (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS pos FROM dd),
