@@ -13,6 +13,28 @@ class PropertiesSpec extends GraftSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("cc: distributed star rounds ≡ single-task union-find on random graphs") {
+    // the two ccLabels execution paths (large/small-star rounds above
+    // the endgame threshold, union-find below it) must label any graph
+    // identically — run both on random edge lists and compare maps.
+    // Fewer iterations than usual: each case runs two Spark jobs.
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(edgeGen) { (es: List[(Long, Long)]) =>
+        val df = es.toDF("a", "b")
+        def run(): Map[Long, Long] = GraphOps.ccLabels(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaUnionFind = run() // default threshold → endgame path
+        spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+        val viaStars = try run()
+          finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+        viaUnionFind == viaStars
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopKAggregator ≡ sort-take-k under arbitrary input order") {
     val agg = new TopKAggregator(5)
     check(Prop.forAll(
