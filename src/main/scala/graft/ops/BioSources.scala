@@ -61,6 +61,42 @@ object Gaf {
   }
 }
 
+/** SQL-dump ingest (reference capability: DrugCentral/PHAROS arrive as
+  * database dumps; the reference replays them into a scratch DB and
+  * reads tables out). Spark-first alternative: parse the
+  * one-statement-per-line `INSERT INTO t VALUES (...);` shape
+  * (mysqldump --skip-extended-insert) directly from the text — filter
+  * the wanted table, extract the tuple, split top-level commas with a
+  * quote-aware lookahead, strip quotes/NULLs, cast to the pinned
+  * schema. Row-local regex work, embarrassingly parallel over dump
+  * splits; no scratch database. Limitation (documented): string
+  * literals may contain commas and doubled '' escapes but not raw
+  * parentheses-plus-semicolon line endings inside strings — which the
+  * reference's sources don't produce. */
+object SqlDump {
+  def readInserts(spark: SparkSession, path: String, table: String,
+      schema: StructType): DataFrame = {
+    val tuple = regexp_extract(col("value"),
+      s"(?i)^INSERT INTO\\s+`?$table`?\\s*(?:\\([^)]*\\))?\\s*VALUES\\s*\\((.*)\\)\\s*;?\\s*$$",
+      1)
+    // split on commas with an EVEN number of single quotes ahead —
+    // i.e. commas outside string literals
+    val parts = split(col("t"), ",(?=(?:[^']*'[^']*')*[^']*$)")
+    val cells = spark.read.text(path)
+      .select(tuple.as("t"))
+      .filter(col("t") =!= "")
+      .select(parts.as("p"))
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = trim(element_at(col("p"), i + 1))
+      val unquoted = regexp_replace(
+        regexp_replace(raw, "^'(.*)'$", "$1"), "''", "'")
+      when(raw === "NULL", lit(null)).otherwise(unquoted)
+        .cast(f.dataType).as(f.name)
+    }
+    cells.select(fields.toIndexedSeq: _*)
+  }
+}
+
 /** OBO-style ontology ingest (reference capability: ontology predicate
   * and class hierarchies — GO/MONDO/CHEBI `.obo` files — feed predicate
   * normalization and category assignment).

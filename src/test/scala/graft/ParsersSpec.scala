@@ -93,6 +93,32 @@ class ParsersSpec extends GraftSuite {
       ("GO:0000001", "part_of", "GO:0007005")))
   }
 
+  test("SQL-dump INSERT statements parse to typed rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldump")
+    java.nio.file.Files.writeString(dir.resolve("dump.sql"),
+      """-- MySQL dump
+        |CREATE TABLE drug (id INT, name TEXT, moa TEXT, score DOUBLE);
+        |INSERT INTO drug VALUES (1, 'aspirin', 'COX inhibitor, irreversible', 0.9);
+        |INSERT INTO `drug` VALUES (2, 'warfarin''s salt', NULL, 0.5);
+        |INSERT INTO other VALUES (9, 'ignored');
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("moa", StringType), StructField("score", DoubleType)))
+    val rows = graft.ops.SqlDump
+      .readInserts(spark, dir.toString, "drug", schema)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "aspirin")
+    assert(rows(0).getString(2) == "COX inhibitor, irreversible",
+      "comma inside a string literal must not split")
+    assert(rows(0).getDouble(3) == 0.9)
+    assert(rows(1).getString(1) == "warfarin's salt",
+      "doubled '' unescapes to a single quote")
+    assert(rows(1).isNullAt(2), "bare NULL parses to null")
+  }
+
   test("node-norm service responses parse to a mapping table with failures") {
     val body =
       """{"MESH:D014867": {"id": {"identifier": "CHEBI:15377", "label": "water"},

@@ -200,6 +200,28 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: batch ids key idempotent exactly-once writes") {
+    val ms = MemoryStream[Ev]
+    // keyed by batchId: a replayed batch OVERWRITES its own slot
+    // instead of appending — the standard idempotent-sink recipe for
+    // exactly-once delivery to non-transactional stores
+    val sink = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(id) = batch.count()
+      }
+      .start()
+    try {
+      ms.addData(baseEvents: _*)
+      q.processAllAvailable()
+      ms.addData(Ev(99, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      assert(sink.values.sum == baseEvents.length + 1,
+        "every event delivered exactly once across batches")
+      assert(sink.size >= 2, "multiple batches hit the sink")
+    } finally q.stop()
+  }
+
   test("stateful events-since-signup (flatMapGroupsWithState, batch mode)") {
     val evs = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
