@@ -32,11 +32,20 @@ object Graft {
 
   def registerTables(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach { t =>
+      // always go through the Tables readers: SQL users then share the
+      // same plan-canonical cache (and the events ns→µs fix) as the
+      // DataFrame API instead of re-decoding parquet per query
       val df = t match {
+        case "region"     => Tables.region(spark, sfDir)
+        case "nation"     => Tables.nation(spark, sfDir)
+        case "customer"   => Tables.customer(spark, sfDir)
+        case "supplier"   => Tables.supplier(spark, sfDir)
+        case "part"       => Tables.part(spark, sfDir)
+        case "orders"     => Tables.orders(spark, sfDir)
+        case "lineitem"   => Tables.lineitem(spark, sfDir)
         case "events"     => Tables.events(spark, sfDir)
         case "documents"  => Tables.documents(spark, sfDir)
         case "embeddings" => Tables.embeddings(spark, sfDir)
-        case other => spark.read.parquet(s"$sfDir/$other.parquet")
       }
       df.createOrReplaceTempView(t)
     }
