@@ -113,9 +113,15 @@ object DedupSim {
     // token table (different partial aggregates → different exchanges
     // → no reuse); a single aggregate shares one exchange among every
     // downstream branch.
+    // THREE consumers below (the signature path and both sides of the
+    // verification join): exchange reuse only shares the shuffle
+    // files, the 128-min + collect_set evaluation above them re-runs
+    // per branch — cache the per-doc result (|docs| rows, a few MB)
+    // so the signature pipeline runs once
     val perDoc = hashed.groupBy(col("doc_id"))
       .agg(minCols.head,
         minCols.tail :+ sort_array(collect_set(col("sh"))).as("hs"): _*)
+      .cache()
     val sig = perDoc.drop("hs")
     val docsH = perDoc.select(col("doc_id"), col("hs"))
     val bandCols = (0 until 32).map { b =>
