@@ -386,8 +386,13 @@ object DedupSim {
       struct(lit(b).as("bi"),
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("bv"))
     }: _*)
+    // both sides of the band self-join consume this (4 rows/doc, tiny):
+    // cache so the 60-sum fingerprint aggregate evaluates once instead
+    // of once per join side (the exchange below is reused either way,
+    // the aggregate above it is not)
     val bk = sh.select(col("doc_id"), col("simhash"), explode(bands).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.bi"), col("bd.bv"))
+      .cache()
     bk.as("x").join(bk.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
