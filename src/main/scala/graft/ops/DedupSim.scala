@@ -207,6 +207,9 @@ object DedupSim {
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
       .select(col("doc_id"), col("ng"))
+      // both sides of the candidate self-join consume the prefix index:
+      // cache so the df-join + rank window runs once, not per side
+      .cache()
     val cands = ranked.as("x").join(ranked.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
