@@ -182,7 +182,7 @@ object TextOps {
 
   /** Rolling word-5-gram shingles (lower, whitespace) — the shared
     * construction of fingerprint / near-dup / contamination. */
-  private def shingles5(documents: DataFrame): DataFrame = {
+  private[graft] def shingles5(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     documents

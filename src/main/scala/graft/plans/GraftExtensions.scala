@@ -55,6 +55,11 @@ object GraftExtensions {
         graft.functions.CountMinEstimate(children(0), children(1))
           .toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles",
+      (children: Seq[Expression]) =>
+        graft.functions.ShinglesGenerator(children(0), children(1)),
+      "built-in")
   }
 }
 

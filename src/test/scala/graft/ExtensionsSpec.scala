@@ -52,6 +52,31 @@ class ExtensionsSpec extends GraftSuite {
     }
   }
 
+  test("shingles Generator emits word n-grams from SQL") {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    Seq((1L, "Alpha beta GAMMA delta")).toDF("id", "text")
+      .createOrReplaceTempView("sh_docs")
+    val rows = spark.sql("SELECT id, shingles(text, 3) AS s FROM sh_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      (1L, "alpha beta gamma"), (1L, "beta gamma delta")))
+    // the Generator and the explode+window formulation must agree on
+    // the full real corpus
+    Tables.documents(spark, sf).createOrReplaceTempView("documents_sh")
+    val genSet = spark.sql(
+      "SELECT shingles(text, 5) AS ng FROM documents_sh")
+      .collect().map(_.getString(0)).toSet
+    val windowSet = graft.ops.TextOps
+      .shingles5(Tables.documents(spark, sf))
+      .select("ng").collect().map(_.getString(0)).toSet
+    assert(genSet == windowSet)
+    // short docs yield no rows; an invalid size fails analysis
+    assert(spark.sql("SELECT shingles('a b', 3)").count() == 0)
+    intercept[Exception] {
+      spark.sql("SELECT shingles('a b c', 0)").collect()
+    }
+  }
+
   test("XML ingest: write and read back with the built-in xml source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
     Tables.nation(spark, sf)
