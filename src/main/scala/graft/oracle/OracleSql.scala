@@ -508,11 +508,16 @@ object OracleSql {
 
     "q_pivot" ->
       """SELECT user_id % 100 AS user_bucket,
-        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
 
     "q_na_funcs" ->

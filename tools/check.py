@@ -55,6 +55,22 @@ def canon(df):
              .reset_index(drop=True)
 
 
+def kind_class(s):
+    """Driver's hash is dtype-sensitive: int64 vs float64 columns hash
+    differently even when values compare equal (q_pivot round 3: DuckDB
+    HUGEINT -> float64 wire vs Spark int64). Classify dtypes into the
+    groups the hash distinguishes; int widths hash alike, so they share
+    a class."""
+    k = s.to_numpy().dtype.kind
+    if k in "iub":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def col_equal(a, b):
     """Exact equality; floats bitwise with NaN==NaN; None==None."""
     if len(a) != len(b):
@@ -111,6 +127,15 @@ def main():
             w, g = canon(want), canon(got)
         except Exception as e:
             print(f"FAIL {name}: comparator sort crashed: {e}")
+            n_fail += 1; continue
+        kinds = [(c, kind_class(w[c]), kind_class(g[c]))
+                 for c in w.columns]
+        badk = [(c, kw, kg) for c, kw, kg in kinds if kw != kg]
+        if badk:
+            for c, kw, kg in badk[:3]:
+                print(f"FAIL {name}: col {c} dtype kind oracle={kw} "
+                      f"spark={kg} (driver hash is dtype-sensitive; "
+                      f"CAST both sides to the same type)")
             n_fail += 1; continue
         bad = [c for c in w.columns if not col_equal(w[c], g[c])]
         if bad:
