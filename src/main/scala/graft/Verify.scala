@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's operator-local scratch caches/checkpoints:
+      // a 92-query pass then has no net cache growth (table-level
+      // caches in Tables are not registered there and stay warm)
+      graft.ops.ScratchCache.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import scala.util.chaining._
 import graft.Tables
 
 /** Dedup + similarity surface (SURVEY.md §2.9) — the LLM-training-data
@@ -121,7 +122,7 @@ object DedupSim {
     val perDoc = hashed.groupBy(col("doc_id"))
       .agg(minCols.head,
         minCols.tail :+ sort_array(collect_set(col("sh"))).as("hs"): _*)
-      .cache()
+      .pipe(ScratchCache.cache)
     val sig = perDoc.drop("hs")
     val docsH = perDoc.select(col("doc_id"), col("hs"))
     val bandCols = (0 until 32).map { b =>
@@ -198,7 +199,7 @@ object DedupSim {
       // which keeps the run-once property, adds spill-free durability,
       // and lets each consumer's scan prune columns; the query shape
       // above is unchanged.
-      .cache()
+      .pipe(ScratchCache.cache)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = grams.groupBy(col("ng")).agg(count(lit(1)).as("gdf"))
     val ranked = grams.join(df, "ng")
@@ -209,7 +210,7 @@ object DedupSim {
       .select(col("doc_id"), col("ng"))
       // both sides of the candidate self-join consume the prefix index:
       // cache so the df-join + rank window runs once, not per side
-      .cache()
+      .pipe(ScratchCache.cache)
     val cands = ranked.as("x").join(ranked.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -252,7 +253,8 @@ object DedupSim {
     // here, NOT the full pair-query result — a result-level cache
     // would also serve q_dedup_ngram's own bench reps and turn that
     // measurement into a cache read
-    val pairs = dedupNgramOn(documents).select(col("a"), col("b")).cache()
+    val pairs = ScratchCache.cache(
+      dedupNgramOn(documents).select(col("a"), col("b")))
     val labels = GraphOps.ccLabels(pairs)
       .withColumnRenamed("node", "doc_id")
     documents.join(labels, Seq("doc_id"), "left")
@@ -395,7 +397,7 @@ object DedupSim {
     // the aggregate above it is not)
     val bk = sh.select(col("doc_id"), col("simhash"), explode(bands).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.bi"), col("bd.bv"))
-      .cache()
+      .pipe(ScratchCache.cache)
     bk.as("x").join(bk.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -416,51 +418,91 @@ object DedupSim {
     *
     * NOT a nested-loop all-pairs join: this is exact top-k with
     * IVF-style angular pruning (the FAISS coarse-quantizer idea made
-    * exact via the spherical triangle inequality):
-    *   1. every vector joins its nearest exact-decimal label centroid
-    *      (primary inverted list) and records its assignment angle;
-    *      each list keeps its angular radius r_i = max member angle;
+    * exact via the spherical triangle inequality), and the coarse
+    * quantizer is SIZED TO THE DATA — k ≈ √N balanced lists from
+    * [[kdQuantize]] (ceil(log₂√N) median-bisection rounds), so the
+    * always-candidate same-list volume is N·√N/2 at every N, not
+    * N²/k for a fixed k:
+    *   1. every vector belongs to exactly one quantizer list (by
+    *      construction) and records its angle θ_u to the list's
+    *      exact-decimal centroid; each list keeps its angular radius
+    *      r_i = max member angle;
     *   2. same-list pairs are always candidates; their 50th-best raw
     *      cosine is the pruning threshold τ;
     *   3. a cross-list pair (i,j) can only beat τ if the bound
     *      U_ij = cos(max(0, θ_ij − r_i − r_j)) ≥ τ (θ_ij = centroid
     *      angle); angle(u,v) ≥ θ_ij − θ_u − θ_v makes U_ij a true
-    *      upper bound, so dropping list pairs with U_ij < τ can never
-    *      drop a top-50 pair — the result is EXACT, not approximate.
-    * Every join is an equi join (quantizer and list-pair tables join on
-    * a constant key → BroadcastHashJoin; member enumeration joins on
-    * list ids), so the plan has no nested-loop pair enumeration and
-    * candidate volume is Σ over *surviving* list pairs of
-    * |list_i|·|list_j|. On tightly-clustered data — the actual 100 TB
-    * near-dup case — θ_ij ≫ r_i + r_j and nearly every cross-list pair
-    * prunes; on this deliberately weak-clustered synthetic set most
-    * list pairs survive (the exact top-50 genuinely spans labels), but
-    * through bucketed shuffle joins, never a BNLJ. */
+    *      upper bound FOR ANY list assignment, so dropping list pairs
+    *      with U_ij < τ can never drop a top-50 pair — the result is
+    *      EXACT, not approximate, whatever the quantizer quality.
+    * Every join is an equi join (the k-row centroid table broadcasts;
+    * member enumeration joins on list ids), so the plan has no
+    * nested-loop pair enumeration and candidate volume is N·√N/2 +
+    * Σ over *surviving* list pairs of |list_i|·|list_j|. On clustered
+    * data — the actual 100 TB near-dup case — θ_ij ≫ r_i + r_j for
+    * lists in different clusters and cross-list volume collapses
+    * (PropertiesSpec asserts ~N·√N growth on a 20k-vector planted
+    * set); on this deliberately weak-clustered synthetic set most
+    * list pairs survive (the exact top-50 genuinely spans clusters),
+    * but through bucketed shuffle joins, never a BNLJ. */
   def dedupEmbCos(s: SparkSession, d: String): DataFrame =
     dedupEmbCosOn(Tables.embeddings(s, d))
 
-  /** Core of q_dedupEmbCos over any (vec_id, label, embedding) frame. */
+  /** Core of q_dedup_embcos over any (vec_id, embedding) frame. */
   def dedupEmbCosOn(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val parts = embCosParts(embeddings)
+    // both orientations so u∈i, v∈j, u<v is matched exactly once
+    val qual2 = parts.qualPairs
+      .union(parts.qualPairs.select(col("lj").as("li"), col("li").as("lj")))
+    val cross = parts.assigned.as("x")
+      .join(broadcast(qual2), col("x.list_id") === col("li"))
+      .join(parts.assigned.as("y"),
+        col("y.list_id") === col("lj") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        expr("cosine_sim(x.v, y.v)").as("cos_raw"))
+    parts.same.unionByName(cross)
+      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** The pruning skeleton shared by [[dedupEmbCosOn]] and the
+    * candidate-volume audit [[embCosCandidateCount]]:
+    * `assigned` = (vec_id, v, list_id, θ) for every vector,
+    * `same` = all same-list pair cosines (always candidates),
+    * `qualPairs` = the cross-list (li < lj) pairs that SURVIVE the
+    * angular upper bound and must be enumerated. */
+  private[graft] case class EmbCosParts(
+      assigned: DataFrame, same: DataFrame, qualPairs: DataFrame)
+
+  private[graft] def embCosParts(embeddings: DataFrame): EmbCosParts = {
     val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
     val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
-    val cent = labelCentroids(embeddings).withColumn("k", k0(col("list_id")))
-    val assigned = embeddings
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"),
-        k0(col("vec_id")).as("k"))
-      .join(broadcast(cent), "k")
+    // k ≈ √N: one driver-side scalar count (metadata-cheap on parquet
+    // tables, one pass otherwise) sizes the quantizer to the data
+    val n = embeddings.count()
+    val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val vecs = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val lists = kdQuantize(vecs, k)
+    // exact-decimal per-list centroids (k rows — broadcastable: even at
+    // N = 10¹⁰ vectors, √N·64 doubles ≈ 50 MB)
+    val cent = lists
+      .select(col("list_id"), posexplode(col("v")))
+      .select(col("list_id"), col("pos"), emb(col("col")).as("x"))
+      .groupBy(col("list_id"), col("pos"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("list_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
+    val assigned = lists
+      .join(broadcast(cent), "list_id")
       .select(col("vec_id"), col("v"), col("list_id"),
-        expr("cosine_sim(v, cv)").as("sim"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("list_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("list_id"),
-        acos(clamp(col("sim"))).as("theta"))
+        acos(clamp(expr("cosine_sim(v, cv)"))).as("theta"))
       // four consumers (same ×2 sides, radii, cross ×2 sides): without a
-      // cache each branch re-runs the assignment window
-      .cache()
+      // cache each branch re-runs the centroid join
+      .pipe(ScratchCache.cache)
     val radii = assigned.groupBy(col("list_id")).agg(max(col("theta")).as("r"))
     val same = assigned.as("x").join(assigned.as("y"),
         col("x.list_id") === col("y.list_id") &&
@@ -469,13 +511,16 @@ object DedupSim {
         expr("cosine_sim(x.v, y.v)").as("cos_raw"))
       // consumed by BOTH the τ branch and the final union — cache so the
       // same-list pair cosines are computed once
-      .cache()
+      .pipe(ScratchCache.cache)
     // τ = 50th-best same-list cosine (or −2 ⇒ no pruning if < 50 pairs)
     val tau = same.orderBy(col("cos_raw").desc).limit(50)
       .agg(when(count(lit(1)) < 50, lit(-2.0))
         .otherwise(min(col("cos_raw"))).as("tau"))
       .withColumn("k", k0(col("tau")))
-    val qual = cent.as("ci").join(broadcast(cent.as("cj")),
+    // k² list pairs = N rows — a broadcast join on the non-foldable
+    // constant key, never a BNLJ (see k0)
+    val centK = cent.withColumn("k", k0(col("list_id")))
+    val qual = centK.as("ci").join(broadcast(centK.as("cj")),
         col("ci.k") === col("cj.k"))
       .filter(col("ci.list_id") < col("cj.list_id"))
       .select(col("ci.list_id").as("li"), col("cj.list_id").as("lj"),
@@ -488,19 +533,78 @@ object DedupSim {
       .join(broadcast(tau), "k")
       // 1e-9 slack absorbs acos/cos roundoff so the bound stays true
       .filter(col("ub") >= col("tau") - 1e-9)
-    // both orientations so u∈i, v∈j, u<v is matched exactly once
-    val qual2 = qual.select(col("li"), col("lj"))
-      .union(qual.select(col("lj").as("li"), col("li").as("lj")))
-    val cross = assigned.as("x")
-      .join(broadcast(qual2), col("x.list_id") === col("li"))
-      .join(assigned.as("y"),
-        col("y.list_id") === col("lj") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        expr("cosine_sim(x.v, y.v)").as("cos_raw"))
-    same.unionByName(cross)
-      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))
-      .orderBy(col("cos").desc, col("a"), col("b"))
-      .limit(50)
+      .select(col("li"), col("lj"))
+    EmbCosParts(assigned, same, qual)
+  }
+
+  /** Total candidate-pair volume the pruned plan enumerates (same-list
+    * pairs + members of surviving cross-list pairs) — the quantity the
+    * N·√N scale property test audits. */
+  private[graft] def embCosCandidateCount(embeddings: DataFrame): Long = {
+    val parts = embCosParts(embeddings)
+    val samePairs = parts.same.count()
+    val sizes = parts.assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("sz"))
+    val crossPairs = parts.qualPairs
+      .join(sizes.select(col("list_id").as("li"), col("sz").as("ni")), "li")
+      .join(sizes.select(col("list_id").as("lj"), col("sz").as("nj")), "lj")
+      .agg(coalesce(sum(col("ni") * col("nj")), lit(0L)).as("c"))
+      .head().getLong(0)
+    samePairs + crossPairs
+  }
+
+  /** Balanced k-d-style coarse quantizer: ⌈log₂ k⌉ rounds of median
+    * bisection, each round splitting every list in half on its widest
+    * dimension (max − min spread, ties to the lowest dim). Returns
+    * (vec_id, v, list_id) with 2^⌈log₂ k⌉ ∈ [k, 2k) lists whose sizes
+    * differ by at most one — balanced by construction via ntile over
+    * the (value, vec_id) total order, so downstream same-list pair
+    * volume is exactly N·(N/k)/2 with no skewed list.
+    *
+    * Deterministic under any partitioning: max/min are order
+    * independent, the ntile window has a total order, and each round
+    * is a localCheckpoint (lineage truncation keeps the plan from
+    * doubling per round; superseded rounds are freed immediately, the
+    * final one via [[ScratchCache]]). At 100 TB the per-round
+    * materialization swaps from executor-local blocks to a parquet
+    * checkpoint between rounds — the standard iterative-refinement
+    * shape (k-means, CC) with log √N ≤ ~17 rounds at any realistic N.
+    */
+  private[graft] def kdQuantize(vecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rounds =
+      if (k <= 1) 0
+      else 32 - Integer.numberOfLeadingZeros(k - 1) // = ceil(log2(k))
+    var cur = vecs.select(col("vec_id"), col("v"), lit(0L).as("list_id"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 0 until rounds) {
+      val sdim = cur
+        .select(col("list_id"), posexplode(col("v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((max(col("col")) - min(col("col"))).as("sp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("list_id"))
+            .orderBy(col("sp").desc, col("pos"))))
+        .filter(col("rn") === 1)
+        .select(col("list_id"), col("pos").as("sdim"))
+      val next = cur
+        .join(broadcast(sdim), "list_id")
+        .withColumn("sv", element_at(col("v"), col("sdim") + 1))
+        .withColumn("half",
+          (ntile(2).over(Window.partitionBy(col("list_id"))
+            .orderBy(col("sv"), col("vec_id"))) - 1).cast("long"))
+        .select(col("vec_id"), col("v"),
+          (col("list_id") * 2 + col("half")).as("list_id"))
+        .localCheckpoint(false)
+      // the count materializes the lazy checkpoint (one fused job), so
+      // the superseded round's blocks can be freed right away
+      next.count()
+      prev.foreach(GraphOps.unpersistCheckpoint)
+      prev = Some(next)
+      cur = next
+    }
+    prev.foreach(p => ScratchCache.defer(() => GraphOps.unpersistCheckpoint(p)))
+    cur
   }
 
   /** q_sim_ann_lsh — the ANN *scale path* for similarity search:

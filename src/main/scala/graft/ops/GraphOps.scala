@@ -249,11 +249,18 @@ object GraphOps {
       e.select(col("src").as("node"), col("dst").as("comp"))
         .unionByName(e.select(col("dst").as("node"), col("dst").as("comp")))
         .distinct()
+    // Round cap: star alternation halves-or-better the frontier each
+    // double-round, so 25 covers any graph a 64-bit id space can hold;
+    // configurable so tests can exercise the non-convergence guard.
+    val maxRounds =
+      edgesIn.sparkSession.conf
+        .getOption("spark.graft.cc.maxRounds")
+        .map(_.toInt).getOrElse(25)
     var labels: Option[DataFrame] = None
     var prev: Option[DataFrame] = None
     var pairs = 0
     var curCount = edges.count()
-    while (labels.isEmpty && pairs < 25) {
+    while (labels.isEmpty && pairs < maxRounds) {
       if (curCount <= localThreshold) {
         labels = Some(localUnionFind(edges))
       } else {
@@ -280,7 +287,21 @@ object GraphOps {
       }
       pairs += 1
     }
-    labels.getOrElse(starLabels(edges))
+    // The final round's checkpoint blocks are the only copy of the
+    // contracted edge set backing the (lazy) result — register their
+    // release with ScratchCache so harnesses free them once the labels
+    // have been consumed (superseded rounds were freed in-loop).
+    prev.foreach(p => ScratchCache.defer(() => unpersistCheckpoint(p)))
+    // Falling through the cap with no converged star set would return
+    // silently WRONG components (labels from a half-contracted edge
+    // set) — fail loudly instead.
+    labels.getOrElse {
+      throw new IllegalStateException(
+        s"ccLabels: star contraction did not converge within $maxRounds " +
+        s"rounds (frontier still $curCount edges, local-union-find " +
+        s"threshold $localThreshold); raise spark.graft.cc.maxRounds " +
+        "or spark.graft.cc.localEdgeThreshold")
+    }
   }
 
   /** One-pass union-find over an edge set small enough for a single

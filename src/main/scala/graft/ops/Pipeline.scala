@@ -100,8 +100,9 @@ object Pipeline {
     // exact intra-pipeline materialization the reference gets from its
     // on-disk inter-stage files, minus the disk round-trip. (At 100 TB
     // the swap is checkpoint/parquet between stages, same shape.)
-    nodesNorm.cache(); annotated.cache(); mergedNodes.cache()
-    mergedEdges.cache()
+    // Registered with ScratchCache so harnesses free them post-query.
+    Seq(nodesNorm, annotated, mergedNodes, mergedEdges)
+      .foreach(ScratchCache.cache)
     // ---- sink: KGX node/edge JSON Lines + the failure log ----
     mergedNodes
       .select(to_json(struct(col("canonical").as("id"), col("cats"),
