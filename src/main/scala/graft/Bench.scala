@@ -23,6 +23,7 @@ object Bench {
     // first-query JVM warmup or cache-fill cost.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally graft.ops.ScratchCache.releaseAll()
     }
     // Min-of-N per query, with the reps INTERLEAVED as full suite
     // passes (pass 1 times every query, then pass 2, ...): a machine
@@ -33,14 +34,19 @@ object Bench {
     // from exactly that). Min (not median/mean) because external noise
     // is strictly additive.
     //
-    // WARM-CACHE CONTRACT: operator-local scratch caches (registered
-    // in graft.ops.ScratchCache) are deliberately NOT released between
-    // reps — Spark's plan-canonical CacheManager re-matches each rep's
-    // identical plan, so reps 2..N of multi-consumer queries
-    // (dedup_near/ngram/simhash/embcos, pipeline_kgx) measure
-    // steady-state post-cache execution. That is the intended
-    // contract: the bench measures a warmed long-lived session, same
-    // as the warm-up pass above establishes for JIT/codegen/tables.
+    // SCRATCH-CACHE CONTRACT: operator-local scratch frames
+    // (graft.ops.ScratchCache) are released after EVERY query
+    // execution, warm-up and timed reps alike. Each rep therefore
+    // measures a SELF-CONTAINED query execution — its multi-consumer
+    // intermediates are built and consumed within the timed run, the
+    // honest per-query cost. (The earlier keep-warm contract assumed
+    // plan-canonical cache re-matching across reps; that never held
+    // for checkpoint-backed frames — ccLabels rounds mint fresh RDDs
+    // each rep — so blocks and release thunks accumulated every rep
+    // and executor storage grew rep-over-rep, risking eviction/OOM
+    // that skews timings. Per-query release keeps storage flat; the
+    // JIT/codegen warm-up and the shared Tables cache still carry
+    // across reps.)
     //
     // A query that THROWS records -1 (never a timing): time-to-
     // exception would otherwise masquerade as a fast valid
@@ -51,6 +57,7 @@ object Bench {
       val t = try { fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
+      finally graft.ops.ScratchCache.releaseAll()
       if (t >= 0)
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }

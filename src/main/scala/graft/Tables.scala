@@ -20,14 +20,18 @@ object Tables {
   // whole sf0.1 dataset is well under 200 MB cached — at cluster scale
   // this is the classic "cache the dimension/fact working set once"
   // policy, with spill-to-disk if it ever doesn't fit.
-  private val cachedOnce =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  //
+  // The DATAFRAME is memoized too (keyed by session so a second
+  // SparkSession in the JVM never receives a frame bound to the first):
+  // every spark.read.parquet call runs a footer/schema-inference job,
+  // so rebuilding the reader per query would pay one small driver job
+  // per table access — with the memo, query construction after first
+  // table touch is fully lazy (asserted in DedupSimSpec).
+  private val cachedOnce = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
   private def cached(s: SparkSession, d: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    val df = build
-    cachedOnce.getOrElseUpdate((d, name), { df.cache(); () })
-    df
-  }
+      (build: => DataFrame): DataFrame =
+    cachedOnce.getOrElseUpdate((s, d, name), { val df = build; df.cache(); df })
 
   def region(s: SparkSession, d: String): DataFrame =
     cached(s, d, "region")(s.read.parquet(p(d, "region")))

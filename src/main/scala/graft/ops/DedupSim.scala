@@ -419,9 +419,9 @@ object DedupSim {
     * NOT a nested-loop all-pairs join: this is exact top-k with
     * IVF-style angular pruning (the FAISS coarse-quantizer idea made
     * exact via the spherical triangle inequality), and the coarse
-    * quantizer is SIZED TO THE DATA — k ≈ √N balanced lists from
-    * [[kdQuantize]] (ceil(log₂√N) median-bisection rounds), so the
-    * always-candidate same-list volume is N·√N/2 at every N, not
+    * quantizer is SIZED TO THE DATA — k ≈ √N near-balanced lists from
+    * [[kdQuantize]] (ceil(log₂√N) approx-median bisection rounds), so
+    * the always-candidate same-list volume is ~N·√N/2 at every N, not
     * N²/k for a fixed k:
     *   1. every vector belongs to exactly one quantizer list (by
     *      construction) and records its angle θ_u to the list's
@@ -441,16 +441,23 @@ object DedupSim {
     * Σ over *surviving* list pairs of |list_i|·|list_j|. On clustered
     * data — the actual 100 TB near-dup case — θ_ij ≫ r_i + r_j for
     * lists in different clusters and cross-list volume collapses
-    * (PropertiesSpec asserts ~N·√N growth on a 20k-vector planted
-    * set); on this deliberately weak-clustered synthetic set most
+    * (PropertiesSpec "embcos candidate volume" measures
+    * [[embCosCandidateCount]] on planted-cluster sets at N ∈ {5k, 20k}
+    * and asserts ~N^1.5 growth, far below the ~N² of an unpruned
+    * plan); on this deliberately weak-clustered synthetic set most
     * list pairs survive (the exact top-50 genuinely spans clusters),
     * but through bucketed shuffle joins, never a BNLJ. */
   def dedupEmbCos(s: SparkSession, d: String): DataFrame =
-    dedupEmbCosOn(Tables.embeddings(s, d))
+    dedupEmbCosOn(Tables.embeddings(s, d),
+      parquetRowCount(s, s"$d/embeddings.parquet"))
 
-  /** Core of q_dedup_embcos over any (vec_id, embedding) frame. */
-  def dedupEmbCosOn(embeddings: DataFrame): DataFrame = {
-    val parts = embCosParts(embeddings)
+  /** Core of q_dedup_embcos over any (vec_id, embedding) frame.
+    * `knownCount` (when the caller has it from table metadata) keeps
+    * query construction fully lazy — no sizing job runs before the
+    * returned DataFrame is acted on. */
+  def dedupEmbCosOn(embeddings: DataFrame,
+      knownCount: Option[Long] = None): DataFrame = {
+    val parts = embCosParts(embeddings, knownCount)
     // both orientations so u∈i, v∈j, u<v is matched exactly once
     val qual2 = parts.qualPairs
       .union(parts.qualPairs.select(col("lj").as("li"), col("li").as("lj")))
@@ -475,13 +482,18 @@ object DedupSim {
   private[graft] case class EmbCosParts(
       assigned: DataFrame, same: DataFrame, qualPairs: DataFrame)
 
-  private[graft] def embCosParts(embeddings: DataFrame): EmbCosParts = {
+  private[graft] def embCosParts(embeddings: DataFrame,
+      knownCount: Option[Long] = None): EmbCosParts = {
     val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
     val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
-    // k ≈ √N: one driver-side scalar count (metadata-cheap on parquet
-    // tables, one pass otherwise) sizes the quantizer to the data
-    val n = embeddings.count()
+    // k ≈ √N sizes the quantizer to the data. Callers that know the
+    // table's row count (e.g. from parquet footers via
+    // [[parquetRowCount]]) pass it so NO job runs during query
+    // construction; the count() fallback serves arbitrary in-memory
+    // frames (tests). k only needs to be approximately √N — any
+    // nearby value preserves both exactness and the N·√N asymptotics.
+    val n = knownCount.getOrElse(embeddings.count())
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val vecs = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -537,9 +549,36 @@ object DedupSim {
     EmbCosParts(assigned, same, qual)
   }
 
+  /** Row count straight from parquet footer metadata — a driver-side
+    * footer read (no Spark job), the lazy-construction path for sizing
+    * [[dedupEmbCosOn]]'s quantizer. Handles both a single .parquet file
+    * and a directory of part files; any failure (missing path, not
+    * parquet) degrades to None and the caller falls back to count(). */
+  private[graft] def parquetRowCount(s: SparkSession, path: String)
+      : Option[Long] =
+    try {
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files = {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Array(st)
+        else fs.listStatus(p).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+      if (files.isEmpty) None
+      else Some(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Total candidate-pair volume the pruned plan enumerates (same-list
     * pairs + members of surviving cross-list pairs) — the quantity the
-    * N·√N scale property test audits. */
+    * N·√N scale property test audits (PropertiesSpec
+    * "embcos candidate volume"). */
   private[graft] def embCosCandidateCount(embeddings: DataFrame): Long = {
     val parts = embCosParts(embeddings)
     val samePairs = parts.same.count()
@@ -553,58 +592,108 @@ object DedupSim {
     samePairs + crossPairs
   }
 
-  /** Balanced k-d-style coarse quantizer: ⌈log₂ k⌉ rounds of median
-    * bisection, each round splitting every list in half on its widest
-    * dimension (max − min spread, ties to the lowest dim). Returns
-    * (vec_id, v, list_id) with 2^⌈log₂ k⌉ ∈ [k, 2k) lists whose sizes
-    * differ by at most one — balanced by construction via ntile over
-    * the (value, vec_id) total order, so downstream same-list pair
-    * volume is exactly N·(N/k)/2 with no skewed list.
+  /** Near-balanced k-d-style coarse quantizer: ⌈log₂ k⌉ rounds of
+    * approximate-median bisection, each round splitting every list in
+    * half on its widest dimension (max − min spread, ties to the lowest
+    * dim). Returns (vec_id, v, list_id) with 2^⌈log₂ k⌉ ∈ [k, 2k)
+    * lists.
     *
-    * Deterministic under any partitioning: max/min are order
-    * independent, the ntile window has a total order, and each round
-    * is a localCheckpoint (lineage truncation keeps the plan from
-    * doubling per round; superseded rounds are freed immediately, the
-    * final one via [[ScratchCache]]). At 100 TB the per-round
-    * materialization swaps from executor-local blocks to a parquet
-    * checkpoint between rounds — the standard iterative-refinement
-    * shape (k-means, CC) with log √N ≤ ~17 rounds at any realistic N.
+    * The split point is `percentile_approx(dim value, 0.5)` per list —
+    * a DISTRIBUTED partial aggregate (map-side sketches merged on
+    * reducers), so no round ever sorts a list through one task; rows
+    * at the split value tie-break by a hash of vec_id so a
+    * constant-valued list still splits evenly. An earlier formulation
+    * used `ntile(2) OVER (PARTITION BY list_id ORDER BY sv)` for an
+    * exactly-balanced split — a scale trap: round 0 has ONE list, so
+    * the window serialized the entire dataset through a single
+    * reducer's sort. The top-50 result does NOT depend on split
+    * quality (any assignment yields a valid quantizer; the angular
+    * bound in [[embCosParts]] keeps the result exact), so the
+    * approximate median is strictly better: same asymptotics,
+    * ±sketch-error balance, no single-task stage.
+    *
+    * Construction is FULLY LAZY — no action, no job until the caller
+    * acts on the result (q_dedup_embcos builds with zero jobs;
+    * asserted in DedupSimSpec). Each round computes spread AND
+    * approx-median for every dim in ONE aggregate (the sketch work on
+    * the 63 non-widest dims is the price of one pass), then ends in a
+    * LAZY localCheckpoint so the plan stays constant-size across
+    * rounds instead of doubling (a cache-per-round variant was tried:
+    * execution dedups fine, but the 2^rounds logical plan OOMs AQE's
+    * per-stage explain-string rendering at 20k vectors). The
+    * checkpointed frame is PLANNED WITH AQE DISABLED: classic
+    * planning builds the RDD DAG without materializing any stage
+    * (AQE's toRdd eagerly runs every shuffle as a job), which is what
+    * keeps construction job-free; everything downstream of the
+    * quantizer still plans adaptively. All rounds' blocks are
+    * released via [[ScratchCache]] once the harness has consumed the
+    * query — log₂√N ≤ ~17 rounds × N rows at any realistic N. At
+    * 100 TB the per-round materialization swaps from executor-local
+    * blocks to a parquet checkpoint between rounds — the standard
+    * iterative-refinement shape (k-means, CC).
     */
   private[graft] def kdQuantize(vecs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rounds =
       if (k <= 1) 0
       else 32 - Integer.numberOfLeadingZeros(k - 1) // = ceil(log2(k))
-    var cur = vecs.select(col("vec_id"), col("v"), lit(0L).as("list_id"))
-    var prev: Option[DataFrame] = None
+    // round 0's list_id is always 0 but must be NON-FOLDABLE (see k0):
+    // a literal would constant-fold the round-0 join condition to
+    // 0 = 0 → no equi keys → BroadcastNestedLoopJoin, whose broadcast
+    // job would fire during the lazy checkpoint's planning
+    var cur = vecs.select(col("vec_id"), col("v"),
+      pmod(xxhash64(col("vec_id")), lit(1L)).as("list_id"))
     for (_ <- 0 until rounds) {
-      val sdim = cur
+      // per (list, dim): spread + approx median in one pass; the
+      // widest dim's row survives → (list_id, sdim, cut). max_by over
+      // (sp, -pos) is the deterministic argmax (ties → lowest dim) as
+      // a partial-aggregable hash aggregate — no window (a
+      // partitionBy(list_id) window would constant-fold to an empty
+      // partition spec in round 0, where list_id is literal 0).
+      val sdc = cur
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
-        .agg((max(col("col")) - min(col("col"))).as("sp"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("list_id"))
-            .orderBy(col("sp").desc, col("pos"))))
-        .filter(col("rn") === 1)
-        .select(col("list_id"), col("pos").as("sdim"))
-      val next = cur
-        .join(broadcast(sdim), "list_id")
+        .agg((max(col("col")) - min(col("col"))).as("sp"),
+          percentile_approx(col("col"), lit(0.5), lit(1000)).as("cut"))
+        .groupBy(col("list_id"))
+        .agg(max_by(struct(col("pos").as("sdim"), col("cut")),
+          struct(col("sp"), -col("pos"))).as("w"))
+        .select(col("list_id"), col("w.sdim").as("sdim"),
+          col("w.cut").as("cut"))
+      // ≤ 2^round split rows joined back for the assignment. A
+      // SHUFFLE_HASH join, not broadcast: broadcast exchanges submit
+      // their build job during doExecute — i.e. during this lazy
+      // checkpoint's planning — which would make construction eager
+      // again. The price is a per-round shuffle of the vectors by
+      // list_id (the split table side is k rows); at 100 TB that
+      // shuffle rides the same parquet-checkpoint-per-round swap the
+      // scaladoc above describes.
+      val next = withAqeDisabled(cur.sparkSession)(cur
+        .join(sdc.hint("SHUFFLE_HASH"), "list_id")
         .withColumn("sv", element_at(col("v"), col("sdim") + 1))
         .withColumn("half",
-          (ntile(2).over(Window.partitionBy(col("list_id"))
-            .orderBy(col("sv"), col("vec_id"))) - 1).cast("long"))
+          when(col("sv") < col("cut"), 0L)
+            .when(col("sv") > col("cut"), 1L)
+            .otherwise(pmod(xxhash64(col("vec_id")), lit(2L))))
         .select(col("vec_id"), col("v"),
           (col("list_id") * 2 + col("half")).as("list_id"))
-        .localCheckpoint(false)
-      // the count materializes the lazy checkpoint (one fused job), so
-      // the superseded round's blocks can be freed right away
-      next.count()
-      prev.foreach(GraphOps.unpersistCheckpoint)
-      prev = Some(next)
+        .localCheckpoint(false))
+      ScratchCache.defer(() => GraphOps.unpersistCheckpoint(next))
       cur = next
     }
-    prev.foreach(p => ScratchCache.defer(() => GraphOps.unpersistCheckpoint(p)))
     cur
+  }
+
+  /** Runs `body` (a plan-construction block, typically ending in a
+    * lazy localCheckpoint) with adaptive execution off, restoring the
+    * session conf after. Lazy checkpointing under AQE is NOT lazy:
+    * AdaptiveSparkPlanExec.execute materializes every upstream stage
+    * as jobs during toRdd; the classic planner builds the same DAG
+    * without running anything. */
+  private def withAqeDisabled[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, before)
   }
 
   /** q_sim_ann_lsh — the ANN *scale path* for similarity search:

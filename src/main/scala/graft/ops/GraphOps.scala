@@ -239,10 +239,8 @@ object GraphOps {
     // distributed CC. At 100 TB the star rounds above threshold do the
     // contraction (each halves-or-better the frontier), and the local
     // pass only ever sees ≤ threshold edges.
-    val localThreshold =
-      edgesIn.sparkSession.conf
-        .getOption("spark.graft.cc.localEdgeThreshold")
-        .map(_.toLong).getOrElse(4000000L)
+    val localThreshold = longConf(edgesIn,
+      "spark.graft.cc.localEdgeThreshold", 4000000L)
     // star-fixpoint label extraction: each component is one star
     // centered at its minimum
     def starLabels(e: DataFrame): DataFrame =
@@ -252,10 +250,7 @@ object GraphOps {
     // Round cap: star alternation halves-or-better the frontier each
     // double-round, so 25 covers any graph a 64-bit id space can hold;
     // configurable so tests can exercise the non-convergence guard.
-    val maxRounds =
-      edgesIn.sparkSession.conf
-        .getOption("spark.graft.cc.maxRounds")
-        .map(_.toInt).getOrElse(25)
+    val maxRounds = longConf(edgesIn, "spark.graft.cc.maxRounds", 25L).toInt
     var labels: Option[DataFrame] = None
     var prev: Option[DataFrame] = None
     var pairs = 0
@@ -303,6 +298,18 @@ object GraphOps {
         "or spark.graft.cc.localEdgeThreshold")
     }
   }
+
+  /** Numeric session conf with a clear failure mode: a malformed value
+    * names the conf key instead of surfacing a bare
+    * NumberFormatException from inside an operator. */
+  private def longConf(df: DataFrame, key: String, default: Long): Long =
+    df.sparkSession.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
 
   /** One-pass union-find over an edge set small enough for a single
     * task (gated by `spark.graft.cc.localEdgeThreshold` in

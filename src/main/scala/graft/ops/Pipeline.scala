@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import graft.Tables
 import java.nio.file.Paths
 
@@ -32,6 +33,70 @@ object Pipeline {
   private def tmp(name: String, d: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+
+  /** Spec-driven EP1→EP3: every (spec, path) source parses through
+    * [[SourceSpec]] (the declarative replacement for the reference's
+    * ~30 per-source loader scripts), same-id nodes merge (sorted
+    * category-set union, max name, distinct-source count),
+    * same-(subject, predicate, object) edges merge with multiplicity
+    * and provenance, and KGX node/edge JSON Lines land under
+    * `outDir/nodes` and `outDir/edges`. Returns the (stage, n) ledger.
+    *
+    * Scale shape is identical to [[pipelineKgx]]: per-source scans
+    * with pushed filters, hash-aggregate merges, columnar writes —
+    * adding a source adds a scan, never a new shuffle pattern. */
+  def pipelineFromSpecs(s: SparkSession, sources: Seq[(SourceSpec, String)],
+      outDir: String): DataFrame = {
+    require(sources.nonEmpty, "pipelineFromSpecs: no sources given")
+    val parsed = sources.map { case (sp, p) => SourceSpec.load(s, sp, p) }
+    // nodes/edges each feed a merge AND a ledger aggregate; merges
+    // each feed a sink write AND a ledger aggregate — cache all four,
+    // released by the harness via ScratchCache (same contract as
+    // pipelineKgx)
+    val nodes = parsed.map(_._1).reduce(_ unionByName _)
+      .pipe(ScratchCache.cache)
+    val edges = parsed.map(_._2).reduce(_ unionByName _)
+      .pipe(ScratchCache.cache)
+    val mergedNodes = nodes.groupBy(col("id"))
+      .agg(
+        array_join(sort_array(collect_set(col("category"))), ",").as("cats"),
+        max(col("name")).as("name"),
+        countDistinct(col("source")).as("n_srcs"))
+      .pipe(ScratchCache.cache)
+    val mergedEdges = edges
+      .groupBy(col("subject"), col("predicate"), col("object"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+      .pipe(ScratchCache.cache)
+    mergedNodes
+      .select(to_json(struct(col("id"), col("name"),
+        col("cats").as("category"), col("n_srcs"))))
+      .write.mode("overwrite").text(s"$outDir/nodes")
+    mergedEdges
+      .select(to_json(struct(col("subject"), col("predicate"),
+        col("object"), col("n"), col("sources"))))
+      .write.mode("overwrite").text(s"$outDir/edges")
+    val nodeRows = nodes.agg(count(lit(1)).as("p"))
+      .select(explode(map(lit("parsed_nodes"), col("p")))
+        .as(Seq("stage", "n")))
+    val edgeRows = edges.agg(count(lit(1)).as("p"))
+      .select(explode(map(lit("parsed_edges"), col("p")))
+        .as(Seq("stage", "n")))
+    val mNodeRows = mergedNodes.agg(
+        count(lit(1)).as("m"),
+        sum(when(col("n_srcs") >= 2, 1L).otherwise(0L)).as("multi"))
+      .select(explode(map(
+        lit("merged_nodes"), col("m"),
+        lit("merged_multi_source_nodes"), col("multi"),
+        lit("written_nodes"), col("m"))).as(Seq("stage", "n")))
+    val mEdgeRows = mergedEdges.agg(count(lit(1)).as("m"))
+      .select(explode(map(
+        lit("merged_edges"), col("m"),
+        lit("written_edges"), col("m"))).as(Seq("stage", "n")))
+    nodeRows.unionByName(edgeRows).unionByName(mNodeRows)
+      .unionByName(mEdgeRows)
+      .orderBy(col("stage"))
+  }
 
   def pipelineKgx(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -14,10 +14,12 @@ import org.apache.spark.sql.DataFrame
   *    is written, so a 92-query correctness pass has no net cache
   *    growth (each query's scratch frames live only while that query
   *    runs);
-  *  - [[graft.Bench]] deliberately does NOT release between reps: its
-  *    documented warm-cache contract (see Bench.scala) measures
-  *    steady-state execution, and Spark's plan-canonical CacheManager
-  *    re-matches each rep's identical plan to the already-built cache;
+  *  - [[graft.Bench]] releases after every query execution (warm-up
+  *    and timed reps alike), so executor storage stays FLAT across
+  *    reps: checkpoint-backed registrations (ccLabels rounds) create
+  *    fresh RDDs each rep that plan-canonical cache matching can never
+  *    reuse — without the per-query drain they would accumulate
+  *    rep-over-rep and risk eviction/OOM mid-bench;
   *  - long-lived sessions (notebooks) call [[releaseAll]] whenever they
   *    want scratch memory back — table-level caches
   *    ([[graft.Tables]]) are NOT registered here and survive.
@@ -41,9 +43,18 @@ object ScratchCache {
     * [[GraphOps.unpersistCheckpoint]]). */
   def defer(release: () => Unit): Unit = live.add(release)
 
-  /** Free every registered scratch frame. Safe to call at any time:
-    * anything still needed will lazily recompute (correctness is never
-    * cache-dependent, only speed). */
+  /** Free every registered scratch frame.
+    *
+    * For `.cache()`-backed registrations this is safe at any time —
+    * a still-needed frame lazily recomputes (correctness is never
+    * cache-dependent, only speed). Registrations deferred for
+    * LOCAL-CHECKPOINT blocks (ccLabels' final round) are different:
+    * their lineage is truncated, so a dependent result that has NOT
+    * yet been fully consumed fails with missing-block errors after
+    * release rather than recomputing. Call releaseAll only once every
+    * result derived from registered frames has been materialized
+    * (collected/written/counted) — which is exactly how Verify, Bench
+    * and the specs use it. */
   def releaseAll(): Unit = {
     var r = live.poll()
     while (r != null) {

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One node extraction rule: which column carries the id, how to build
+  * the CURIE, the Biolink category, and an optional row filter
+  * (SQL boolean expression over the RAW columns — compiled to a
+  * Catalyst predicate, so it pushes into the scan). */
+case class NodeRule(
+  idCol: String,
+  idPrefix: String,
+  category: String,
+  nameCol: Option[String] = None,
+  filter: Option[String] = None)
+
+/** One edge extraction rule. The predicate is either the constant
+  * `predicate`, or — when `predicateCol` is set — a lookup of that
+  * column through `predicateMap` with unmapped values RETAINED as
+  * `raw:<lower>` (the same norm-failure retention rule the rest of
+  * the engine uses; see GraphOps.normalizeEdges). */
+case class EdgeRule(
+  subjectCol: String,
+  subjectPrefix: String,
+  objectCol: String,
+  objectPrefix: String,
+  predicate: String = "biolink:related_to",
+  predicateCol: Option[String] = None,
+  predicateMap: Map[String, String] = Map.empty,
+  filter: Option[String] = None)
+
+/** Declarative per-source parser spec — the reference's dominant
+  * extension pattern made data instead of code. The reference ships
+  * ~30 `parsers/<SRC>/src/load<SRC>.py` variants that all do the same
+  * thing: read a delimited/JSON file, map columns to KGX node/edge
+  * fields, filter rows, prefix CURIEs. A [[SourceSpec]] captures that
+  * shape as a value, so adding a source means writing a spec (which
+  * could itself be loaded from config), not new Scala.
+  *
+  *  - `format`: tsv | csv | jsonl | parquet.
+  *  - `columns`: pins a headerless delimited schema (all strings —
+  *    these formats are untyped; pinning also means NO inference pass,
+  *    which at 100 TB would be a second full read).
+  *  - `options`: passed straight to the DataFrameReader (e.g.
+  *    `header -> true`, `comment -> "!"`).
+  *
+  * Everything compiles to column expressions over one scan — filters
+  * and projections push down; nothing is row-at-a-time. */
+case class SourceSpec(
+  name: String,
+  format: String = "tsv",
+  options: Map[String, String] = Map.empty,
+  columns: Seq[String] = Nil,
+  nodes: Seq[NodeRule] = Nil,
+  edges: Seq[EdgeRule] = Nil)
+
+object SourceSpec {
+  /** Scan the source file(s) per the spec (schema pinned, no
+    * inference when `columns` is given). */
+  def read(s: SparkSession, spec: SourceSpec, path: String): DataFrame = {
+    val pinned =
+      if (spec.columns.isEmpty) None
+      else Some(StructType(spec.columns.map(StructField(_, StringType))))
+    spec.format.toLowerCase match {
+      case f @ ("tsv" | "csv") =>
+        val r = s.read.options(spec.options)
+          .option("sep", if (f == "tsv") "\t" else ",")
+        pinned match {
+          case Some(sc) => r.schema(sc).csv(path)
+          // header names the columns; values stay strings (no
+          // inference pass unless the spec opts in via options)
+          case None => r.option("header", "true").csv(path)
+        }
+      case "jsonl" | "json" =>
+        pinned.fold(s.read.options(spec.options))(
+          s.read.options(spec.options).schema(_)).json(path)
+      case "parquet" => s.read.options(spec.options).parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"SourceSpec '${spec.name}': unsupported format '$other'")
+    }
+  }
+
+  private def prefixed(prefix: String, c: Column): Column =
+    if (prefix.isEmpty) c.cast("string")
+    else concat(lit(prefix), c.cast("string"))
+
+  /** KGX-shaped nodes (id, name, category, source) from every node
+    * rule — one scan, unioned extractions, null ids dropped. */
+  def nodes(raw: DataFrame, spec: SourceSpec): DataFrame = {
+    require(spec.nodes.nonEmpty,
+      s"SourceSpec '${spec.name}' declares no node rules")
+    spec.nodes.map { r =>
+      raw.filter(r.filter.map(expr).getOrElse(lit(true)))
+        .select(
+          prefixed(r.idPrefix, col(r.idCol)).as("id"),
+          r.nameCol.map(col(_).cast("string"))
+            .getOrElse(prefixed(r.idPrefix, col(r.idCol))).as("name"),
+          lit(r.category).as("category"),
+          lit(spec.name).as("source"))
+        .filter(col("id").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** KGX-shaped edges (subject, predicate, object, source) from every
+    * edge rule; rows with a null endpoint are dropped (they would be
+    * dangling by construction). */
+  def edges(raw: DataFrame, spec: SourceSpec): DataFrame =
+    spec.edges match {
+      case Nil =>
+        raw.limit(0).select(
+          lit(null).cast("string").as("subject"),
+          lit(null).cast("string").as("predicate"),
+          lit(null).cast("string").as("object"),
+          lit(null).cast("string").as("source"))
+      case rules => rules.map { r =>
+        val pred = r.predicateCol match {
+          case None => lit(r.predicate): Column
+          case Some(pc) =>
+            r.predicateMap.foldLeft(
+              concat(lit("raw:"), lower(col(pc))): Column) {
+              case (acc, (k, v)) => when(col(pc) === k, lit(v)).otherwise(acc)
+            }
+        }
+        raw.filter(r.filter.map(expr).getOrElse(lit(true)))
+          .select(
+            prefixed(r.subjectPrefix, col(r.subjectCol)).as("subject"),
+            pred.as("predicate"),
+            prefixed(r.objectPrefix, col(r.objectCol)).as("object"),
+            lit(spec.name).as("source"))
+          .filter(col("subject").isNotNull && col("object").isNotNull)
+      }.reduce(_ unionByName _).distinct()
+    }
+
+  /** One-call spec → (nodes, edges). */
+  def load(s: SparkSession, spec: SourceSpec, path: String)
+      : (DataFrame, DataFrame) = {
+    val raw = read(s, spec, path)
+    (nodes(raw, spec), edges(raw, spec))
+  }
+}

@@ -32,33 +32,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.AnalysisException
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import graft.functions.CosineSimilarity
+
+  /** Arity validation for registration builders: a builder that indexes
+    * `children(i)` unguarded turns `shingles(text)` into an
+    * IndexOutOfBoundsException from deep inside the analyzer — this
+    * raises the same WRONG_NUM_ARGS AnalysisException Spark's own
+    * function registry produces. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n)
+        throw new AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(children)
+    }
 
   /** `cosine_sim(array<double>, array<double>) -> double` — the native
     * codegen expression (one fused loop, no interpreted lambdas). */
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1))))
 
   /** Runtime registration for an existing session (tests, notebooks). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
+      arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min_est",
-      (children: Seq[Expression]) =>
-        graft.functions.CountMinEstimate(children(0), children(1))
-          .toAggregateExpression(),
+      arity("count_min_est", 2)(c =>
+        graft.functions.CountMinEstimate(c(0), c(1)).toAggregateExpression()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles",
-      (children: Seq[Expression]) =>
-        graft.functions.ShinglesGenerator(children(0), children(1)),
+      arity("shingles", 2)(c =>
+        graft.functions.ShinglesGenerator(c(0), c(1))),
       "built-in")
   }
 }

@@ -135,6 +135,41 @@ class DedupSimSpec extends GraftSuite {
     assert(pairs.get((1L, 2L)).contains(0), s"dup pair missing/nonzero: $pairs")
   }
 
+  test("embcos sizing reads parquet metadata; construction runs no job") {
+    // Warm the table reader first: spark.read.parquet runs a one-time
+    // footer/schema-inference job at first access, which belongs to
+    // table setup, not query construction. Doubles as the
+    // footer-vs-real row count check.
+    assert(DedupSim.parquetRowCount(spark, s"$sf/embeddings.parquet")
+      .contains(Tables.embeddings(spark, sf).count()))
+    // query CONSTRUCTION must not run any Spark job (the sizing
+    // count() it replaced was one): watch the job-start stream around
+    // the builder call.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(500) // drain queued events from the warm-up count
+      jobs = 0
+      val df = DedupSim.dedupEmbCos(spark, sf)
+      Thread.sleep(500) // listener bus is async; let any event drain
+      assert(jobs == 0, s"query construction ran $jobs job(s)")
+      // guard against a vacuous listener: acting on the frame MUST
+      // register jobs through the same counter
+      assert(df.limit(1).count() == 1)
+      var waited = 0
+      while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
+      assert(jobs > 0, "listener never observed the execution jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      ScratchCache.releaseAll()
+    }
+  }
+
   test("exact dedup: distinct counts never exceed doc counts") {
     val rows = DedupSim.dedupExact(spark, sf).collect()
     rows.foreach { r =>

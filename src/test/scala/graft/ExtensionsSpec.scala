@@ -77,6 +77,23 @@ class ExtensionsSpec extends GraftSuite {
     }
   }
 
+  test("wrong arity raises AnalysisException, not IndexOutOfBounds") {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingles('a b c d e')").collect()
+    }
+    assert(ex.getMessage.contains("shingles"))
+    assert(ex.getMessage.contains("2"), "expected arity named in the error")
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d))").collect()
+    }
+    assert(ex2.getMessage.contains("cosine_sim"))
+    val ex3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count_min_est(1, 2, 3)").collect()
+    }
+    assert(ex3.getMessage.contains("count_min_est"))
+  }
+
   test("XML ingest: write and read back with the built-in xml source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
     Tables.nation(spark, sf)

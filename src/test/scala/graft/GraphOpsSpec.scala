@@ -134,6 +134,36 @@ class GraphOpsSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
+  test("ccLabels throws loudly when the round cap is hit before convergence") {
+    // 300-node path: needs several star double-rounds; cap at 1 round
+    // with the union-find endgame disabled, so the guard MUST trip —
+    // falling through silently would return wrong half-contracted labels
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    spark.conf.set("spark.graft.cc.maxRounds", "1")
+    try {
+      val ex = intercept[IllegalStateException] { GraphOps.ccLabels(edges) }
+      assert(ex.getMessage.contains("did not converge"))
+      assert(ex.getMessage.contains("spark.graft.cc.maxRounds"))
+    } finally {
+      spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+      spark.conf.unset("spark.graft.cc.maxRounds")
+    }
+    // and the same graph converges fine with the default cap
+    assert(GraphOps.ccLabels(edges).collect()
+      .forall(_.getLong(1) == 0L), "path graph is one component rooted at 0")
+  }
+
+  test("malformed cc conf values name the conf key, not a bare parse error") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    spark.conf.set("spark.graft.cc.maxRounds", "twenty")
+    try {
+      val ex = intercept[IllegalArgumentException] { GraphOps.ccLabels(edges) }
+      assert(ex.getMessage.contains("spark.graft.cc.maxRounds"))
+      assert(ex.getMessage.contains("twenty"))
+    } finally spark.conf.unset("spark.graft.cc.maxRounds")
+  }
+
   test("cc size histogram sums to the vertex count") {
     import org.apache.spark.sql.functions.{col, sum}
     val hist = GraphOps.connectedComponents(spark, sf)

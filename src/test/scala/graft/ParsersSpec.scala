@@ -146,6 +146,80 @@ class ParsersSpec extends GraftSuite {
     assert(broken.length == 1 && broken.head.isNullAt(0))
   }
 
+  test("SourceSpec: declarative specs drive TSV+CSV sources to merged KGX") {
+    import graft.ops.{EdgeRule, NodeRule, Pipeline, SourceSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_specsrc")
+    // source 1: headerless interactions TSV (schema pinned by the spec)
+    java.nio.file.Files.writeString(dir.resolve("interactions.tsv"),
+      "P1\tP2\tbinds\n" +
+      "P1\tP3\tbinds\n" +
+      "P2\tP3\tregulates\n" +   // unmapped predicate → raw:regulates
+      "P2\tP3\tbinds\n" +       // duplicate endpoint pair, new predicate
+      "P4\t\tbinds\n")          // null object → edge dropped, node kept
+    val interactions = SourceSpec(
+      name = "interactions",
+      format = "tsv",
+      columns = Seq("a", "b", "typ"),
+      nodes = Seq(
+        NodeRule(idCol = "a", idPrefix = "PROT:", category = "biolink:Protein"),
+        NodeRule(idCol = "b", idPrefix = "PROT:", category = "biolink:Protein")),
+      edges = Seq(EdgeRule(
+        subjectCol = "a", subjectPrefix = "PROT:",
+        objectCol = "b", objectPrefix = "PROT:",
+        predicateCol = Some("typ"),
+        predicateMap = Map("binds" -> "biolink:directly_physically_interacts_with"))))
+    // source 2: headered terms CSV with a row filter; P3 overlaps source 1
+    java.nio.file.Files.writeString(dir.resolve("terms.csv"),
+      "term_id,label,obsolete\n" +
+      "T1,alpha term,false\n" +
+      "T2,dead term,true\n" +
+      "P3,shared protein,false\n")
+    val terms = SourceSpec(
+      name = "terms",
+      format = "csv",
+      options = Map("header" -> "true"),
+      nodes = Seq(NodeRule(idCol = "term_id", idPrefix = "PROT:",
+        category = "biolink:NamedThing", nameCol = Some("label"),
+        filter = Some("obsolete <> 'true'"))))
+    // rule-level results
+    val (n1, e1) = SourceSpec.load(spark,
+      interactions, dir.resolve("interactions.tsv").toString)
+    assert(n1.collect().map(_.getString(0)).toSet ==
+      Set("PROT:P1", "PROT:P2", "PROT:P3", "PROT:P4"))
+    val e1rows = e1.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(e1rows == Set(
+      ("PROT:P1", "biolink:directly_physically_interacts_with", "PROT:P2"),
+      ("PROT:P1", "biolink:directly_physically_interacts_with", "PROT:P3"),
+      ("PROT:P2", "biolink:directly_physically_interacts_with", "PROT:P3"),
+      ("PROT:P2", "raw:regulates", "PROT:P3")))
+    val (n2, _) = SourceSpec.load(spark,
+      terms, dir.resolve("terms.csv").toString)
+    assert(n2.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("PROT:T1", "alpha term"), ("PROT:P3", "shared protein")),
+      "obsolete row filtered out; names from nameCol")
+    // end-to-end: both specs through the spec-driven pipeline
+    val out = dir.resolve("kgx").toString
+    val ledger = Pipeline.pipelineFromSpecs(spark, Seq(
+        interactions -> dir.resolve("interactions.tsv").toString,
+        terms -> dir.resolve("terms.csv").toString),
+      out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    assert(ledger("parsed_nodes") == 6L) // 4 interaction + 2 term nodes
+    assert(ledger("merged_nodes") == 5L) // PROT:P3 merged across sources
+    assert(ledger("merged_multi_source_nodes") == 1L)
+    assert(ledger("parsed_edges") == 4L)
+    assert(ledger("merged_edges") == 4L)
+    // the merged node carries both categories, sorted
+    val nodeLines = java.nio.file.Files.list(
+        java.nio.file.Paths.get(out, "nodes")).toArray
+      .map(_.toString).filter(_.endsWith(".txt"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    val p3 = nodeLines.find(_.contains("PROT:P3")).get
+    assert(p3.contains("biolink:NamedThing,biolink:Protein"))
+    assert(nodeLines.length == 5)
+  }
+
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geo_mean",

@@ -147,6 +147,40 @@ class PropertiesSpec extends GraftSuite {
     })
   }
 
+  test("embcos candidate volume grows ~N^1.5, far below N^2") {
+    // Planted-cluster embedding sets: `clusters` well-separated centers
+    // (deterministic pseudo-random via sin(), so the frame is generated
+    // distributedly with no driver-side data), each member = center +
+    // 1% noise. Cluster SIZE is held fixed as N grows — the realistic
+    // 100 TB near-dup regime (more documents ⇒ more duplicate groups,
+    // not bigger ones) — so an N^1.5-shaped plan must keep candidate
+    // volume ~N^1.5 while an unpruned all-pairs plan pays ~N².
+    def planted(n: Int): org.apache.spark.sql.DataFrame = {
+      val clusters = n / 100
+      spark.range(n.toLong).selectExpr(
+        "id AS vec_id",
+        s"""transform(sequence(0, 63), d ->
+             cast(sin((pmod(id, $clusters) * 64 + d) * 12.9898d) +
+                  0.01d * sin((id * 64 + d) * 78.233d) AS float))
+           AS embedding""")
+    }
+    def measure(n: Int): Long =
+      try DedupSim.embCosCandidateCount(planted(n))
+      finally ScratchCache.releaseAll()
+    val c5 = measure(5000)
+    val c20 = measure(20000)
+    info(s"candidates: N=5000 -> $c5, N=20000 -> $c20")
+    // absolute scale: ≤ 2·N^1.5 at both sizes (an all-pairs plan would
+    // be N²/2 ≈ 35×/70× that); growth over a 4× N step: N^1.5 predicts
+    // 8×, N² predicts 16× — assert well below the quadratic rate
+    assert(c5 <= 2L * math.pow(5000d, 1.5).toLong,
+      s"N=5000 candidate volume $c5 not ~N^1.5")
+    assert(c20 <= 2L * math.pow(20000d, 1.5).toLong,
+      s"N=20000 candidate volume $c20 not ~N^1.5")
+    val growth = c20.toDouble / c5
+    assert(growth < 12.0, s"growth $growth over 4x N is closer to N^2")
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
     val df = Seq((0L, v, 0), (1L, v, 1)).toDF("vec_id", "embedding", "label")
