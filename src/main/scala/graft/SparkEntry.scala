@@ -16,8 +16,10 @@ object SparkEntry {
     "q_source_csv" -> (Sources.sourceCsv _),
     "q_source_jsonl" -> (Sources.sourceJsonl _),
     "q_sink_kgx" -> (Sources.sinkKgx _),
+    "q_sink_neo4j" -> (Neo4jSink.sinkNeo4j _),
     // §2.11 graph / ETL
     "q_norm_remap" -> (GraphOps.normRemap _),
+    "q_norm_batch" -> (NodeNorm.normBatch _),
     "q_norm_edges" -> (GraphOps.normEdges _),
     "q_graph_node_merge" -> (GraphOps.nodeMerge _),
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_sample_split" -> (TextOps.sampleSplit _),
     "q_sample_mixture" -> (TextOps.sampleMixture _),
     "q_pack_shards" -> (TextOps.packShards _),
+    "q_pack_shards_ranged" -> (TextOps.packShardsRanged _),
     "q_text_contamination" -> (TextOps.contamination _),
     "q_text_repetition" -> (TextOps.repetition _),
     // §2.10 streaming batch twins

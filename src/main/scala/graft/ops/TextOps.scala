@@ -180,6 +180,56 @@ object TextOps {
       .orderBy(col("source"), col("shard"))
   }
 
+  /** q_pack_shards_ranged — GLOBAL contiguous shard packing without a
+    * one-task window: the distributed two-phase prefix sum.
+    * [[packShards]] parallelizes per source, which is the right default
+    * but serializes when one giant source dominates. Here the global
+    * doc_id order is range-partitioned, each range computes its LOCAL
+    * running token sum, and the per-range subtotals (one row per
+    * partition — O(partitions), never O(rows)) get their exclusive
+    * prefix via a window over that tiny frame; a broadcast join adds
+    * each range's offset back to its local sums. Global cumulative sum,
+    * exact, with no task ever seeing more than one range of the data —
+    * the same plan at 100 TB with more ranges.
+    *
+    * Construction stays lazy (no driver collect; the subtotal window
+    * runs on a partition-count-sized frame inside the plan). The ranged
+    * frame feeds both phases, so it registers with [[ScratchCache]].
+    * Budget 2000 tokens, same straddler contract as [[packShards]]. */
+  def packShardsRanged(s: SparkSession, d: String): DataFrame =
+    packShardsRangedOn(Tables.documents(s, d), 2000L,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+
+  def packShardsRangedOn(docs: DataFrame, budget: Long,
+      numRanges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = ScratchCache.cache(docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"))
+      .repartitionByRange(numRanges, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    // exclusive prefix of the per-range subtotals: numRanges rows, so
+    // the unpartitioned window is a constant-size single task
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("toks")).as("t"))
+      .withColumn("off",
+        coalesce(sum(col("t")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid").as("opid"), col("off"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("cum_local", sum(col("toks")).over(localW))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .withColumn("cum", col("cum_local") + col("off"))
+      .withColumn("shard",
+        floor((col("cum") - col("toks")) / budget).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** Rolling word-5-gram shingles (lower, whitespace) — the shared
     * construction of fingerprint / near-dup / contamination. */
   private[graft] def shingles5(documents: DataFrame): DataFrame = {

@@ -832,6 +832,37 @@ object OracleSql {
         |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
+    "q_sink_neo4j" ->
+      """WITH c AS (
+        |  SELECT 'Agent' AS label, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'ChemicalEntity', COUNT(*) FROM part
+        |  UNION ALL SELECT 'part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'rel:RELATED_TO', COUNT(*) FROM lineitem)
+        |SELECT label, CAST(n AS BIGINT) AS n
+        |FROM c ORDER BY label""".stripMargin,
+
+    "q_norm_batch" ->
+      """SELECT 'CUST:' || c_custkey AS raw_id,
+        |CASE WHEN c_custkey % 3 <> 0 THEN 'CANON:' || c_custkey END AS canonical_id,
+        |CASE WHEN c_custkey % 3 <> 0 THEN 'cust ' || c_custkey END AS canonical_label,
+        |CASE WHEN c_custkey % 3 <> 0 THEN 'biolink:Agent' END AS cats,
+        |CAST(CASE WHEN c_custkey % 3 <> 0 THEN 2 END AS BIGINT) AS n_equiv
+        |FROM customer ORDER BY raw_id""".stripMargin,
+
+    "q_pack_shards_ranged" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  SUM(toks) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |sh AS (SELECT toks,
+        |  CAST(floor((cum - toks) / 2000.0) AS BIGINT) AS shard FROM c)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |CAST(SUM(toks) AS BIGINT) AS sum_tokens
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q_pack_shards" ->
       """WITH t AS (SELECT source, doc_id,
         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks

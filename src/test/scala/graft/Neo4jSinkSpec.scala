@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Neo4jSink
+import org.apache.spark.sql.functions._
+
+class Neo4jSinkSpec extends GraftSuite {
+
+  test("neo4j bulk-load layout: header sidecars + headerless data CSVs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_neo4j").toString
+    val (nodesDir, edgesDir) = Neo4jSink.write(spark, sf, root)
+
+    val nodesHeader = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "nodes.header.csv")).trim
+    val edgesHeader = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "edges.header.csv")).trim
+    assert(nodesHeader == "id:ID,name,:LABEL")
+    assert(edgesHeader == ":START_ID,:TYPE,:END_ID,quantity:double")
+
+    val nCust = Tables.customer(spark, sf).count()
+    val nPart = Tables.part(spark, sf).count()
+    val nLine = Tables.lineitem(spark, sf).count()
+    val nodeLines = spark.read.text(nodesDir)
+    assert(nodeLines.count() == nCust + nPart)
+    assert(spark.read.text(edgesDir).count() == nLine)
+
+    // data rows are headerless (no line repeats the header) and carry
+    // multi-valued `;`-separated labels in the :LABEL position
+    assert(nodeLines.filter(col("value").startsWith("id:ID")).count() == 0)
+    val first = nodeLines.limit(1).collect()(0).getString(0)
+    val fields = first.split(",", -1)
+    assert(fields.length == 3 && fields(2).contains(";"))
+  }
+
+  test("sinkNeo4j roundtrip counts match the source tables") {
+    val rows = Neo4jSink.sinkNeo4j(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    val nPart = Tables.part(spark, sf).count()
+    val nLine = Tables.lineitem(spark, sf).count()
+    assert(rows == Map(
+      "Agent" -> nCust, "customer" -> nCust,
+      "ChemicalEntity" -> nPart, "part" -> nPart,
+      "rel:RELATED_TO" -> nLine))
+  }
+}

@@ -99,6 +99,36 @@ class TrainingDataSpec extends GraftSuite {
     assert(rows.nonEmpty)
   }
 
+  test("ranged shard packing equals the single-sequence global pack") {
+    import graft.ops.ScratchCache
+    val corpus = Tables.documents(spark, sf)
+    // one range = literally the global window; many ranges must produce
+    // the IDENTICAL packing (two-phase prefix sum is exact, and range
+    // boundaries cannot move a doc between shards)
+    val global = TextOps.packShardsRangedOn(corpus, 500L, 1).collect().toSeq
+    val ranged = TextOps.packShardsRangedOn(corpus, 500L, 7).collect().toSeq
+    assert(ranged == global)
+    assert(ranged.length > 1)
+    // independent reference: the naive one-task global window (the plan
+    // the two-phase prefix sum exists to avoid)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = corpus
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("toks")) / 500L).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_tokens"))
+      .orderBy(col("shard")).collect().toSeq
+    assert(ranged == expected)
+    ScratchCache.releaseAll()
+  }
+
   test("mixture sampling is deterministic and repartition-stable") {
     val a = TextOps.sampleMixture(spark, sf).collect()
     val b = TextOps.sampleMixture(spark, sf).collect()

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{NodeNorm, NormTransport, ScratchCache}
+import org.apache.spark.sql.functions._
+
+/** Test services live OUTSIDE the suite class — an inner class would
+  * drag the non-serializable scalatest engine into the task closure. */
+object TransportSpec {
+  /** Echo service: every id normalizes to `C:<id>` and the label
+    * records the SIZE of the batch it arrived in — executor-side proof
+    * of the batching the driver can assert on. */
+  class EchoService extends NormTransport {
+    def post(ids: Seq[String]): String =
+      ids.map { id =>
+        s""""$id":{"id":{"identifier":"C:$id","label":"b${ids.size}"},""" +
+          """"equivalent_identifiers":[],"type":["t"]}"""
+      }.mkString("{", ",", "}")
+  }
+
+  /** EchoService that 500s any batch containing the sentinel id. */
+  class BoomService extends NormTransport {
+    private val inner = new EchoService
+    def post(ids: Seq[String]): String =
+      if (ids.contains("BAD")) throw new RuntimeException("service 500")
+      else inner.post(ids)
+  }
+
+  /** Declines (returns null for) every id ending in '2'. */
+  class DeclineService extends NormTransport {
+    def post(ids: Seq[String]): String =
+      ids.map { id =>
+        if (id.endsWith("2")) s""""$id":null"""
+        else s""""$id":{"id":{"identifier":"C:$id","label":"x"},""" +
+          """"equivalent_identifiers":[],"type":["t"]}"""
+      }.mkString("{", ",", "}")
+  }
+}
+
+/** Batched normalization transport (EP2 shape): batch boundaries,
+  * service-declined ids, and the failure-file twin. */
+class TransportSpec extends GraftSuite {
+  import spark.implicits._
+  import TransportSpec._
+
+  test("fetchResponses batches per partition, never above batchSize") {
+    val ids = (1 to 20).map(i => s"ID$i").toDF("raw").repartition(1)
+    val batches = NodeNorm.fetchResponses(ids, "raw", 7, new EchoService)
+    // 20 ids through one partition at batchSize 7 → 7, 7, 6
+    assert(batches.select("n_ids").as[Int].collect().sorted.toSeq ==
+      Seq(6, 7, 7))
+    val parsed = NodeNorm.parseResponses(
+      batches.filter(col("err").isNull), "body")
+    assert(parsed.count() == 20)
+    // every id normalized exactly once; batch sizes visible in labels
+    assert(parsed.select("canonical_label").as[String].collect()
+      .forall(l => l == "b7" || l == "b6"))
+    assert(parsed.select("raw_id").as[String].collect().toSet ==
+      (1 to 20).map(i => s"ID$i").toSet)
+  }
+
+  test("normalizeBatched: failed batches land in the failure file, " +
+      "every id accounted for exactly once") {
+    val boom = new BoomService
+    val ids = ((1 to 9).map(i => s"ID$i") :+ "BAD").toDF("raw")
+      .repartition(1)
+    val failDir = java.nio.file.Files
+      .createTempDirectory("graft_normfail").toString + "/out"
+    // batchSize 4 over a sorted single partition → one batch holds BAD
+    val mapping = NodeNorm.normalizeBatched(
+      ids.orderBy("raw"), "raw", 4, boom, failDir)
+    val ok = mapping.select("raw_id").as[String].collect().toSet
+    val failed = spark.read.schema("raw_id STRING, err STRING").json(failDir)
+    val failedIds = failed.select("raw_id").as[String].collect().toSet
+    assert(failedIds.contains("BAD"))
+    assert(failed.select("err").as[String].collect()
+      .forall(_ == "service 500"))
+    assert((ok & failedIds).isEmpty)
+    assert(ok ++ failedIds == (1 to 9).map(i => s"ID$i").toSet + "BAD")
+    ScratchCache.releaseAll()
+  }
+
+  test("service-declined ids keep NULL canonical columns") {
+    val decline = new DeclineService
+    val ids = Seq("A1", "A2", "A3").toDF("raw")
+    val failDir = java.nio.file.Files
+      .createTempDirectory("graft_normfail2").toString + "/out"
+    val m = NodeNorm.normalizeBatched(ids, "raw", 10, decline, failDir)
+    val rows = m.collect().map(r =>
+      r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map("A1" -> Some("C:A1"), "A2" -> None,
+      "A3" -> Some("C:A3")))
+    // declined ≠ transport failure: the failure file stays empty
+    assert(spark.read.schema("raw_id STRING, err STRING").json(failDir)
+      .isEmpty)
+    ScratchCache.releaseAll()
+  }
+}
