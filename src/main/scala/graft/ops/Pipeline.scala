@@ -98,6 +98,43 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** q_source_spec — the config-file extension path run as a query:
+    * two sources declared as JSON (parsed by [[SourceSpec.fromJson]],
+    * exactly what a user's dropped-in config goes through), loaded
+    * through [[pipelineFromSpecs]] over the parquet tables. The
+    * customers spec also emits its nations as a second node rule, so
+    * the NATION ids arrive from BOTH sources and the merge stage
+    * genuinely merges (n_srcs = 2) — the reference's
+    * equivalent-identifier story, declared in config. Returns the
+    * (stage, n) ledger; every value is an exact integer DuckDB
+    * recomputes from `customer`/`nation`. */
+  def pipelineSpecs(s: SparkSession, d: String): DataFrame = {
+    val customers = SourceSpec.fromJson(
+      s"""{"name": "customers", "format": "parquet",
+         |  "nodes": [
+         |    {"idCol": "c_custkey", "idPrefix": "CUST:",
+         |     "category": "biolink:Agent", "nameCol": "c_name"},
+         |    {"idCol": "c_nationkey", "idPrefix": "NATION:",
+         |     "category": "customer_nation"}],
+         |  "edges": [
+         |    {"subjectCol": "c_custkey", "subjectPrefix": "CUST:",
+         |     "objectCol": "c_nationkey", "objectPrefix": "NATION:",
+         |     "predicate": "biolink:located_in"}]}""".stripMargin)
+    val nations = SourceSpec.fromJson(
+      s"""{"name": "nations", "format": "parquet",
+         |  "nodes": [
+         |    {"idCol": "n_nationkey", "idPrefix": "NATION:",
+         |     "category": "biolink:NamedThing", "nameCol": "n_name"}],
+         |  "edges": [
+         |    {"subjectCol": "n_nationkey", "subjectPrefix": "NATION:",
+         |     "objectCol": "n_regionkey", "objectPrefix": "REGION:",
+         |     "predicate": "biolink:part_of"}]}""".stripMargin)
+    pipelineFromSpecs(s, Seq(
+      customers -> s"$d/customer.parquet",
+      nations -> s"$d/nation.parquet"),
+      tmp("spec_kgx", d))
+  }
+
   def pipelineKgx(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ---- EP1 parse: three node sources + one edge source ----

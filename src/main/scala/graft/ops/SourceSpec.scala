@@ -56,6 +56,33 @@ case class SourceSpec(
   edges: Seq[EdgeRule] = Nil)
 
 object SourceSpec {
+  /** Parse a spec from JSON — the "add a source without writing
+    * Scala" path: a user drops a config file next to the data and
+    * the pipeline picks it up. Uses json4s (bundled inside Spark, no
+    * extra dependency); unknown keys are ignored, absent keys take
+    * the case-class defaults, so specs stay forward-compatible.
+    * {{{
+    * {"name": "mysrc", "format": "tsv",
+    *  "columns": ["gene", "disease", "score"],
+    *  "nodes": [{"idCol": "gene", "idPrefix": "NCBIGene:",
+    *             "category": "biolink:Gene"}],
+    *  "edges": [{"subjectCol": "gene", "subjectPrefix": "NCBIGene:",
+    *             "objectCol": "disease", "objectPrefix": "MONDO:",
+    *             "filter": "score > '0.5'"}]}
+    * }}} */
+  def fromJson(json: String): SourceSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    JsonMethods.parse(json).extract[SourceSpec]
+  }
+
+  /** [[fromJson]] over a config file on the driver's filesystem —
+    * specs are KBs of config, never data, so a driver-side read is
+    * the right tool. */
+  def fromJsonFile(path: String): SourceSpec =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** Scan the source file(s) per the spec (schema pinned, no
     * inference when `columns` is given). */
   def read(s: SparkSession, spec: SourceSpec, path: String): DataFrame = {

@@ -842,6 +842,26 @@ object OracleSql {
         |SELECT label, CAST(n AS BIGINT) AS n
         |FROM c ORDER BY label""".stripMargin,
 
+    "q_source_spec" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM customer),
+        |d AS (SELECT COUNT(DISTINCT c_nationkey) AS n FROM customer),
+        |nn AS (SELECT COUNT(*) AS n FROM nation),
+        |un AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT DISTINCT c_nationkey FROM customer
+        |   UNION SELECT DISTINCT n_nationkey FROM nation)),
+        |ix AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT DISTINCT c_nationkey FROM customer
+        |   INTERSECT SELECT DISTINCT n_nationkey FROM nation)),
+        |l AS (
+        |  SELECT 'parsed_nodes' AS stage, c.n + d.n + nn.n AS n FROM c, d, nn
+        |  UNION ALL SELECT 'parsed_edges', c.n + nn.n FROM c, nn
+        |  UNION ALL SELECT 'merged_nodes', c.n + un.n FROM c, un
+        |  UNION ALL SELECT 'merged_multi_source_nodes', ix.n FROM ix
+        |  UNION ALL SELECT 'written_nodes', c.n + un.n FROM c, un
+        |  UNION ALL SELECT 'merged_edges', c.n + nn.n FROM c, nn
+        |  UNION ALL SELECT 'written_edges', c.n + nn.n FROM c, nn)
+        |SELECT stage, CAST(n AS BIGINT) AS n FROM l ORDER BY stage""".stripMargin,
+
     "q_norm_batch" ->
       """SELECT 'CUST:' || c_custkey AS raw_id,
         |CASE WHEN c_custkey % 3 <> 0 THEN 'CANON:' || c_custkey END AS canonical_id,

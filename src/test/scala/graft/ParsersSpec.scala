@@ -220,6 +220,40 @@ class ParsersSpec extends GraftSuite {
     assert(nodeLines.length == 5)
   }
 
+  test("SourceSpec.fromJson: a config file IS the parser") {
+    import graft.ops.SourceSpec
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonspec")
+    java.nio.file.Files.writeString(dir.resolve("gd.tsv"),
+      "G1\tD1\t0.9\n" +
+      "G2\tD1\t0.2\n" + // below the filter threshold → edge dropped
+      "G2\tD2\t0.7\n")
+    java.nio.file.Files.writeString(dir.resolve("gd.spec.json"),
+      """{"name": "genedisease", "format": "tsv",
+        |  "columns": ["gene", "disease", "score"],
+        |  "nodes": [
+        |    {"idCol": "gene", "idPrefix": "NCBIGene:",
+        |     "category": "biolink:Gene"},
+        |    {"idCol": "disease", "idPrefix": "MONDO:",
+        |     "category": "biolink:Disease"}],
+        |  "edges": [
+        |    {"subjectCol": "gene", "subjectPrefix": "NCBIGene:",
+        |     "objectCol": "disease", "objectPrefix": "MONDO:",
+        |     "predicate": "biolink:gene_associated_with_condition",
+        |     "filter": "cast(score as double) > 0.5"}],
+        |  "future_key_specs_must_ignore": true}""".stripMargin)
+    val spec = SourceSpec.fromJsonFile(dir.resolve("gd.spec.json").toString)
+    assert(spec.name == "genedisease" && spec.nodes.size == 2)
+    val (nodes, edges) = SourceSpec.load(spark, spec,
+      dir.resolve("gd.tsv").toString)
+    assert(nodes.collect().map(_.getString(0)).toSet ==
+      Set("NCBIGene:G1", "NCBIGene:G2", "MONDO:D1", "MONDO:D2"))
+    assert(edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(
+        ("NCBIGene:G1", "biolink:gene_associated_with_condition", "MONDO:D1"),
+        ("NCBIGene:G2", "biolink:gene_associated_with_condition", "MONDO:D2")))
+  }
+
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geo_mean",
