@@ -24,7 +24,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free this query's operator-local scratch caches/checkpoints:
-      // a 92-query pass then has no net cache growth (table-level
+      // the full pass then has no net cache growth (table-level
       // caches in Tables are not registered there and stay warm)
       graft.ops.ScratchCache.releaseAll()
     }

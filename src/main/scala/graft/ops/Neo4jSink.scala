@@ -55,6 +55,37 @@ object Neo4jSink {
     StructField("end_id", StringType),
     StructField("quantity", DoubleType)))
 
+  /** Write ANY (id, name, labels) / (start_id, rel_type, end_id,
+    * quantity) graph in the bulk-load layout under `root`; returns
+    * (nodesDir, edgesDir). Spark's CSV writer quotes fields containing
+    * separators/quotes/newlines (RFC-4180 doubling), which
+    * `neo4j-admin import` accepts — names with commas survive the
+    * roundtrip (asserted in Neo4jSinkSpec). */
+  def writeGraph(nodes: DataFrame, edges: DataFrame, root: String)
+      : (String, String) = {
+    val nodesDir = s"$root/nodes"
+    val edgesDir = s"$root/edges"
+    // escape = quote char → RFC-4180 doubled quotes on the wire
+    // (Spark's default is backslash escaping, which the bulk importer
+    // only accepts behind a legacy flag)
+    nodes.write.mode("overwrite").option("header", "false")
+      .option("escape", "\"").csv(nodesDir)
+    edges.write.mode("overwrite").option("header", "false")
+      .option("escape", "\"").csv(edgesDir)
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    Files.write(rootPath.resolve("nodes.header.csv"),
+      (nodesHeader + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(rootPath.resolve("edges.header.csv"),
+      (edgesHeader + "\n").getBytes(StandardCharsets.UTF_8))
+    (nodesDir, edgesDir)
+  }
+
+  /** Read a written node dir back with the pinned bulk-load schema
+    * (RFC-4180 quoting, matching [[writeGraph]]). */
+  def readNodes(s: SparkSession, nodesDir: String): DataFrame =
+    s.read.schema(nodeSchema).option("escape", "\"").csv(nodesDir)
+
   /** Write the bulk-load layout for the customer/part/lineitem graph
     * under `root`; returns (nodesDir, edgesDir). */
   def write(s: SparkSession, d: String, root: String): (String, String) = {
@@ -74,17 +105,7 @@ object Neo4jSink {
         lit("RELATED_TO").as("rel_type"),
         concat(lit("PART:"), col("l_partkey")).as("end_id"),
         col("l_quantity").cast("double").as("quantity"))
-    val nodesDir = s"$root/nodes"
-    val edgesDir = s"$root/edges"
-    nodes.write.mode("overwrite").option("header", "false").csv(nodesDir)
-    edges.write.mode("overwrite").option("header", "false").csv(edgesDir)
-    val rootPath = Paths.get(root)
-    Files.createDirectories(rootPath)
-    Files.write(rootPath.resolve("nodes.header.csv"),
-      (nodesHeader + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.write(rootPath.resolve("edges.header.csv"),
-      (edgesHeader + "\n").getBytes(StandardCharsets.UTF_8))
-    (nodesDir, edgesDir)
+    writeGraph(nodes, edges, root)
   }
 
   /** The query surface: write, then re-read the data files and return
@@ -93,11 +114,12 @@ object Neo4jSink {
     * the DuckDB oracle. */
   def sinkNeo4j(s: SparkSession, d: String): DataFrame = {
     val (nodesDir, edgesDir) = write(s, d, tmp("neo4j", d))
-    val labelCounts = s.read.schema(nodeSchema).csv(nodesDir)
+    val labelCounts = readNodes(s, nodesDir)
       .select(explode(split(col("labels"), ";")).as("label"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"))
-    val relCounts = s.read.schema(edgeSchema).csv(edgesDir)
+    val relCounts = s.read.schema(edgeSchema).option("escape", "\"")
+      .csv(edgesDir)
       .groupBy(concat(lit("rel:"), col("rel_type")).as("label"))
       .agg(count(lit(1)).as("n"))
     labelCounts.unionByName(relCounts).orderBy(col("label"))

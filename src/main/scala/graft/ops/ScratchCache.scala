@@ -11,9 +11,9 @@ import org.apache.spark.sql.DataFrame
   * release thunk here, and the HARNESS frees them at the right moment:
   *
   *  - [[graft.Verify]] calls [[releaseAll]] after each query's output
-  *    is written, so a 92-query correctness pass has no net cache
-  *    growth (each query's scratch frames live only while that query
-  *    runs);
+  *    is written, so a full correctness pass (one run per query key)
+  *    has no net cache growth (each query's scratch frames live only
+  *    while that query runs);
   *  - [[graft.Bench]] releases after every query execution (warm-up
   *    and timed reps alike), so executor storage stays FLAT across
   *    reps: checkpoint-backed registrations (ccLabels rounds) create

@@ -198,7 +198,7 @@ object TextOps {
     * Budget 2000 tokens, same straddler contract as [[packShards]]. */
   def packShardsRanged(s: SparkSession, d: String): DataFrame =
     packShardsRangedOn(Tables.documents(s, d), 2000L,
-      s.conf.get("spark.sql.shuffle.partitions").toInt)
+      s.sessionState.conf.numShufflePartitions)
 
   def packShardsRangedOn(docs: DataFrame, budget: Long,
       numRanges: Int): DataFrame = {
