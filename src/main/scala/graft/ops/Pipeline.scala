@@ -57,24 +57,32 @@ object Pipeline {
       .pipe(ScratchCache.cache)
     val edges = parsed.map(_._2).reduce(_ unionByName _)
       .pipe(ScratchCache.cache)
+    // property bags merge as the sorted set of per-source JSON bags —
+    // the reference's merge keeps every source's properties; `{}`
+    // (no props declared) is dropped from the set so prop-less rules
+    // don't pad every merged node
     val mergedNodes = nodes.groupBy(col("id"))
       .agg(
         array_join(sort_array(collect_set(col("category"))), ",").as("cats"),
         max(col("name")).as("name"),
-        countDistinct(col("source")).as("n_srcs"))
+        countDistinct(col("source")).as("n_srcs"),
+        sort_array(collect_set(when(col("props") =!= "{}", col("props"))))
+          .as("props_set"))
       .pipe(ScratchCache.cache)
     val mergedEdges = edges
       .groupBy(col("subject"), col("predicate"), col("object"))
       .agg(count(lit(1)).as("n"),
-        array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
+        sort_array(collect_set(when(col("props") =!= "{}", col("props"))))
+          .as("props_set"))
       .pipe(ScratchCache.cache)
     mergedNodes
       .select(to_json(struct(col("id"), col("name"),
-        col("cats").as("category"), col("n_srcs"))))
+        col("cats").as("category"), col("n_srcs"), col("props_set"))))
       .write.mode("overwrite").text(s"$outDir/nodes")
     mergedEdges
       .select(to_json(struct(col("subject"), col("predicate"),
-        col("object"), col("n"), col("sources"))))
+        col("object"), col("n"), col("sources"), col("props_set"))))
       .write.mode("overwrite").text(s"$outDir/edges")
     val nodeRows = nodes.agg(count(lit(1)).as("p"))
       .select(explode(map(lit("parsed_nodes"), col("p")))

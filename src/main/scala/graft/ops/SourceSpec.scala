@@ -7,13 +7,18 @@ import org.apache.spark.sql.types._
 /** One node extraction rule: which column carries the id, how to build
   * the CURIE, the Biolink category, and an optional row filter
   * (SQL boolean expression over the RAW columns — compiled to a
-  * Catalyst predicate, so it pushes into the scan). */
+  * Catalyst predicate, so it pushes into the scan). `props` carries
+  * source columns along as node properties (output name → raw
+  * column), emitted as a deterministic JSON object column — the
+  * reference's parsers all keep per-source property bags (scores,
+  * taxa, publications) beside the KGX core. */
 case class NodeRule(
   idCol: String,
   idPrefix: String,
   category: String,
   nameCol: Option[String] = None,
-  filter: Option[String] = None)
+  filter: Option[String] = None,
+  props: Map[String, String] = Map.empty)
 
 /** One edge extraction rule. The predicate is either the constant
   * `predicate`, or — when `predicateCol` is set — a lookup of that
@@ -28,7 +33,8 @@ case class EdgeRule(
   predicate: String = "biolink:related_to",
   predicateCol: Option[String] = None,
   predicateMap: Map[String, String] = Map.empty,
-  filter: Option[String] = None)
+  filter: Option[String] = None,
+  props: Map[String, String] = Map.empty)
 
 /** Declarative per-source parser spec — the reference's dominant
   * extension pattern made data instead of code. The reference ships
@@ -112,6 +118,17 @@ object SourceSpec {
     if (prefix.isEmpty) c.cast("string")
     else concat(lit(prefix), c.cast("string"))
 
+  /** A rule's property bag as ONE deterministic JSON-object column:
+    * keys in sorted order (map field order would otherwise depend on
+    * spec authoring order), values as strings, absent → `{}`. A
+    * single string column keeps every rule union-compatible whatever
+    * properties each declares. */
+  private def propsJson(props: Map[String, String]): Column =
+    if (props.isEmpty) lit("{}")
+    else to_json(map(props.toSeq.sortBy(_._1).flatMap {
+      case (out, src) => Seq(lit(out), col(src).cast("string"))
+    }: _*))
+
   /** KGX-shaped nodes (id, name, category, source) from every node
     * rule — one scan, unioned extractions, null ids dropped. */
   def nodes(raw: DataFrame, spec: SourceSpec): DataFrame = {
@@ -124,7 +141,8 @@ object SourceSpec {
           r.nameCol.map(col(_).cast("string"))
             .getOrElse(prefixed(r.idPrefix, col(r.idCol))).as("name"),
           lit(r.category).as("category"),
-          lit(spec.name).as("source"))
+          lit(spec.name).as("source"),
+          propsJson(r.props).as("props"))
         .filter(col("id").isNotNull)
     }.reduce(_ unionByName _).distinct()
   }
@@ -139,7 +157,8 @@ object SourceSpec {
           lit(null).cast("string").as("subject"),
           lit(null).cast("string").as("predicate"),
           lit(null).cast("string").as("object"),
-          lit(null).cast("string").as("source"))
+          lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("props"))
       case rules => rules.map { r =>
         val pred = r.predicateCol match {
           case None => lit(r.predicate): Column
@@ -154,7 +173,8 @@ object SourceSpec {
             prefixed(r.subjectPrefix, col(r.subjectCol)).as("subject"),
             pred.as("predicate"),
             prefixed(r.objectPrefix, col(r.objectCol)).as("object"),
-            lit(spec.name).as("source"))
+            lit(spec.name).as("source"),
+            propsJson(r.props).as("props"))
           .filter(col("subject").isNotNull && col("object").isNotNull)
       }.reduce(_ unionByName _).distinct()
     }

@@ -159,4 +159,33 @@ object StreamingTwins {
       }(Encoders.product[SignupState], Encoders.product[(Long, Long)])
       .toDF("user_id", "events_since_signup")
   }
+
+  /** Continuous-ingest EP2: raw CURIEs arrive on a stream and every
+    * micro-batch runs the SAME batched transport the batch path uses
+    * ([[graft.ops.NodeNorm.normalizeBatched]] — mapPartitions POSTs of
+    * ≤batchSize ids, parse, failure-file twin). Both writes are keyed
+    * by the micro-batch id (`outDir/batch_<id>` mapping parquet,
+    * `failRoot/batch_<id>` failure jsonl), so a REPLAYED micro-batch
+    * overwrites its own slot — the idempotent exactly-once recipe the
+    * foreachBatch sink twin pins down. Returns the DataStreamWriter;
+    * the caller `.start()`s it.
+    *
+    * Scratch note: each micro-batch's transport cache is fully
+    * consumed by its own writes, so the batch handler drains
+    * [[graft.ops.ScratchCache]] — state never grows with stream
+    * length. Run the stream from a session that doesn't hold its own
+    * scratch registrations across micro-batches. */
+  def normalizeStream(ids: DataFrame, idCol: String, batchSize: Int,
+      transport: graft.ops.NormTransport, outDir: String,
+      failRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        graft.ops.NodeNorm.normalizeBatched(batch, idCol, batchSize,
+            transport, s"$failRoot/batch_$id")
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        graft.ops.ScratchCache.releaseAll()
+    }
 }

@@ -180,7 +180,8 @@ class ParsersSpec extends GraftSuite {
       options = Map("header" -> "true"),
       nodes = Seq(NodeRule(idCol = "term_id", idPrefix = "PROT:",
         category = "biolink:NamedThing", nameCol = Some("label"),
-        filter = Some("obsolete <> 'true'"))))
+        filter = Some("obsolete <> 'true'"),
+        props = Map("obs" -> "obsolete"))))
     // rule-level results
     val (n1, e1) = SourceSpec.load(spark,
       interactions, dir.resolve("interactions.tsv").toString)
@@ -217,6 +218,12 @@ class ParsersSpec extends GraftSuite {
       .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
     val p3 = nodeLines.find(_.contains("PROT:P3")).get
     assert(p3.contains("biolink:NamedThing,biolink:Protein"))
+    // the terms source's property bag survives the merge; prop-less
+    // sources contribute nothing to props_set
+    assert(p3.contains("""{\"obs\":\"false\"}"""),
+      s"merged node should carry the terms-source props: $p3")
+    val p1 = nodeLines.find(_.contains("PROT:P1")).get
+    assert(p1.contains("\"props_set\":[]"))
     assert(nodeLines.length == 5)
   }
 
@@ -239,7 +246,8 @@ class ParsersSpec extends GraftSuite {
         |    {"subjectCol": "gene", "subjectPrefix": "NCBIGene:",
         |     "objectCol": "disease", "objectPrefix": "MONDO:",
         |     "predicate": "biolink:gene_associated_with_condition",
-        |     "filter": "cast(score as double) > 0.5"}],
+        |     "filter": "cast(score as double) > 0.5",
+        |     "props": {"assoc_score": "score", "src_gene": "gene"}}],
         |  "future_key_specs_must_ignore": true}""".stripMargin)
     val spec = SourceSpec.fromJsonFile(dir.resolve("gd.spec.json").toString)
     assert(spec.name == "genedisease" && spec.nodes.size == 2)
@@ -252,6 +260,14 @@ class ParsersSpec extends GraftSuite {
       Set(
         ("NCBIGene:G1", "biolink:gene_associated_with_condition", "MONDO:D1"),
         ("NCBIGene:G2", "biolink:gene_associated_with_condition", "MONDO:D2")))
+    // declared props ride along as a deterministic JSON bag (sorted
+    // keys, independent of spec authoring order); undeclared → {}
+    val eProps = edges.collect()
+      .map(r => r.getString(0) -> r.getAs[String]("props")).toMap
+    assert(eProps("NCBIGene:G1") ==
+      """{"assoc_score":"0.9","src_gene":"G1"}""")
+    assert(nodes.select("props").collect().map(_.getString(0)).toSet ==
+      Set("{}"))
   }
 
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {

@@ -222,6 +222,51 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming normalization: micro-batches through the batched transport") {
+    val ms = MemoryStream[String]
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streamnorm").toString
+    val q = StreamingTwins.normalizeStream(
+        ms.toDF().withColumnRenamed("value", "raw"),
+        "raw", 3, new TransportSpec.BoomService,
+        s"$root/out", s"$root/fail")
+      .start()
+    try {
+      ms.addData("ID1", "ID2", "ID3", "ID4")
+      q.processAllAvailable()
+      ms.addData("ID5", "BAD", "ID6")
+      q.processAllAvailable()
+    } finally q.stop()
+    def dirs(p: String): Seq[String] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).filter(_.contains("batch_")).toSeq.sorted
+    val outBatches = dirs(s"$root/out")
+    assert(outBatches.size >= 2, "one mapping slot per micro-batch")
+    val failSchema = "raw_id STRING, err STRING"
+    // per micro-batch: mapping and failure twin are disjoint
+    val perBatch = outBatches.map { ob =>
+      val bid = ob.substring(ob.lastIndexOf("batch_"))
+      val mapped = spark.read.parquet(ob)
+        .select("raw_id").as[String].collect().toSet
+      val failed = spark.read.schema(failSchema)
+        .json(s"$root/fail/$bid")
+        .select("raw_id").as[String].collect().toSet
+      assert((mapped & failed).isEmpty, s"$bid overlaps")
+      mapped ++ failed
+    }
+    // globally: every streamed id accounted for exactly once, the
+    // poisoned chunk in a failure twin, everything else mapped
+    assert(perBatch.reduce(_ ++ _) ==
+      Set("ID1", "ID2", "ID3", "ID4", "ID5", "BAD", "ID6"))
+    val allFailed = outBatches.map { ob =>
+      val bid = ob.substring(ob.lastIndexOf("batch_"))
+      spark.read.schema(failSchema).json(s"$root/fail/$bid")
+        .select("raw_id").as[String].collect().toSet
+    }.reduce(_ ++ _)
+    assert(allFailed.contains("BAD"))
+    assert(!allFailed.contains("ID1"), "first micro-batch had no poison")
+  }
+
   test("stateful events-since-signup (flatMapGroupsWithState, batch mode)") {
     val evs = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
