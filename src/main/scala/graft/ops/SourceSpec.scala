@@ -129,11 +129,35 @@ object SourceSpec {
       case (out, src) => Seq(lit(out), col(src).cast("string"))
     }: _*))
 
+  /** Fail fast with the spec/rule/column named when a rule references
+    * a column the scanned data doesn't have — a config typo should
+    * read as a config error, not a planner stack trace. (Filter
+    * expressions stay Spark-validated: they're arbitrary SQL.) */
+  private def validate(raw: DataFrame, spec: SourceSpec): Unit = {
+    val have = raw.columns.toSet
+    def miss(rule: String, cols: Seq[String]): Unit =
+      cols.filterNot(have.contains) match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"SourceSpec '${spec.name}' $rule references " +
+            s"column(s) ${bad.mkString("'", "', '", "'")} not in the " +
+            s"source (available: ${raw.columns.sorted.mkString(", ")})")
+      }
+    spec.nodes.zipWithIndex.foreach { case (r, i) =>
+      miss(s"nodes[$i]", r.idCol +: (r.nameCol.toSeq ++ r.props.values))
+    }
+    spec.edges.zipWithIndex.foreach { case (r, i) =>
+      miss(s"edges[$i]", Seq(r.subjectCol, r.objectCol) ++
+        r.predicateCol.toSeq ++ r.props.values)
+    }
+  }
+
   /** KGX-shaped nodes (id, name, category, source) from every node
     * rule — one scan, unioned extractions, null ids dropped. */
   def nodes(raw: DataFrame, spec: SourceSpec): DataFrame = {
     require(spec.nodes.nonEmpty,
       s"SourceSpec '${spec.name}' declares no node rules")
+    validate(raw, spec.copy(edges = Nil))
     spec.nodes.map { r =>
       raw.filter(r.filter.map(expr).getOrElse(lit(true)))
         .select(
@@ -150,7 +174,8 @@ object SourceSpec {
   /** KGX-shaped edges (subject, predicate, object, source) from every
     * edge rule; rows with a null endpoint are dropped (they would be
     * dangling by construction). */
-  def edges(raw: DataFrame, spec: SourceSpec): DataFrame =
+  def edges(raw: DataFrame, spec: SourceSpec): DataFrame = {
+    validate(raw, spec.copy(nodes = Nil))
     spec.edges match {
       case Nil =>
         raw.limit(0).select(
@@ -178,6 +203,7 @@ object SourceSpec {
           .filter(col("subject").isNotNull && col("object").isNotNull)
       }.reduce(_ unionByName _).distinct()
     }
+  }
 
   /** One-call spec → (nodes, edges). */
   def load(s: SparkSession, spec: SourceSpec, path: String)

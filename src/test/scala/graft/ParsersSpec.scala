@@ -270,6 +270,33 @@ class ParsersSpec extends GraftSuite {
       Set("{}"))
   }
 
+  test("SourceSpec: gzipped TSVs read transparently; config typos name the rule") {
+    import graft.ops.{NodeRule, SourceSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_gzspec")
+    // the reference's sources arrive as .gz archives; Spark's csv
+    // reader decompresses by extension with no spec change
+    val gz = dir.resolve("genes.tsv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write("G1\talpha\nG2\tbeta\n".getBytes("UTF-8")); out.close()
+    val spec = SourceSpec(name = "genes", format = "tsv",
+      columns = Seq("gid", "sym"),
+      nodes = Seq(NodeRule(idCol = "gid", idPrefix = "NCBIGene:",
+        category = "biolink:Gene", nameCol = Some("sym"))))
+    val (nodes, _) = SourceSpec.load(spark, spec, gz.toString)
+    assert(nodes.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet == Set(("NCBIGene:G1", "alpha"), ("NCBIGene:G2", "beta")))
+    // a typo'd column fails fast with spec, rule, and column named
+    val typo = spec.copy(nodes = Seq(NodeRule(idCol = "gene_id",
+      idPrefix = "NCBIGene:", category = "biolink:Gene")))
+    val e = intercept[IllegalArgumentException] {
+      SourceSpec.load(spark, typo, gz.toString)
+    }
+    assert(e.getMessage.contains("'genes' nodes[0]"))
+    assert(e.getMessage.contains("'gene_id'"))
+    assert(e.getMessage.contains("gid, sym"))
+  }
+
   test("geo_mean DeclarativeAggregate matches exp(avg(ln(x)))") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geo_mean",
