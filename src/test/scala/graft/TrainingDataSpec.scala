@@ -126,6 +126,11 @@ class TrainingDataSpec extends GraftSuite {
         sum(col("toks")).cast("long").as("sum_tokens"))
       .orderBy(col("shard")).collect().toSeq
     assert(ranged == expected)
+    // input partitioning must not leak into the result: the range
+    // exchange re-establishes global doc_id order whatever arrives
+    val shuffled = TextOps.packShardsRangedOn(
+      corpus.repartition(13), 500L, 7).collect().toSeq
+    assert(shuffled == expected)
     ScratchCache.releaseAll()
   }
 

@@ -79,6 +79,25 @@ class TransportSpec extends GraftSuite {
     ScratchCache.releaseAll()
   }
 
+  test("mapping is batch-size invariant: the transport boundary never " +
+      "changes semantics") {
+    val ids = (1 to 57).map(i => s"ID$i").toDF("raw").repartition(3)
+    def mapped(batchSize: Int): Map[String, String] = {
+      val failDir = java.nio.file.Files
+        .createTempDirectory(s"graft_bsi_$batchSize").toString + "/f"
+      val m = NodeNorm.normalizeBatched(
+          ids, "raw", batchSize, new EchoService, failDir)
+        .select("raw_id", "canonical_id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      ScratchCache.releaseAll()
+      m
+    }
+    val one = mapped(1)      // one POST per id
+    val big = mapped(1000)   // one POST per partition
+    val mid = mapped(7)      // ragged final chunks
+    assert(one.size == 57 && one == big && one == mid)
+  }
+
   test("service-declined ids keep NULL canonical columns") {
     val decline = new DeclineService
     val ids = Seq("A1", "A2", "A3").toDF("raw")
