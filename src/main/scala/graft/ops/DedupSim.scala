@@ -434,7 +434,10 @@ object DedupSim {
     *      angle); angle(u,v) ≥ θ_ij − θ_u − θ_v makes U_ij a true
     *      upper bound FOR ANY list assignment, so dropping list pairs
     *      with U_ij < τ can never drop a top-50 pair — the result is
-    *      EXACT, not approximate, whatever the quantizer quality.
+    *      EXACT, not approximate, whatever the quantizer quality
+    *      (DedupSimSpec's brute-force differential asserts top-50
+    *      equality on strongly clustered sets, the regime where the
+    *      bound actually prunes).
     * Every join is an equi join (the k-row centroid table broadcasts;
     * member enumeration joins on list ids), so the plan has no
     * nested-loop pair enumeration and candidate volume is N·√N/2 +

@@ -170,6 +170,44 @@ class DedupSimSpec extends GraftSuite {
     }
   }
 
+  test("embcos top-50 ≡ brute force on STRONGLY clustered vectors " +
+      "(pruning active)") {
+    // The oracle checks exactness on the weak-clustered synthetic set,
+    // where few list pairs get pruned. Tight planted clusters are the
+    // opposite regime — most cross-list pairs are eliminated by the
+    // angular bound — so a too-aggressive bound would silently drop
+    // top-50 pairs HERE and nowhere else. Brute force is the judge.
+    import graft.ops.{DedupSim, ScratchCache}
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val got = DedupSim.dedupEmbCosOn(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    ScratchCache.releaseAll()
+    // plain-Scala brute force, replicating cosine_sim's accumulation
+    // order (elementwise dot/na/nb, float→double per element) and
+    // Spark Round's HALF_UP on doubles
+    val dv = vecs.map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- dv.indices; j <- (i + 1) until dv.size
+    } yield (dv(i)._1, dv(j)._1,
+      BigDecimal(cos(dv(i)._2, dv(j)._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(50)
+    assert(got == expected)
+  }
+
   test("exact dedup: distinct counts never exceed doc counts") {
     val rows = DedupSim.dedupExact(spark, sf).collect()
     rows.foreach { r =>
