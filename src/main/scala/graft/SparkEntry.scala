@@ -103,12 +103,16 @@ object SparkEntry {
     "q_pack_shards_ranged" -> (TextOps.packShardsRanged _),
     "q_text_contamination" -> (TextOps.contamination _),
     "q_text_repetition" -> (TextOps.repetition _),
+    "q_sample_stratified" -> (TextOps.sampleStratified _),
+    "q_filter_bloom" -> (TextOps.filterBloom _),
     // §2.10 streaming batch twins
     "q_stream_tumbling" -> (StreamingOps.tumbling _),
     "q_stream_sliding" -> (StreamingOps.sliding _),
     "q_stream_session" -> (StreamingOps.session _),
     "q_stream_dedup" -> (StreamingOps.dedup _),
     "q_stream_join" -> (StreamingOps.streamJoin _),
+    "q_events_funnel" -> (EventOps.funnel _),
+    "q_events_retention" -> (EventOps.retention _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-analytics operators over the events table (SURVEY.md
+  * §2.10 additions): ordered funnel conversion and cohort retention —
+  * the two queries every product-telemetry warehouse runs daily,
+  * absent from the reference (batch ETL only) but core to the north
+  * star's analytics surface.
+  *
+  * Scale notes common to both: every stage keys by `user_id`, so the
+  * per-user aggregates and the user-level joins all reuse ONE hash
+  * partitioning of the events scan — Catalyst plans the min-aggregates
+  * partial (map-side combine) and the joins as shuffle hash/SMJ on the
+  * already-exchanged key, never a nested loop. Nothing here collects:
+  * the only driver-visible values are the final few-row reports.
+  */
+object EventOps {
+
+  /** q_events_funnel — strictly-ordered 3-stage funnel
+    * (view → click → purchase): a user reaches stage k+1 only with an
+    * event strictly LATER (µs) than their earliest stage-k arrival —
+    * the "first-touch" funnel semantics analytics warehouses default
+    * to. Output: one row per stage with the user count and the
+    * conversion rate from stage 1.
+    *
+    * Plan shape: three per-user min-aggregates chained by equi joins
+    * on user_id (each join's right side is the previous stage's
+    * (user, first_ts) — same key, same partitioning, no extra
+    * exchange of the big side), then three single-row counts unioned
+    * with the stage-1 count broadcast for the rate. At 100 TB the
+    * events scan shuffles ONCE by user_id; everything after is
+    * partition-local. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelOn(Tables.events(s, d))
+
+  /** Core of q_events_funnel over any events-shaped frame. */
+  def funnelOn(eventsDf: DataFrame): DataFrame = {
+    val e = eventsDf.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val counts = Seq(
+        ("1_view", v), ("2_view_click", c), ("3_view_click_purchase", p))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .withColumn("stage", lit(stage)) }
+      .reduce(_ unionByName _)
+    val base = v.agg(count(lit(1)).cast("double").as("base"))
+    counts.crossJoin(broadcast(base)) // 3 rows × 1 row
+      .select(col("stage"), col("n_users"),
+        round(col("n_users") / col("base"), 6).as("conv_rate"))
+      .orderBy(col("stage"))
+  }
+
+  /** q_events_retention — cohort retention matrix: users cohorted by
+    * first-seen day; cell (cohort, k) counts distinct cohort members
+    * active k days after their first day, with the retention rate
+    * against the cohort size. THE engagement query (and, for training
+    * pipelines, the "does a crawl snapshot keep contributing docs
+    * across dedup generations" twin).
+    *
+    * Plan shape: per-user min-day aggregate, joined back to the
+    * per-(user, day) activity on user_id (one shared partitioning with
+    * the aggregate), distinct to (user, cohort, offset), then a
+    * cohort×offset hash aggregate; cohort sizes are a ≤(days)-row
+    * frame that BROADCASTS back for the rate. The month of synthetic
+    * data yields ≤ 30×30 cells; at 100 TB the matrix is still tiny —
+    * only the user-keyed exchange scales with the data. */
+  def retention(s: SparkSession, d: String): DataFrame =
+    retentionOn(Tables.events(s, d))
+
+  /** Core of q_events_retention over any events-shaped frame. */
+  def retentionOn(eventsDf: DataFrame): DataFrame = {
+    val days = eventsDf.select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val active = days.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    active.groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("day_offset"), col("n_active"),
+        col("cohort_users"),
+        round(col("n_active").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+}

@@ -10,6 +10,9 @@ import graft.Tables
   * oracle-checked.
   */
 object TextOps {
+  /** Unique suffix for q_filter_bloom's per-construction temp view. */
+  private val bloomViewId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
@@ -449,5 +452,114 @@ object TextOps {
         row_number().over(w).cast("long").as("rank"))
       .filter(col("rank") <= 5)
       .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** q_sample_stratified — per-stratum deterministic sampling: each
+    * language keeps its own fraction (en 50%, zh 30%, de/es/fr 20%,
+    * unknown 10%), selected by the same salted-md5 bucketing as
+    * [[sampleSplit]] so membership is reproducible, repartition-stable
+    * and append-stable with ZERO shuffle — each row decides locally.
+    * This is "stratified" as training pipelines mean it (a fixed
+    * per-domain rate), distinct from [[sampleMixture]]'s mixture
+    * reweighting: the salt ('#strat') keeps the three samplings
+    * independent. Wire: the per-stratum admission ledger (total,
+    * sampled, realized rate) — the sampled corpus itself is the
+    * filter `bucket < threshold(lang)`. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    sampleStratifiedOn(Tables.documents(s, d))
+
+  /** Core of q_sample_stratified over any documents-shaped frame. */
+  def sampleStratifiedOn(docs: DataFrame): DataFrame = {
+    val pct = typedLit(Map(
+      "en" -> 50, "zh" -> 30, "de" -> 20, "es" -> 20, "fr" -> 20))
+    docs
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#strat"))), 1, 4), 16, 10).cast("int") % 100)
+      // unknown strata fall back to 10%, mirroring the oracle's ELSE
+      .withColumn("sampled",
+        (col("bucket") < coalesce(pct(col("lang")), lit(10))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("sampled")).as("n_sampled"))
+      .select(col("lang"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total"), 6)
+          .as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** q_filter_bloom — benchmark decontamination FILTER with a
+    * Bloom-filter prefilter: drop every training document sharing ≥ 2
+    * distinct word-5-grams with the benchmark set (doc_id % 100 == 0),
+    * report the per-source kept/dropped ledger.
+    *
+    * Why a Bloom filter when [[contaminationOn]] just broadcasts the
+    * benchmark shingle set: THAT plan assumes the reference set fits a
+    * broadcast. A full eval-suite + web-blocklist shingle set at 100 TB
+    * scale is GBs of distinct n-grams — too big to broadcast exactly,
+    * but its Bloom filter (`bloom_agg`, Spark's
+    * BloomFilterAggregate sketch, here ~100 KB; sized by
+    * `estItems`/`numBits`) still ships to every task as a scalar
+    * subquery literal. The corpus side then drops ~99% of its shingles
+    * with the row-local `bloom_might_contain` BEFORE the exact
+    * verification join — which is deliberately a plain SHUFFLED semi
+    * join, not a broadcast: only bloom-surviving shingles (true hits +
+    * the FP tail) pay the exchange. False positives cannot leak into
+    * the result — the exact join re-checks every candidate — so the
+    * output is EXACTLY the no-bloom answer (the DuckDB oracle computes
+    * it bloom-free; TrainingDataSpec forces a saturated 64-bit bloom
+    * and asserts the result is unchanged). xxhash64 feeds the sketch on
+    * both sides (BloomFilterAggregate hashes longs).
+    *
+    * The threshold (≥ 2 shared shingles) is the usual "more than one
+    * incidental collocation" decontamination rule — and distinct from
+    * q_text_contamination's ≥ 1 DETECTION semantics: that op measures
+    * leakage, this one removes it. */
+  def filterBloom(s: SparkSession, d: String): DataFrame =
+    filterBloomOn(Tables.documents(s, d))
+
+  /** Core of q_filter_bloom. `estItems`/`numBits` size the sketch
+    * (tests shrink numBits to saturate the bloom and prove FP
+    * invariance). */
+  def filterBloomOn(docs: DataFrame, estItems: Long = 100000L,
+      numBits: Long = 800000L): DataFrame = {
+    val s = docs.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val g = ScratchCache.cache(shingles5(docs)
+      .select(col("doc_id"), col("source"), col("ng")))
+    val bench = ScratchCache.cache(
+      g.filter(col("doc_id") % 100 === 0).select(col("ng")).distinct())
+    // the bloom side of the prefilter must be a scalar subquery: the
+    // analyzer requires bloom_might_contain's filter argument to be a
+    // literal or an uncorrelated scalar subquery (it becomes a literal
+    // once the one-row subquery runs), so the sketch is built via SQL
+    // over a temp view rather than a cross-joined 1-row frame. The view
+    // name is unique per construction: concurrent builders (parallel
+    // test suites) would otherwise swap each other's benchmark sets
+    // between view registration and action — and a WRONG bloom is not
+    // harmless (false negatives skip the exact verify entirely)
+    val view = s"graft_bench_ngrams_${TextOps.bloomViewId.incrementAndGet()}"
+    bench.createOrReplaceTempView(view)
+    val train = g.filter(col("doc_id") % 100 =!= 0)
+    val candidates = train.filter(expr(
+      s"""bloom_might_contain(
+         |  (select bloom_agg(xxhash64(ng), ${estItems}L, ${numBits}L)
+         |   from $view),
+         |  xxhash64(ng))""".stripMargin))
+    val dropped = candidates
+      .join(bench, Seq("ng"), "left_semi") // exact verify: FPs die here
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_train"),
+        (col("n_train") - col("n_dropped")).as("n_kept"),
+        col("n_dropped"))
+      .orderBy(col("source"))
   }
 }

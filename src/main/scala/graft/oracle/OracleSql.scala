@@ -961,6 +961,80 @@ object OracleSql {
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |GROUP BY 1, 2, 3 ORDER BY p_id""".stripMargin,
 
+    // strictly-ordered first-touch funnel: stage k+1 requires an event
+    // strictly later (µs) than the user's earliest stage-k arrival
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c_us GROUP BY 1),
+        |s AS (SELECT '1_view' AS stage,
+        |    (SELECT COUNT(*) FROM v) AS n_users
+        |  UNION ALL SELECT '2_view_click', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT '3_view_click_purchase', (SELECT COUNT(*) FROM p))
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+        |round(n_users::DOUBLE / (SELECT COUNT(*) FROM v), 6) AS conv_rate
+        |FROM s ORDER BY stage""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, cohort,
+        |  date_diff('day', cohort, day) AS day_offset
+        |  FROM e JOIN f USING (user_id)),
+        |s AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY 1)
+        |SELECT a.cohort, CAST(day_offset AS INT) AS day_offset,
+        |COUNT(*) AS n_active, CAST(s.cohort_users AS BIGINT) AS cohort_users,
+        |round(COUNT(*)::DOUBLE / s.cohort_users, 6) AS retention
+        |FROM a JOIN s ON a.cohort = s.cohort
+        |GROUP BY a.cohort, day_offset, s.cohort_users
+        |ORDER BY a.cohort, day_offset""".stripMargin,
+
+    // same salted-md5 bucketing as q_sample_split, salt '#strat'
+    "q_sample_stratified" ->
+      """WITH b AS (SELECT lang,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 4))::INT
+        |    % 100 AS bucket FROM documents),
+        |t AS (SELECT lang, bucket,
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 WHEN 'de' THEN 20
+        |       WHEN 'es' THEN 20 WHEN 'fr' THEN 20 ELSE 10 END AS thr FROM b)
+        |SELECT lang, COUNT(*) AS n_total,
+        |CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_sampled,
+        |round(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::DOUBLE
+        |  / COUNT(*), 6) AS rate
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the Bloom prefilter is exactness-preserving (every candidate is
+    // re-verified against the true shingle set), so the oracle computes
+    // the bloom-free answer: drop docs sharing >= 2 distinct 5-grams
+    "q_filter_bloom" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  string_split(lower(text), ' ') AS p FROM documents),
+        |e AS (SELECT doc_id, source, p, unnest(range(1, len(p) - 3)) AS i
+        |  FROM d WHERE len(p) >= 5),
+        |g AS (SELECT doc_id, source,
+        |  array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS ng
+        |  FROM e),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 100 = 0),
+        |drp AS (SELECT doc_id FROM (
+        |    SELECT doc_id, COUNT(DISTINCT ng) AS n_shared FROM g
+        |    WHERE doc_id % 100 <> 0 AND ng IN (SELECT ng FROM bench)
+        |    GROUP BY doc_id)
+        |  WHERE n_shared >= 2)
+        |SELECT source, COUNT(*) AS n_train,
+        |CAST(COUNT(*) - SUM(CASE WHEN doc_id IN (SELECT doc_id FROM drp)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM drp)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM documents WHERE doc_id % 100 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // ---- §2.12 multimodal ----
     // BYTE-based checksum over the UTF-8 octets (hex(encode(text)) →
     // 2-hex-char slices), matching the Spark stub's unsigned byte sum

@@ -79,6 +79,26 @@ object GraftExtensions {
       arity("shingles", 2)(c =>
         graft.functions.ShinglesGenerator(c(0), c(1))),
       "built-in")
+    // Spark's own Bloom-filter sketch pair (the machinery behind
+    // runtime row-group filters), surfaced as SQL functions for the
+    // q_filter_bloom prefilter: bloom_agg(xxhash64(x), estItems,
+    // numBits) builds the sketch as an aggregate; bloom_might_contain
+    // (sketch, xxhash64(x)) is the row-local membership probe. The
+    // sketch argument must be a literal or an uncorrelated scalar
+    // subquery (BloomFilterMightContain.checkInputDataTypes), which is
+    // exactly how the caller supplies it.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      arity("bloom_agg", 3)(c =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c(0), c(1), c(2)).toAggregateExpression()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      arity("bloom_might_contain", 2)(c =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(c(0), c(1))),
+      "built-in")
   }
 }
 

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.EventOps
+import org.apache.spark.sql.functions.{col, to_timestamp}
+
+/** Planted-case tests for the behavioral-analytics operators
+  * (q_events_funnel, q_events_retention). The oracle gate value-checks
+  * both against DuckDB on real data; these pin the ordering/cohort
+  * SEMANTICS on hand-built event logs where the right answer is known
+  * by construction. */
+class EventOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def events(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+      .drop("t")
+
+  test("funnel counts strictly-ordered first-touch stage arrivals") {
+    val log = events(
+      // user 1: fully ordered -> all three stages
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: click BEFORE the first view -> view stage only
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      // user 3: purchase between view and click -> stages 1 and 2 only
+      (3L, "view", "2024-01-01 08:00:00"),
+      (3L, "purchase", "2024-01-01 08:10:00"),
+      (3L, "click", "2024-01-01 08:20:00"),
+      // user 4: no view at all -> appears in no stage
+      (4L, "purchase", "2024-01-01 07:00:00"),
+      (4L, "click", "2024-01-01 07:01:00"),
+      // user 5: click at EXACTLY the first view's timestamp -> strict
+      // '>' excludes it, view stage only
+      (5L, "view", "2024-01-01 06:00:00"),
+      (5L, "click", "2024-01-01 06:00:00"))
+    val out = EventOps.funnelOn(log).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("conv_rate"))).toMap
+    assert(out("1_view") == ((4L, 1.0)))
+    assert(out("2_view_click") == ((2L, 0.5)))
+    assert(out("3_view_click_purchase") == ((1L, 0.25)))
+  }
+
+  test("funnel later-but-cheaper click does not resurrect a purchase") {
+    // the purchase precedes the SECOND click too, so no ordering of
+    // clicks can qualify it; guards against "any click before any
+    // purchase" mis-semantics
+    val log = events(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 10:01:00"),
+      (1L, "click", "2024-01-01 10:02:00"),
+      (1L, "click", "2024-01-01 10:03:00"))
+    val out = EventOps.funnelOn(log).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(out("2_view_click") == 1L)
+    assert(out("3_view_click_purchase") == 0L)
+  }
+
+  test("retention cohorts by first-seen day with per-cohort rates") {
+    val log = events(
+      // cohort 2024-01-01: users 1 and 2; user 1 returns on day 2
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-03 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      // cohort 2024-01-02: user 3, also active the next day
+      (3L, "view", "2024-01-02 09:00:00"),
+      (3L, "view", "2024-01-03 09:00:00"),
+      (3L, "view", "2024-01-03 09:30:00")) // same day twice: one cell hit
+    val out = EventOps.retentionOn(log).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Int]("day_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_users"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 2)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-02", 0)) == ((1L, 1L, 1.0)))
+    assert(out(("2024-01-02", 1)) == ((1L, 1L, 1.0)))
+    assert(out.size == 4)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupSim, TextOps}
+import graft.ops.{DedupSim, ScratchCache, TextOps}
 import org.apache.spark.sql.functions.col
 
 /** Planted-case tests for the training-data curation operators added in
@@ -146,5 +146,70 @@ class TrainingDataSpec extends GraftSuite {
     m.values.foreach { case (tot, kept) => assert(kept >= 0 && kept <= tot) }
     // zh rate 50: strictly between the extremes on any non-trivial corpus
     if (m("zh")._1 > 20) assert(m("zh")._2 > 0 && m("zh")._2 < m("zh")._1)
+  }
+
+  test("stratified sampling matches a java-side md5 replay and is stable") {
+    val corpus = docs((0L until 200L).map(i =>
+      (i, s"document body $i", Seq("en", "zh", "de", "xx")((i % 4).toInt),
+        s"src${i % 3}")): _*)
+    // independent replay of the bucketing: MessageDigest md5 of
+    // "<doc_id>#strat", first 4 hex chars as int, % 100 vs threshold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Int = {
+      val h = md.digest(s"$id#strat".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 4), 16) % 100
+    }
+    val thr = Map("en" -> 50, "zh" -> 30, "de" -> 20).withDefaultValue(10)
+    val expected = (0L until 200L)
+      .map(i => (Seq("en", "zh", "de", "xx")((i % 4).toInt), i))
+      .groupBy(_._1)
+      .map { case (lang, rows) =>
+        lang -> (rows.size.toLong,
+          rows.count { case (l, id) => bucket(id) < thr(l) }.toLong) }
+    val out = TextOps.sampleStratifiedOn(corpus).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))).toMap
+    assert(out == expected)
+    // membership is row-local: physical partitioning cannot change it
+    val shuffled = TextOps.sampleStratifiedOn(corpus.repartition(13))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))).toMap
+    assert(shuffled == expected)
+  }
+
+  test("bloom filter drops exactly the docs sharing >= 2 benchmark 5-grams") {
+    val corpus = docs(
+      // benchmark doc (doc_id % 100 == 0): 3 distinct 5-grams
+      (100L, "alpha beta gamma delta epsilon zeta eta", "en", "s1"),
+      // shares 2 distinct 5-grams -> dropped
+      (1L, "alpha beta gamma delta epsilon zeta tailword", "en", "s1"),
+      // shares exactly 1 -> kept (threshold is >= 2)
+      (2L, "gamma delta epsilon zeta eta unrelated trailing words", "en", "s1"),
+      // no overlap -> kept
+      (3L, "completely different content with many unique tokens here", "en", "s2"))
+    val out = TextOps.filterBloomOn(corpus).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    assert(out("s1") == ((2L, 1L, 1L)))
+    assert(out("s2") == ((1L, 1L, 0L)))
+    ScratchCache.releaseAll()
+  }
+
+  test("bloom false positives cannot change the result (saturated sketch)") {
+    // 64-bit bloom over dozens of shingles: nearly every probe is a
+    // false positive, so the prefilter passes almost everything and
+    // the exact verify join must carry the semantics alone
+    val corpus = docs(
+      (100L, "alpha beta gamma delta epsilon zeta eta", "en", "s1"),
+      (1L, "alpha beta gamma delta epsilon zeta tailword", "en", "s1"),
+      (2L, "gamma delta epsilon zeta eta unrelated trailing words", "en", "s1"),
+      (3L, "completely different content with many unique tokens here", "en", "s2"))
+    val exact = TextOps.filterBloomOn(corpus).collect().toSeq
+    ScratchCache.releaseAll()
+    val saturated = TextOps.filterBloomOn(corpus, estItems = 4L,
+      numBits = 64L).collect().toSeq
+    assert(saturated == exact)
+    ScratchCache.releaseAll()
   }
 }
