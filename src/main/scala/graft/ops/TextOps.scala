@@ -502,9 +502,11 @@ object TextOps {
     * `estItems`/`numBits`) still ships to every task as a scalar
     * subquery literal. The corpus side then drops ~99% of its shingles
     * with the row-local `bloom_might_contain` BEFORE the exact
-    * verification join — which is deliberately a plain SHUFFLED semi
-    * join, not a broadcast: only bloom-surviving shingles (true hits +
-    * the FP tail) pay the exchange. False positives cannot leak into
+    * verification semi join, whose strategy is left to the planner on
+    * purpose: a small true set broadcasts (as at test scale), a
+    * GB-sized one exceeds the threshold and plans as a shuffle join —
+    * where only bloom-surviving shingles (true hits + the FP tail) pay
+    * the exchange. False positives cannot leak into
     * the result — the exact join re-checks every candidate — so the
     * output is EXACTLY the no-bloom answer (the DuckDB oracle computes
     * it bloom-free; TrainingDataSpec forces a saturated 64-bit bloom
