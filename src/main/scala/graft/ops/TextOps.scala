@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -486,6 +486,64 @@ object TextOps {
         round(col("n_sampled").cast("double") / col("n_total"), 6)
           .as("rate"))
       .orderBy(col("lang"))
+  }
+
+  /** q_dedup_url — URL canonicalization + URL-level dedup, the first
+    * dedup pass every web-crawl training pipeline runs (before any
+    * content hashing): collapse raw URLs that differ only in
+    * scheme/host case, `www.` prefix, explicit default port, tracking
+    * (`utm_*`) query params, trailing slash, or fragment. The corpus
+    * has no URL column, so raw URLs are PLANTED deterministically
+    * (same pattern as q_text_pii's emails) with doc_id-dependent mess:
+    * case flips, `:443`, utm params and fragments vary per doc while
+    * the underlying resource (`doc_id % 50` per source) does not — so
+    * canonicalization genuinely collapses ~50 raw forms per source.
+    *
+    * Every step is a row-local regexp chain kept RE2-safe (no
+    * lookahead/backrefs) so DuckDB replays it byte-identically; the
+    * wire is the per-source ledger (docs, distinct raw, distinct
+    * canonical, collapsed). Scale: narrow map + one hash aggregate —
+    * the same shape as q_sample_split. The doc-level survivor pick
+    * (min doc_id per canonical URL) is the groupBy a caller composes
+    * on top. */
+  def dedupUrl(s: SparkSession, d: String): DataFrame =
+    dedupUrlOn(Tables.documents(s, d))
+
+  /** Core of q_dedup_url over any documents-shaped frame. */
+  def dedupUrlOn(docs: DataFrame): DataFrame = {
+    val raw = concat(
+      lit("https://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+      lit("Src"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&page="), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 1, lit("#frag")).otherwise(lit("")))
+    val canon = Seq[Column => Column](
+      lower(_),                                  // scheme+host case
+      regexp_replace(_, "#.*$", ""),             // fragment
+      regexp_replace(_, ":443/", "/"),           // default port (path
+                                                 // always follows, by
+                                                 // construction)
+      regexp_replace(_, "://www\\.", "://"),     // www prefix
+      regexp_replace(_, "&utm_[a-z]+=[^&]*", ""),      // utm mid/tail
+      regexp_replace(_, "\\?utm_[a-z]+=[^&]*&", "?"),  // utm first
+      regexp_replace(_, "\\?utm_[a-z]+=[^&]*$", ""),   // utm only
+      regexp_replace(_, "/\\?", "?"),            // trailing slash
+      regexp_replace(_, "/$", ""))
+      .foldLeft(raw)((c, f) => f(c))
+    docs
+      .select(col("source"), raw.as("raw_url"), canon.as("canon_url"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw"),
+        countDistinct(col("canon_url")).as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_raw"),
+        col("n_canonical"),
+        (col("n_docs") - col("n_canonical")).as("n_collapsed"))
+      .orderBy(col("source"))
   }
 
   /** q_filter_bloom — benchmark decontamination FILTER with a

@@ -1010,6 +1010,34 @@ object OracleSql {
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // planted raw URLs (doc_id-dependent case/port/utm/fragment mess)
+    // canonicalized by the same RE2-safe regexp chain as the Spark
+    // side; 'g' only where more than one match is possible
+    "q_dedup_url" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+        |  || 'Src' || (doc_id % 7) || '.Example.COM'
+        |  || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |  || '/docs/' || (doc_id % 50)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |  || '?utm_source=feed&page=' || (doc_id % 5)
+        |  || CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c AS (SELECT source, raw_url,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(raw_url),
+        |    '#.*$', ''), ':443/', '/'), '://www\.', '://'),
+        |    '&utm_[a-z]+=[^&]*', '', 'g'), '\?utm_[a-z]+=[^&]*&', '?'),
+        |    '\?utm_[a-z]+=[^&]*$', ''), '/\?', '?'), '/$', '')
+        |    AS canon_url FROM u)
+        |SELECT source, COUNT(*) AS n_docs,
+        |COUNT(DISTINCT raw_url) AS n_raw,
+        |COUNT(DISTINCT canon_url) AS n_canonical,
+        |CAST(COUNT(*) - COUNT(DISTINCT canon_url) AS BIGINT) AS n_collapsed
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     // the Bloom prefilter is exactness-preserving (every candidate is
     // re-verified against the true shingle set), so the oracle computes
     // the bloom-free answer: drop docs sharing >= 2 distinct 5-grams

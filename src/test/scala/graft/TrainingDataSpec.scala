@@ -178,6 +178,26 @@ class TrainingDataSpec extends GraftSuite {
     assert(shuffled == expected)
   }
 
+  test("url dedup collapses case/port/utm/slash/fragment variants") {
+    // doc_ids chosen so every planted URL points at the SAME resource
+    // (id % 7, % 50, % 5 all equal) while the raw strings differ:
+    // 350 (even: WWW., trailing slash; %4!=0: no campaign; %3!=0: no port)
+    // 1050 (even, %3==0: explicit :443; %4!=0)
+    // 2100 (even, %3==0, %4==0: adds utm_campaign)
+    // and 701 (odd: lowercase www, #frag) hits resource 701%50=1 — a
+    // DIFFERENT canonical from the 0-group
+    val corpus = docs(
+      (350L, "a", "en", "s1"), (1050L, "b", "en", "s1"),
+      (2100L, "c", "en", "s1"), (701L, "d", "en", "s1"))
+    val r = TextOps.dedupUrlOn(corpus).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_raw") == 4L)       // all raw forms differ
+    assert(row.getAs[Long]("n_canonical") == 2L) // {350,1050,2100} + {701}
+    assert(row.getAs[Long]("n_collapsed") == 2L)
+  }
+
   test("bloom filter drops exactly the docs sharing >= 2 benchmark 5-grams") {
     val corpus = docs(
       // benchmark doc (doc_id % 100 == 0): 3 distinct 5-grams
