@@ -147,16 +147,26 @@ object Aggregates {
         round(expr("percentile(q, 0.99)"), 6).as("p99"))
       .orderBy(col("l_returnflag"))
 
-  /** q_agg_approx — HyperLogLog++ distinct estimate (no oracle: approx
-    * by construction; exact-vs-approx tolerance asserted in tests).
-    * At 100 TB this replaces an Expand+shuffle-heavy exact distinct with
-    * a constant-size sketch per partition. */
-  def aggApprox(s: SparkSession, d: String): DataFrame =
+  /** q_agg_approx — sketch aggregates (no oracle: approx by
+    * construction; tolerances asserted in tests): HyperLogLog++
+    * distinct estimate plus the native Count-Min frequency aggregate
+    * (`graft.functions.CountMinEstimate`, registered as
+    * `count_min_est`) estimating the per-group frequency of three
+    * planted quantity values. At 100 TB both replace Expand/shuffle-
+    * heavy exact plans with constant-size mergeable sketches per
+    * partition; Count-Min is deterministic (fixed seeds, commutative
+    * counter merges), and the estimate array is wire-flattened to a
+    * csv string because the harness comparator rejects array cells. */
+  def aggApprox(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("array_join(count_min_est(cast(cast(l_quantity as int) as string), '1,25,50'), ',')")
+          .as("cm_qty_est"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q_udaf_topk — typed Aggregator UDAF: bounded top-5 orders per
     * priority class, exploded back to rows. Oracle twin: row_number

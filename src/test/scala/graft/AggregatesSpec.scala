@@ -47,6 +47,30 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("count-min quantity estimates bound exact per-group counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Aggregates.aggApprox(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("int").cast("string").as("q"))
+    val groupN = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.filter(col("q").isin("1", "25", "50"))
+      .groupBy("l_returnflag", "q").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val est = r.getAs[String]("cm_qty_est").split(",").map(_.toLong)
+      Seq("1", "25", "50").zip(est).foreach { case (q, e) =>
+        val truth = exact.getOrElse((flag, q), 0L)
+        assert(e >= truth, s"$flag/$q: estimate $e < exact $truth")
+        // depth=4, width=256 → overcount per probe ≲ group_n/256
+        assert(e <= truth + 4 * groupN(flag) / 256 + 4,
+          s"$flag/$q: estimate $e way above exact $truth")
+      }
+    }
+  }
+
   test("agg_stats variance matches builtin within float tolerance") {
     import org.apache.spark.sql.functions._
     val ours = Aggregates.aggStats(spark, sf).collect()
