@@ -93,4 +93,40 @@ object Sources {
     counts.coalesce(1).write.mode("overwrite").json(tmp("kgx_meta", d))
     counts
   }
+
+  /** q_sink_partitioned — partitioned parquet layout + partition-pruned
+    * read-back, THE 100 TB table layout discipline: orders written
+    * `partitionBy(o_year)` (hive-style `o_year=<y>/` directories), then
+    * re-read with a two-year filter that must plan as PARTITION PRUNING
+    * (the scan lists only 2 of the ~7 year directories —
+    * `PartitionFilters` in the physical plan, asserted in
+    * PartitionedSinkSpec — rather than reading everything and
+    * filtering rows). Wire: per-year counts + price sums recomputed
+    * FROM THE WRITTEN FILES, so the oracle value-checks the layout
+    * roundtrip end-to-end. At scale this is the difference between
+    * scanning 2/7ths of a fact table and all of it; the partition
+    * column rides the directory structure, costing zero bytes per row.
+    * Writes stay deterministic: content depends only on the source
+    * table, and the returned aggregate is partition-count independent. */
+  def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("part_orders", d)
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    readPartitionedYears(s, dir, Seq(1996, 1998))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("o_totalprice").cast(DecimalType(18, 2)))).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
+  /** The pruned read-back half of [[sinkPartitioned]], split out so the
+    * spec can assert `PartitionFilters` on exactly this plan. */
+  private[graft] def readPartitionedYears(s: SparkSession, dir: String,
+      years: Seq[Int]): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("o_year").isin(years: _*))
+
+  /** Where [[sinkPartitioned]] lays out its hive-style directories. */
+  private[graft] def partitionedDir(d: String): String = tmp("part_orders", d)
 }

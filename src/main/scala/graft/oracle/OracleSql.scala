@@ -1010,6 +1010,16 @@ object OracleSql {
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the partitioned-layout roundtrip preserves values exactly, so the
+    // oracle recomputes the two pruned years straight from the table
+    "q_sink_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) IN (1996, 1998)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // planted raw URLs (doc_id-dependent case/port/utm/fragment mess)
     // canonicalized by the same RE2-safe regexp chain as the Spark
     // side; 'g' only where more than one match is possible
