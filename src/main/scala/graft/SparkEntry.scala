@@ -65,6 +65,7 @@ object SparkEntry {
     "q_join_asof" -> (Joins.joinAsof _),
     "q_join_bucketed" -> (Joins.joinBucketed _),
     "q_join_multi" -> (Joins.joinMulti _),
+    "q_join_skew" -> (Joins.joinSkew _),
     // §2.6 sort/topk
     "q_sort_multi" -> (Relational.sortMulti _),
     "q_topk" -> (Relational.topK _),

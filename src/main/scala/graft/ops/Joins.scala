@@ -221,4 +221,30 @@ object Joins {
           (lit(1) - col("l_discount")).cast(DecimalType(4, 2))))
           .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"), col("yr"))
+
+  /** q_join_skew — hot-key join through the explicit salting path
+    * ([[Skew.saltedJoin]]): lineitem (the skew-prone fact side — a hub
+    * part in a merged graph is exactly a hot l_partkey) joins the part
+    * dimension with the fact side spread over 8 deterministic salt
+    * buckets and the dimension exploded 8×, so one hot key occupies 8
+    * reducers instead of stalling 1. Salting is semantics-invisible
+    * for inner equi joins, which is precisely what the oracle checks:
+    * the DuckDB twin is the PLAIN join — any salting artifact
+    * (dropped/duplicated rows, salt column leakage) breaks the value
+    * match. SkewSpec additionally pins salted ≡ unsalted row-for-row
+    * and the 8-way spread of a planted hot key. Wire: revenue per
+    * p_brand over a p_size slice. */
+  def joinSkew(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val dim = Tables.part(s, d)
+      .filter(col("p_size") <= 25)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Skew.saltedJoin(big, dim, "l_partkey", "l_orderkey", 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        d2(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
 }

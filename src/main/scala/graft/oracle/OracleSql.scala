@@ -1010,6 +1010,16 @@ object OracleSql {
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // salting is semantics-invisible for inner equi joins: the oracle
+    // is the PLAIN join — any salt artifact breaks the value match
+    "q_join_skew" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |  AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     // the partitioned-layout roundtrip preserves values exactly, so the
     // oracle recomputes the two pruned years straight from the table
     "q_sink_partitioned" ->
