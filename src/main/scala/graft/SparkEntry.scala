@@ -18,6 +18,7 @@ object SparkEntry {
     "q_sink_kgx" -> (Sources.sinkKgx _),
     "q_sink_neo4j" -> (Neo4jSink.sinkNeo4j _),
     "q_sink_partitioned" -> (Sources.sinkPartitioned _),
+    "q_snapshot_diff" -> (Incremental.snapshotDiff _),
     "q_source_spec" -> (Pipeline.pipelineSpecs _),
     // §2.11 graph / ETL
     "q_norm_remap" -> (GraphOps.normRemap _),

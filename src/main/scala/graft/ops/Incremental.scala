@@ -1,7 +1,10 @@
 package graft.ops
 
 import java.nio.file.{Files, Paths, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
 
 /** Incremental source-version management — the reference's EP1 behavior
   * a daily user depends on most: each fetched source records its
@@ -65,4 +68,48 @@ object Incremental {
         LoadStatus(source, version, rows, skipped = false, dp)
     }
   }
+
+  // Exact decimal internally; DOUBLE on the wire (see Relational.d2).
+  private def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+
+  /** q_snapshot_diff — CDC-style snapshot comparison, the query a daily
+    * incremental pipeline runs after [[loadIfStale]] detects a new
+    * source version: classify every key of two snapshots as `added`
+    * (new only), `deleted` (old only), `changed` (both, value differs)
+    * or `unchanged`, with row counts and the new-side value sum per
+    * class. The two snapshots are derived deterministically from the
+    * orders table (old := keys ≢0 mod 10, new := keys ≢0 mod 7 with
+    * every ≡0-mod-5 price bumped by 1.00), so the oracle value-checks
+    * the full classification.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the snapshot key —
+    * both sides shuffle once, the classification is row-local, and the
+    * report is a 4-row hash aggregate. No per-row lookups, no driver
+    * state; at 100 TB this is the standard two-snapshot reconciliation
+    * plan. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+    val newSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("v_new"))
+    snapshotDiffOn(oldSnap, newSnap)
+  }
+
+  /** Core of q_snapshot_diff over any (k, v_old) / (k, v_new) pair of
+    * snapshots. */
+  def snapshotDiffOn(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    oldSnap.join(newSnap, Seq("k"), "full_outer")
+      .select(
+        when(col("v_old").isNull, "added")
+          .when(col("v_new").isNull, "deleted")
+          .when(col("v_old") =!= col("v_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("v_new"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("v_new").cast(DecimalType(18, 2)))).as("sum_new"))
+      .orderBy(col("status"))
 }

@@ -1010,6 +1010,26 @@ object OracleSql {
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // CDC classification over two deterministically derived snapshots;
+    // sum_new is NULL for 'deleted' in both engines
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v_old
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |new AS (SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS v_new
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT
+        |  CASE WHEN v_old IS NULL THEN 'added'
+        |       WHEN v_new IS NULL THEN 'deleted'
+        |       WHEN v_old <> v_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status, v_new
+        |  FROM old FULL JOIN new USING (k))
+        |SELECT status, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(v_new AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_new
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
     // salting is semantics-invisible for inner equi joins: the oracle
     // is the PLAIN join — any salt artifact breaks the value match
     "q_join_skew" ->

@@ -42,4 +42,20 @@ class IncrementalSpec extends GraftSuite {
     assert(!st.skipped && builds == 1 && st.rows == 1L)
     assert(Incremental.recordedVersion(dir).contains(("v1", 1L)))
   }
+
+  test("snapshot diff classifies added/deleted/changed/unchanged exactly") {
+    val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v_old")
+    val newSnap = Seq((2L, 20.0), (3L, 35.0), (4L, 40.0))
+      .toDF("k", "v_new")
+    val out = Incremental.snapshotDiffOn(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("added") == ((1L, Some(40.0))))
+    assert(out("deleted") == ((1L, None))) // no new-side value to sum
+    assert(out("changed") == ((1L, Some(35.0))))
+    assert(out("unchanged") == ((1L, Some(20.0))))
+    assert(out.size == 4)
+  }
 }
