@@ -9,11 +9,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // interleaved reps cycle ~91 distinct query plans between a
+      // interleaved reps cycle ~104 distinct query plans between a
       // query's reps; the default 100-entry codegen class cache evicts
       // everything in between and every rep pays full recompilation —
       // size it to hold the whole suite's generated classes
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
