@@ -47,6 +47,7 @@ object SparkEntry {
     "q_agg_collect" -> (Aggregates.aggCollect _),
     "q_agg_stats" -> (Aggregates.aggStats _),
     "q_agg_approx" -> (Aggregates.aggApprox _),
+    "q_agg_hll_rollup" -> (Aggregates.aggHllRollup _),
     "q_agg_quantile" -> (Aggregates.aggQuantile _),
     "q_udaf_topk" -> (Aggregates.udafTopK _),
     // §2.5 windows

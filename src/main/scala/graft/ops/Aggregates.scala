@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import scala.util.chaining._
 
 /** Aggregation surface beyond the flagship (SURVEY.md §2.4). Reference
   * capability: per-category node/edge counters and merge statistics
@@ -165,6 +166,35 @@ object Aggregates {
         count(lit(1)).as("n"),
         expr("array_join(count_min_est(cast(cast(l_quantity as int) as string), '1,25,50'), ',')")
           .as("cm_qty_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_agg_hll_rollup — the sketch ROLL-UP pattern: distinct-part
+    * estimates served at TWO granularities from ONE scan. The finest
+    * grain (returnflag × linestatus) aggregates `hll_sketch_agg`
+    * sketches (Apache DataSketches HLL — mergeable, fixed-size); the
+    * flag level then `hll_union_agg`s those sketches WITHOUT touching
+    * the fact table again. At 100 TB this is how pre-aggregated sketch
+    * tables answer distinct-count queries at every roll-up level from
+    * a single pass — re-scanning per granularity (or an exact
+    * count_distinct Expand) is the plan this replaces. Sketch merges
+    * are commutative and the estimate deterministic, so the output is
+    * partition-order independent; no oracle (approximate by
+    * construction — DuckDB's HLL implementation would disagree in the
+    * low bits), tolerance + roll-up-consistency asserted in
+    * AggregatesSpec. Wire: per-flag estimates, with the finest-grain
+    * sketch count and exact row count beside them. */
+  def aggHllRollup(s: SparkSession, d: String): DataFrame = {
+    val fine = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        count(lit(1)).as("n"))
+      // one scan feeds both the per-flag roll-up and the cell count
+      .pipe(ScratchCache.cache)
+    fine.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_rows"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_parts"))
       .orderBy(col("l_returnflag"))
   }
 

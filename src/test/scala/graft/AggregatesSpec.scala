@@ -71,6 +71,30 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("hll rollup: merged sketches match exact and the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val rolled = Aggregates.aggHllRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_parts")).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(rolled(k) - e).toDouble / e < 0.05,
+        s"flag $k: rolled-up estimate ${rolled(k)} vs exact $e")
+    }
+    // roll-up consistency: union of the per-cell sketches must give the
+    // same estimate as sketching the flag level directly in one pass
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+        .as("est")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    assert(rolled == direct,
+      s"sketch-of-union != union-of-sketches: $rolled vs $direct")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("agg_stats variance matches builtin within float tolerance") {
     import org.apache.spark.sql.functions._
     val ours = Aggregates.aggStats(spark, sf).collect()
