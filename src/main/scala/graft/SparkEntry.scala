@@ -110,6 +110,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextOps.sampleStratified _),
     "q_filter_bloom" -> (TextOps.filterBloom _),
     "q_dedup_url" -> (TextOps.dedupUrl _),
+    "q_dedup_lines" -> (TextOps.dedupLines _),
     // §2.10 streaming batch twins
     "q_stream_tumbling" -> (StreamingOps.tumbling _),
     "q_stream_sliding" -> (StreamingOps.sliding _),

@@ -546,6 +546,54 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q_dedup_lines — C4-style LINE-level dedup, the sub-document
+    * cleanup every web-corpus pipeline runs (boilerplate footers,
+    * cookie banners and nav text repeat across millions of pages while
+    * the pages themselves differ): drop every line whose exact text
+    * already appeared earlier in the corpus, keeping the FIRST
+    * occurrence (global (doc_id, position) order). The synthetic
+    * corpus has no line structure, so each doc contributes its content
+    * as one line plus a PLANTED boilerplate footer (`doc_id % 7`
+    * variants — the same deterministic-planting pattern as q_text_pii),
+    * making ~1/7 of all lines cross-doc duplicates by construction.
+    *
+    * Scale shape: lines keyed by md5 so the exchange carries 32-byte
+    * keys instead of full line text; ONE window over the hash
+    * partition picks the first occurrence (no self-join); per-source
+    * hash agg reports lines kept/removed and chars saved. At 100 TB
+    * this is the standard single-shuffle exact line dedup — the hash
+    * partitioning spreads boilerplate lines' rows evenly, and a
+    * pathological single-line skew would move to the same salting
+    * pattern as q_join_skew. */
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    dedupLinesOn(Tables.documents(s, d))
+
+  /** Core of q_dedup_lines over any documents-shaped frame. */
+  def dedupLinesOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val footer = concat(lit("boilerplate footer variant "),
+      (col("doc_id") % 7).cast("string"),
+      lit(" subscribe for updates and accept cookies"))
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(array(col("text"), footer)))
+      .select(col("doc_id"), col("source"), col("pos"),
+        col("col").as("line"), md5(col("col")).as("h"))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    lines
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > 1, length(col("line"))).otherwise(0L))
+          .cast("long").as("chars_removed"))
+      .select(col("source"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"),
+        col("chars_removed"))
+      .orderBy(col("source"))
+  }
+
   /** q_filter_bloom — benchmark decontamination FILTER with a
     * Bloom-filter prefilter: drop every training document sharing ≥ 2
     * distinct word-5-grams with the benchmark set (doc_id % 100 == 0),

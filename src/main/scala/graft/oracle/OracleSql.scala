@@ -1050,6 +1050,25 @@ object OracleSql {
         |FROM orders WHERE year(o_orderdate) IN (1996, 1998)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // line-level dedup: first occurrence in global (doc_id, pos) order
+    // wins; lines = content + planted boilerplate footer per doc
+    "q_dedup_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, 0 AS pos, text AS line FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source, 1,
+        |    'boilerplate footer variant ' || (doc_id % 7)
+        |    || ' subscribe for updates and accept cookies' FROM documents),
+        |r AS (SELECT source, line,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(line)
+        |    ORDER BY doc_id, pos) AS rk FROM l)
+        |SELECT source, COUNT(*) AS n_lines,
+        |CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |CAST(SUM(CASE WHEN rk > 1 THEN length(line) ELSE 0 END) AS BIGINT)
+        |  AS chars_removed
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     // planted raw URLs (doc_id-dependent case/port/utm/fragment mess)
     // canonicalized by the same RE2-safe regexp chain as the Spark
     // side; 'g' only where more than one match is possible

@@ -178,6 +178,24 @@ class TrainingDataSpec extends GraftSuite {
     assert(shuffled == expected)
   }
 
+  test("line dedup keeps first occurrence of content and footer lines") {
+    // docs 1 and 2 share CONTENT (doc 2's copy removed); docs 10 and 17
+    // share the planted FOOTER (both % 7 == 3; doc 17's copy removed)
+    val corpus = docs(
+      (1L, "same text", "en", "s1"),
+      (2L, "same text", "en", "s1"),
+      (10L, "aaa", "en", "s2"),
+      (17L, "bbb", "en", "s2"))
+    val out = TextOps.dedupLinesOn(corpus).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("chars_removed"))).toMap
+    val footerLen = ("boilerplate footer variant 3" +
+      " subscribe for updates and accept cookies").length.toLong
+    assert(out("s1") == ((4L, 3L, 1L, "same text".length.toLong)))
+    assert(out("s2") == ((4L, 3L, 1L, footerLen)))
+  }
+
   test("url dedup collapses case/port/utm/slash/fragment variants") {
     // doc_ids chosen so every planted URL points at the SAME resource
     // (id % 7, % 50, % 5 all equal) while the raw strings differ:
