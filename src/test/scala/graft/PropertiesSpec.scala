@@ -197,4 +197,52 @@ class PropertiesSpec extends GraftSuite {
       .first().getDouble(0)
     assert(cos == 1.0)
   }
+
+  test("funnel stage counts are monotone non-increasing on random logs") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // random (user, type, µs) logs; ties in ts included deliberately
+    // (strict '>' ordering must still yield a well-formed funnel)
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0L, 7L),
+      Gen.oneOf("view", "click", "purchase", "error"),
+      Gen.choose(0L, 20L)))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(evGen) { (es: List[(Long, String, Long)]) =>
+        val df = es.toDF("user_id", "event_type", "us")
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts"))
+        val m = EventOps.funnelOn(df).collect()
+          .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+        val (a, b, c) = (m("1_view"), m("2_view_click"),
+          m("3_view_click_purchase"))
+        a >= b && b >= c && c >= 0
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("retention cells bounded by cohort size; offset 0 covers the cohort") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val evGen = Gen.listOfN(50, Gen.zip(
+      Gen.choose(0L, 9L),                       // user
+      Gen.choose(0L, 5L * 86400L * 1000000L)))  // µs within 6 days
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(evGen) { (es: List[(Long, Long)]) =>
+        val df = es.toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        val rows = EventOps.retentionOn(df).collect()
+        val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+        rows.forall { r =>
+          r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users") &&
+          r.getAs[Int]("day_offset") >= 0 &&
+          r.getAs[Double]("retention") <= 1.0
+        } &&
+        // every cohort member is active on their own first day, so the
+        // offset-0 cell equals the cohort size exactly
+        day0.forall(r =>
+          r.getAs[Long]("n_active") == r.getAs[Long]("cohort_users"))
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
