@@ -227,6 +227,27 @@ class ParsersSpec extends GraftSuite {
     assert(nodeLines.length == 5)
   }
 
+  test("shipped example specs parse and load end-to-end") {
+    import graft.ops.SourceSpec
+    // the files under examples/specs are USER-FACING docs — this guard
+    // keeps them in sync with the parser as the spec schema evolves
+    val gd = SourceSpec.fromJsonFile(
+      "/root/repo/examples/specs/gene_disease.spec.json")
+    assert(gd.name == "gene_disease" && gd.format == "tsv" &&
+      gd.nodes.size == 2 && gd.edges.size == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exspec")
+    java.nio.file.Files.writeString(dir.resolve("gd.tsv"),
+      "G1\tD1\t0.9\nG2\tD1\t0.2\n")
+    val (nodes, edges) = SourceSpec.load(spark, gd,
+      dir.resolve("gd.tsv").toString)
+    // nodes: NCBIGene:G1, NCBIGene:G2, MONDO:D1; the 0.2 edge filtered
+    assert(nodes.count() == 3 && edges.count() == 1)
+    val cust = SourceSpec.fromJsonFile(
+      "/root/repo/examples/specs/customers.spec.json")
+    assert(cust.format == "parquet" && cust.nodes.size == 2 &&
+      cust.edges.head.predicate == "biolink:located_in")
+  }
+
   test("SourceSpec.fromJson: a config file IS the parser") {
     import graft.ops.SourceSpec
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonspec")
