@@ -119,6 +119,7 @@ object SparkEntry {
     "q_stream_join" -> (StreamingOps.streamJoin _),
     "q_events_funnel" -> (EventOps.funnel _),
     "q_events_retention" -> (EventOps.retention _),
+    "q_events_anomaly" -> (EventOps.anomaly _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -64,6 +64,46 @@ object EventOps {
       .select(col("stage"), col("n_users"),
         round(col("n_users") / col("base"), 6).as("conv_rate"))
       .orderBy(col("stage"))
+  }
+
+  /** q_events_anomaly — hourly error-rate spike detection: flag every
+    * hour whose error rate exceeds 1.2× the global baseline — the
+    * ops-analytics sibling of the behavioral queries (and, for a
+    * training pipeline, the "did a crawl source start erroring"
+    * monitor). The comparison is a pure INTEGER cross-multiplication
+    * (`e·tnₜₒₜ·5 > eₜₒₜ·n·6`, promoted to DECIMAL(38,0) so 100 TB row
+    * counts cannot overflow a long) — no float accumulation anywhere,
+    * so the flag set is exact and partition-order independent; the
+    * one rate on the wire divides exact counts once and rounds.
+    *
+    * Plan shape: one hour-bucket hash aggregate, a 1-row global
+    * aggregate broadcast back on the non-foldable all-zeros key (a
+    * literal key would constant-fold the join into a BNLJ), row-local
+    * flag filter. The hourly frame is bounded (8.8k rows/year) —
+    * everything data-sized happens in the first aggregate. */
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyOn(Tables.events(s, d))
+
+  /** Core of q_events_anomaly over any events-shaped frame. */
+  def anomalyOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val big = (c: Column) => c.cast(DecimalType(38, 0))
+    val hourly = eventsDf
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+    val totals = hourly
+      .agg(sum(col("n")).as("tn"), sum(col("errs")).as("te"))
+      .withColumn("k", k0(col("tn")))
+    hourly.withColumn("k", k0(col("n")))
+      .join(broadcast(totals), "k")
+      .filter(big(col("errs")) * big(col("tn")) * 5 >
+        big(col("te")) * big(col("n")) * 6)
+      .select(col("hr"), col("n"), col("errs"),
+        round(col("errs").cast("double") / col("n"), 6).as("err_rate"))
+      .orderBy(col("hr"))
   }
 
   /** q_events_retention — cohort retention matrix: users cohorted by

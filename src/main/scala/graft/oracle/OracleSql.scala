@@ -1010,6 +1010,22 @@ object OracleSql {
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // integer cross-multiplication flag (HUGEINT mirrors the Spark
+    // side's DECIMAL(38,0) promotion), no float accumulation
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |  COUNT(*) AS n,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tn, SUM(errs) AS te FROM h)
+        |SELECT CAST(hr AS TIMESTAMP) AS hr, n,
+        |CAST(errs AS BIGINT) AS errs,
+        |round(errs::DOUBLE / n, 6) AS err_rate
+        |FROM h, t
+        |WHERE CAST(errs AS HUGEINT) * CAST(tn AS HUGEINT) * 5
+        |  > CAST(te AS HUGEINT) * CAST(n AS HUGEINT) * 6
+        |ORDER BY hr""".stripMargin,
+
     // CDC classification over two deterministically derived snapshots;
     // sum_new is NULL for 'deleted' in both engines
     "q_snapshot_diff" ->

@@ -59,6 +59,23 @@ class EventOpsSpec extends GraftSuite {
     assert(out("3_view_click_purchase") == 0L)
   }
 
+  test("anomaly flags exactly the hours beyond 1.2x the global error rate") {
+    // hour 10: 1/4 errors (25%); hour 11: 3/4 (75%); hour 12: 0/4.
+    // global = 4/12 (33.3%); 1.2x = 40% -> only hour 11 flagged
+    def ev(h: Int, types: String*) = types.zipWithIndex.map { case (t, i) =>
+      (1L, t, f"2024-01-01 $h%02d:0$i:00") }
+    val log = events(
+      (ev(10, "error", "view", "view", "view") ++
+       ev(11, "error", "error", "error", "view") ++
+       ev(12, "view", "view", "view", "view")): _*)
+    val out = EventOps.anomalyOn(log).collect()
+    assert(out.length == 1)
+    assert(out.head.getTimestamp(0).toString.startsWith("2024-01-01 11"))
+    assert(out.head.getAs[Long]("n") == 4L)
+    assert(out.head.getAs[Long]("errs") == 3L)
+    assert(out.head.getAs[Double]("err_rate") == 0.75)
+  }
+
   test("retention cohorts by first-seen day with per-cohort rates") {
     val log = events(
       // cohort 2024-01-01: users 1 and 2; user 1 returns on day 2
