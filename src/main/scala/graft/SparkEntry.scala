@@ -28,6 +28,7 @@ object SparkEntry {
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
     "q_graph_degree" -> (GraphOps.degree _),
     "q_graph_cc" -> (GraphOps.connectedComponents _),
+    "q_graph_pagerank" -> (GraphOps.pageRank _),
     "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project

@@ -193,4 +193,49 @@ class GraphOpsSpec extends GraftSuite {
     val b = Sources.sourceJsonl(spark, sf).collect().map(_.toString).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("pagerank matches an independent driver-side reference") {
+    import spark.implicits._
+    // 0→2, 0→4, 2→4, 4→0, plus 6 (dangling sink of 0): hand-sized
+    // graph with a cycle AND a dangling node so redistribution matters
+    val es = Seq((0L, 2L), (0L, 4L), (2L, 4L), (4L, 0L), (0L, 6L))
+    val edges = es.toDF("src", "dst")
+    // reference: plain Scala loop, same semantics (damping 0.85,
+    // uniform dangling redistribution), double precision
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val dang = nodes.filter(!out.contains(_)).map(r).sum
+      val in = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (0.15 / n + 0.85 * (in.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    val got = GraphOps.pageRankOn(edges, iters = 10).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("node")) ->
+        x.getAs[Double]("rank_x_n")).toMap
+    nodes.foreach { v =>
+      val key = (if (v % 2 == 0) "order" else "part", v / 2)
+      assert(math.abs(got(key) - r(v) * n) < 1e-5,
+        s"node $v: got ${got(key)}, reference ${r(v) * n}")
+    }
+    // mass conservation: ranks sum to 1 (rank_x_n averages to 1)
+    assert(math.abs(got.values.sum / n - 1.0) < 1e-9)
+    ScratchCache.releaseAll()
+  }
+
+  test("pagerank is partition-order independent (exact decimal sums)") {
+    import spark.implicits._
+    val es = (0L until 40L).map(i => (i % 8, (i * 7) % 9 + 8))
+    val a = GraphOps.pageRankOn(es.toDF("src", "dst"), iters = 5)
+      .orderBy("ntype", "node").collect().map(_.toString).toSeq
+    ScratchCache.releaseAll()
+    val b = GraphOps.pageRankOn(es.toDF("src", "dst").repartition(13),
+        iters = 5)
+      .orderBy("ntype", "node").collect().map(_.toString).toSeq
+    ScratchCache.releaseAll()
+    assert(a == b && a.nonEmpty)
+  }
 }
