@@ -62,7 +62,10 @@ object EventOps {
     counts.withColumn("k", pmod(hash(col("n_users")), lit(1)))
       .join(broadcast(base), "k")
       .select(col("stage"), col("n_users"),
-        round(col("n_users") / col("base"), 6).as("conv_rate"))
+        // explicit null (not engine-dependent 0/0) when nobody reached
+        // stage 1 — funnelOn stays total on arbitrary events frames
+        when(col("base") > 0,
+          round(col("n_users") / col("base"), 6)).as("conv_rate"))
       .orderBy(col("stage"))
   }
 

@@ -93,7 +93,8 @@ object Incremental {
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
     val newSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("k"),
-        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") +
+            lit(new java.math.BigDecimal("1.00")).cast(DecimalType(12, 2)))
           .otherwise(col("o_totalprice")).as("v_new"))
     snapshotDiffOn(oldSnap, newSnap)
   }

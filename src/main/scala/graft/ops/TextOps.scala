@@ -648,6 +648,11 @@ object TextOps {
     // harmless (false negatives skip the exact verify entirely)
     val view = s"graft_bench_ngrams_${TextOps.bloomViewId.incrementAndGet()}"
     bench.createOrReplaceTempView(view)
+    // the sketch subquery has materialized by the time the harness
+    // releases scratch state, so the view can be dropped with the rest —
+    // without this a long-lived session accumulates one stale view per
+    // construction
+    ScratchCache.defer(() => { s.catalog.dropTempView(view); () })
     val train = g.filter(col("doc_id") % 100 =!= 0)
     val candidates = train.filter(expr(
       s"""bloom_might_contain(

@@ -59,6 +59,20 @@ class EventOpsSpec extends GraftSuite {
     assert(out("3_view_click_purchase") == 0L)
   }
 
+  test("funnel is total on a zero-view log: counts 0, rate null") {
+    // nobody reaches stage 1, so the conversion base is 0 — the rate
+    // must be an explicit NULL (engine-independent), never NaN/0-div
+    val log = events(
+      (1L, "click", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"))
+    val out = EventOps.funnelOn(log).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users") == 0L)
+      assert(r.isNullAt(r.fieldIndex("conv_rate")))
+    }
+  }
+
   test("anomaly flags exactly the hours beyond 1.2x the global error rate") {
     // hour 10: 1/4 errors (25%); hour 11: 3/4 (75%); hour 12: 0/4.
     // global = 4/12 (33.3%); 1.2x = 40% -> only hour 11 flagged

@@ -231,8 +231,10 @@ class ParsersSpec extends GraftSuite {
     import graft.ops.SourceSpec
     // the files under examples/specs are USER-FACING docs — this guard
     // keeps them in sync with the parser as the spec schema evolves
+    // resolved against the working directory — sbt runs tests from the
+    // repo root, so the guard works on any checkout location
     val gd = SourceSpec.fromJsonFile(
-      "/root/repo/examples/specs/gene_disease.spec.json")
+      "examples/specs/gene_disease.spec.json")
     assert(gd.name == "gene_disease" && gd.format == "tsv" &&
       gd.nodes.size == 2 && gd.edges.size == 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_exspec")
@@ -243,7 +245,7 @@ class ParsersSpec extends GraftSuite {
     // nodes: NCBIGene:G1, NCBIGene:G2, MONDO:D1; the 0.2 edge filtered
     assert(nodes.count() == 3 && edges.count() == 1)
     val cust = SourceSpec.fromJsonFile(
-      "/root/repo/examples/specs/customers.spec.json")
+      "examples/specs/customers.spec.json")
     assert(cust.format == "parquet" && cust.nodes.size == 2 &&
       cust.edges.head.predicate == "biolink:located_in")
   }

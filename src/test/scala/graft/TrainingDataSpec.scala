@@ -250,4 +250,19 @@ class TrainingDataSpec extends GraftSuite {
     assert(saturated == exact)
     ScratchCache.releaseAll()
   }
+
+  test("bloom benchmark temp views are dropped by releaseAll (no leak)") {
+    val corpus = docs(
+      (100L, "alpha beta gamma delta epsilon zeta eta", "en", "s1"),
+      (1L, "alpha beta gamma delta epsilon zeta tailword", "en", "s1"))
+    def viewCount = spark.catalog.listTables()
+      .filter(_.name.startsWith("graft_bench_ngrams_")).count()
+    val before = viewCount
+    TextOps.filterBloomOn(corpus).collect()
+    TextOps.filterBloomOn(corpus).collect()
+    assert(viewCount == before + 2) // views live while results pend
+    ScratchCache.releaseAll()
+    assert(viewCount == before,
+      "releaseAll must drop every per-construction benchmark view")
+  }
 }
