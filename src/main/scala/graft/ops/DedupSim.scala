@@ -177,19 +177,20 @@ object DedupSim {
   def dedupNgramOn(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    graft.plans.GraftExtensions.registerFunctions(documents.sparkSession)
+    // gram construction is ROW-LOCAL via the native shingles()
+    // Generator: the lead-window formulation this replaces shuffled and
+    // sorted the whole exploded token table by (doc_id, pos) before the
+    // first useful operator — a token-sized exchange bought for
+    // nothing, since a document's shingles depend only on its own text.
+    // The Generator evaluates interpreted (CodegenFallback, like
+    // Spark's own json_tuple); at sf0.1 the swap is time-neutral (the
+    // 5k-doc corpus is stage-scheduling-bound, ~1.5 s either way) — the
+    // win is the removed exchange, which grows with the data while the
+    // per-row interpretation cost stays flat
     val grams = documents
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"),
-        lead(col("t0"), 3).over(w).as("t3"),
-        lead(col("t0"), 4).over(w).as("t4"))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"),
-          col("t4")).as("ng"))
+      .select(col("doc_id"), expr("shingles(text, 5)"))
+      .select(col("doc_id"), col("shingle").as("ng"))
       .distinct()
       // five consumers (sizes, df, ranked, both inter sides): cache so
       // the tokenize+window+distinct pipeline runs once. 100 TB story:

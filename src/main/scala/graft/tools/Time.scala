@@ -27,13 +27,17 @@ object Time {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      // warm-up rep (codegen, table cache), then timed reps
+      // warm-up rep (codegen, table cache), then timed reps; scratch
+      // state drains after EVERY execution (same contract as Bench) so
+      // each timing is a self-contained run, not a warm-cache replay
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => println(s"$n failed: ${e.getMessage}") }
+      finally graft.ops.ScratchCache.releaseAll()
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () } // already reported by warmup
+        finally graft.ops.ScratchCache.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-22s min=${ts.min}%6.2fs  reps=${ts.map(t => f"$t%.2f").mkString(",")}")
