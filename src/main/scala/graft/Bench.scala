@@ -73,8 +73,16 @@ object Bench {
     // Per-query detail first (one long line), then a SHORT total-only
     // line LAST: the harness captures only the output tail, and round 1
     // showed a single huge line truncates mid-dict and loses the total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Also persist the FULL per-query line: harnesses that capture only
+    // an output tail keep all ~108 timings auditable on disk
+    // (override the path with SPARK_GRAFT_BENCH_OUT; best-effort —
+    // an unwritable path must not fail the bench)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
