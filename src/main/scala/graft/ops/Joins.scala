@@ -217,8 +217,12 @@ object Joins {
       .filter(col("o_orderstatus") =!= "P")
       .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n_lines"),
-        d4(sum(dec(col("l_extendedprice")) *
-          (lit(1) - col("l_discount")).cast(DecimalType(4, 2))))
+        // scale-2 wire via explicit round(): see Relational.aggGroup —
+        // sums at scale 4+ outgrow double-exactness (2^53) at
+        // data-sized magnitudes, and a bare down-cast would tie-break
+        // HALF_UP vs DuckDB's HALF_EVEN
+        d2(round(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount")).cast(DecimalType(4, 2))), 2))
           .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"), col("yr"))
 

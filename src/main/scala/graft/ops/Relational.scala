@@ -100,10 +100,19 @@ object Relational {
       .agg(
         d2(sum(dec(col("l_quantity")))).as("sum_qty"),
         d2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        d4(sum(dec(col("l_extendedprice")) * fac(lit(1) - col("l_discount"))))
-          .as("sum_disc_price"),
-        d6(sum(dec(col("l_extendedprice")) * fac(lit(1) - col("l_discount"))
-          * fac(lit(1) + col("l_tax")))).as("sum_charge"),
+        // aggregated money sums ride the wire at scale 2 (cents): the
+        // decimal→double hop is only exact while |value|·10^s < 2^53,
+        // and a data-sized sum at scale 6 crosses that at ~5e10 (seen
+        // as a 1-ulp oracle divergence at the 6M-row sweep) — scale 2
+        // keeps the wire exact through ~9e13 per group. The scale drop
+        // is an EXPLICIT round() (HALF_UP both engines), never a bare
+        // decimal cast — cast-driven scale reduction ties break HALF_UP
+        // in Spark vs HALF_EVEN in DuckDB
+        d2(round(sum(dec(col("l_extendedprice"))
+          * fac(lit(1) - col("l_discount"))), 2)).as("sum_disc_price"),
+        d2(round(sum(dec(col("l_extendedprice"))
+          * fac(lit(1) - col("l_discount"))
+          * fac(lit(1) + col("l_tax"))), 2)).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty",
         round(col("sum_qty").cast("double") / col("count_order"), 4))

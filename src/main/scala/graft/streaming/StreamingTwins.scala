@@ -27,6 +27,15 @@ import org.apache.spark.sql.types.DecimalType
   * an Encoder TypeTag exists). */
 case class SignupState(signedUp: Boolean, n: Long)
 
+/** Per-user state for [[StreamingTwins.funnelStages]] (µs of each
+  * stage's first-touch arrival; -1 = not reached). */
+case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
+
+/** Per-user state for [[StreamingTwins.retentionCells]]: first-seen
+  * epoch day and the day-offsets already emitted (bounded by the
+  * active-day span, not the stream length). */
+case class RetentionState(cohortDay: Int, seen: Seq[Int])
+
 /** transformWithState processor (Spark 4 stateful API, the successor to
   * flatMapGroupsWithState): per-user running count of events since the
   * first signup, with explicit ValueState. Requires the RocksDB state
@@ -158,6 +167,93 @@ object StreamingTwins {
           out.iterator
       }(Encoders.product[SignupState], Encoders.product[(Long, Long)])
       .toDF("user_id", "events_since_signup")
+  }
+
+  /** q_events_funnel streaming twin — per-user first-touch stage
+    * tracking via flatMapGroupsWithState: emits (user_id, stage, us)
+    * the moment a user first reaches each funnel stage, under the same
+    * strict ordering rule as the batch [[graft.ops.EventOps.funnelOn]]
+    * (stage k+1 needs an event strictly later than the stage-k
+    * first-touch). Rows within a trigger are applied in event-time
+    * order; ACROSS triggers the twin assumes per-user event-time order
+    * (the usual one-pass streaming caveat — an earlier view arriving
+    * after a later one was processed cannot retroactively rewrite
+    * first-touch; batch replay is the reconciliation path). State is
+    * three timestamps per user — O(users), independent of stream
+    * length. The funnel REPORT is the downstream count of distinct
+    * users per emitted stage (StreamingSpec compares it against the
+    * batch funnel's counts). */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)](Encoders.product[(Long, Long, String)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, us, et) =>
+            if (et == "view" && st.vUs < 0) {
+              st = st.copy(vUs = us); Some((user, "1_view", us))
+            } else if (et == "click" && st.vUs >= 0 && us > st.vUs &&
+                st.cUs < 0) {
+              st = st.copy(cUs = us); Some((user, "2_view_click", us))
+            } else if (et == "purchase" && st.cUs >= 0 && us > st.cUs &&
+                st.pUs < 0) {
+              st = st.copy(pUs = us)
+              Some((user, "3_view_click_purchase", us))
+            } else None
+          }
+          state.update(st)
+          out.iterator
+      }(Encoders.product[FunnelState],
+        Encoders.product[(Long, String, Long)])
+      .toDF("user_id", "stage", "us")
+  }
+
+  /** q_events_retention streaming twin — per-user cohort assignment and
+    * emit-once day-offset cells via flatMapGroupsWithState: the first
+    * event pins the user's cohort (first-seen epoch day, in-order
+    * caveat as [[funnelStages]]), every later event emits
+    * (user_id, cohort_day, day_offset) the first time that offset is
+    * seen. The retention MATRIX is the downstream (cohort, offset)
+    * count of these cells — exactly [[graft.ops.EventOps.retentionOn]]'s
+    * n_active (StreamingSpec asserts cell-for-cell equality). State per
+    * user is the cohort day + emitted offsets: O(active days), not
+    * O(events). */
+  def retentionCells(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val typed = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day"))
+      .as[(Long, Int)](Encoders.product[(Long, Int)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RetentionState, (Long, Int, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(RetentionState(-1, Seq.empty))
+          val out = rows.toSeq.sorted.flatMap { case (_, day) =>
+            if (st.cohortDay < 0) {
+              st = RetentionState(day, Seq(0)); Some((user, day, 0))
+            } else if (day >= st.cohortDay &&
+                !st.seen.contains(day - st.cohortDay)) {
+              val off = day - st.cohortDay
+              st = st.copy(seen = st.seen :+ off)
+              Some((user, st.cohortDay, off))
+            } else None
+          }
+          state.update(st)
+          out.iterator
+      }(Encoders.product[RetentionState],
+        Encoders.product[(Long, Int, Int)])
+      .toDF("user_id", "cohort_day", "day_offset")
   }
 
   /** Continuous-ingest EP2: raw CURIEs arrive on a stream and every

@@ -6,13 +6,16 @@ import graft.SparkEntry
 /** Dev utility: time the named queries (or all) N times each at the
   * Bench config and print per-rep + min seconds — for iterating on one
   * slow query without paying a full bench pass.
-  * Usage: runMain graft.tools.Time <sfDir> <reps> [query ...]
+  * Usage: runMain graft.tools.Time <sfDir> <reps> [--conf k=v ...] [query ...]
   */
 object Time {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args(1).toInt else 3
-    val names = if (args.length > 2) args.drop(2).toSeq
+    val (confArgs, rest) = args.partition(_.startsWith("--conf="))
+    val confs = confArgs.map(_.stripPrefix("--conf=").split("=", 2))
+      .collect { case Array(k, v) => (k, v) }
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (rest.length > 1) rest(1).toInt else 3
+    val names = if (rest.length > 2) rest.drop(2).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -26,6 +29,7 @@ object Time {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     names.foreach { n =>
       // warm-up rep (codegen, table cache), then timed reps; scratch
       // state drains after EVERY execution (same contract as Bench) so

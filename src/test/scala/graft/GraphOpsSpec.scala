@@ -162,6 +162,13 @@ class GraphOpsSpec extends GraftSuite {
       assert(ex.getMessage.contains("spark.graft.cc.maxRounds"))
       assert(ex.getMessage.contains("twenty"))
     } finally spark.conf.unset("spark.graft.cc.maxRounds")
+    // same longConf guard covers the threshold key
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "4e6")
+    try {
+      val ex = intercept[IllegalArgumentException] { GraphOps.ccLabels(edges) }
+      assert(ex.getMessage.contains("spark.graft.cc.localEdgeThreshold"))
+      assert(ex.getMessage.contains("4e6"))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
   test("cc size histogram sums to the vertex count") {

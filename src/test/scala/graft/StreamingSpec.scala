@@ -277,4 +277,69 @@ class StreamingSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 1L), (1L, 2L)))
   }
+
+  test("funnel twin: streamed stage counts equal the batch funnel") {
+    // the EventOpsSpec planted log, fed across TWO triggers (split in
+    // per-user event-time order) so state must carry between triggers
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0),
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "click", 0.0),
+      Ev(5, ts("2024-01-01 09:30:00"), 2, "view", 0.0),
+      Ev(6, ts("2024-01-01 08:00:00"), 3, "view", 0.0),
+      Ev(7, ts("2024-01-01 08:10:00"), 3, "purchase", 0.0),
+      Ev(8, ts("2024-01-01 08:20:00"), 3, "click", 0.0),
+      Ev(9, ts("2024-01-01 06:00:00"), 5, "view", 0.0),
+      Ev(10, ts("2024-01-01 06:00:00"), 5, "click", 0.0))
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.funnelStages(ms.toDF())
+      .writeStream.format("memory").queryName("funtwin")
+      .outputMode("append").start()
+    try {
+      val (first, second) = log.partition(_.event_id <= 5)
+      ms.addData(first: _*); q.processAllAvailable()
+      ms.addData(second: _*); q.processAllAvailable()
+      val streamed = spark.table("funtwin")
+        .groupBy($"stage")
+        .agg(org.apache.spark.sql.functions.countDistinct($"user_id")
+          .as("n_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.EventOps.funnelOn(log.toDF()).collect()
+        .filter(_.getAs[Long]("n_users") > 0)
+        .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("retention twin: streamed cells equal the batch matrix") {
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-03 10:00:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 11:00:00"), 2, "view", 0.0),
+      Ev(4, ts("2024-01-02 09:00:00"), 3, "view", 0.0),
+      Ev(5, ts("2024-01-03 09:00:00"), 3, "view", 0.0),
+      Ev(6, ts("2024-01-03 09:30:00"), 3, "view", 0.0)) // dup cell
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.retentionCells(ms.toDF())
+      .writeStream.format("memory").queryName("rettwin")
+      .outputMode("append").start()
+    try {
+      val (first, second) = log.partition(_.event_id <= 3)
+      ms.addData(first: _*); q.processAllAvailable()
+      ms.addData(second: _*); q.processAllAvailable()
+      val streamed = spark.table("rettwin")
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_active"))
+        .collect().map { r =>
+          val cohort = java.time.LocalDate.ofEpochDay(r.getInt(0)).toString
+          ((cohort, r.getInt(1)), r.getLong(2))
+        }.toMap
+      val batch = graft.ops.EventOps.retentionOn(log.toDF()).collect()
+        .map(r => ((r.getDate(0).toString, r.getAs[Int]("day_offset")),
+          r.getAs[Long]("n_active"))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
