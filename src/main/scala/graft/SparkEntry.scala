@@ -29,6 +29,7 @@ object SparkEntry {
     "q_graph_degree" -> (GraphOps.degree _),
     "q_graph_cc" -> (GraphOps.connectedComponents _),
     "q_graph_pagerank" -> (GraphOps.pageRank _),
+    "q_graph_triangles" -> (GraphOps.triangles _),
     "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (DedupSim.dedupCluster _),
     "q_dedup_embcos" -> (DedupSim.dedupEmbCos _),
     "q_sim_cosine_topk" -> (DedupSim.simCosineTopK _),
+    "q_sim_knn_graph" -> (DedupSim.knnGraph _),
     "q_sim_ann_lsh" -> (DedupSim.simAnnLsh _),
     "q_sim_ann_ivf" -> (DedupSim.simAnnIvf _),
     "q_sim_centroid" -> (DedupSim.simCentroid _),
@@ -96,6 +98,7 @@ object SparkEntry {
     "q_text_wordcount" -> (TextOps.wordCount _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),
+    "q_text_ngram_lm" -> (TextOps.ngramLm _),
     "q_text_langid" -> (TextOps.langId _),
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),

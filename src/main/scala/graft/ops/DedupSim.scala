@@ -362,6 +362,53 @@ object DedupSim {
       .limit(10)
   }
 
+  /** q_sim_knn_graph — exact k-NN JOIN over a deterministic query
+    * sample (every 50th vector): each query's top-3 cosine neighbors
+    * among all other vectors, the building block of kNN-graph
+    * construction (semantic-dedup clustering, diversity sampling, graph
+    * ANN indexes all start from this edge list).
+    *
+    * Scale shape: the query side is a sampled, dimension-sized frame —
+    * it BROADCASTS (on the non-foldable all-zeros key; a true cross
+    * join would plan as a census-breaking BNLJ) and the corpus streams
+    * past it once, row-locally computing cosines; per-query top-k is a
+    * rank window partitioned by query id over the (|corpus|·|queries|)
+    * scored pairs, which AQE splits across reducers by query id. For
+    * corpus×corpus kNN (queries = everything) the documented scale path
+    * is the LSH/IVF-bucketed candidate join ([[simAnnLsh]]/
+    * [[simAnnIvf]]) feeding the same rank window — this key pins the
+    * exact semantics those approximations are measured against.
+    * DETERMINISM: ranking orders by the 6dp-ROUNDED cosine (identical
+    * doubles in both engines — sequential fold, see [[simCosineTopK]])
+    * with vec_id tiebreak. */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphOn(Tables.embeddings(s, d))
+
+  /** Core of q_sim_knn_graph over any (vec_id, embedding) frame. */
+  def knnGraphOn(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        k0(col("vec_id")).as("k"))
+    val scored = e.withColumn("k", k0(col("vec_id")))
+      .join(broadcast(q), "k")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round(
+          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(transform(qv, x -> x * x), 0d, (acc, x) -> acc + x)"))),
+          6).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("nb_id"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** q_dedup_simhash — SimHash near-dup detection, fully oracle-checked:
     * a 60-bit fingerprint per doc (bit j = sign of the count-weighted
     * sum of term-hash bit j), banded into 4×15-bit LSH buckets, with

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import scala.util.chaining._
 
 /** Text-analysis surface (SURVEY.md §2.9, north-star additions): token
   * statistics over the documents table. All counts are integers and all
@@ -418,6 +419,46 @@ object TextOps {
           sort_array(collect_list(struct(col("pos"), col("id")))),
           x => x("id").cast("string")), ",").as("encoded"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q_text_ngram_lm — bigram language-model statistics: the top-20
+    * corpus bigrams by count, each with its conditional probability
+    * p(w2|w1) = count(w1 w2) / Σ_w count(w1 w), the first artifact of
+    * any n-gram LM / next-token-statistics pass over a training corpus
+    * (and the input to classic perplexity-based quality filters).
+    *
+    * Scale shape: bigrams are emitted ROW-LOCALLY by the native
+    * shingles() Generator (no token-table shuffle — see
+    * [[graft.ops.DedupSim.dedupNgramOn]]), then ONE vocabulary-sized
+    * hash aggregate; the conditioning totals are a second aggregate
+    * over the (already vocabulary-sized, ≪ corpus) bigram table and
+    * join back on w1 — at 100 TB only the first aggregate sees
+    * data-sized input, with full map-side partial aggregation.
+    * DETERMINISM: counts are exact integers; the one division is
+    * long/long → double, rounded to 6dp identically in both engines;
+    * ranking orders by (count, w1, w2) so no float enters the sort. */
+  def ngramLm(s: SparkSession, d: String): DataFrame =
+    ngramLmOn(Tables.documents(s, d))
+
+  /** Core of q_text_ngram_lm over any documents-shaped frame. */
+  def ngramLmOn(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(docs.sparkSession)
+    val bg = docs
+      .select(expr("shingles(text, 2)"))
+      .select(split(col("shingle"), " ").as("arr"))
+      .select(col("arr").getItem(0).as("w1"),
+        col("arr").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      // two consumers (totals + the join probe): cache so the
+      // data-sized bigram aggregate runs once
+      .pipe(ScratchCache.cache)
+    val tot = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    bg.join(tot, "w1")
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot"), 6).as("p_cond"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(20)
   }
 
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The

@@ -376,6 +376,24 @@ object OracleSql {
         |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     // ---- §2.11 graph / ETL ----
+    // exact integer triangle count: the plain a<b<c 3-way join is fine
+    // at oracle scale (the Spark side runs the degree-ordered
+    // compact-forward plan; same count by construction)
+    "q_graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, COUNT(*) AS d FROM
+        |  (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        |wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_edges, n_triangles, n_wedges,
+        |ROUND(3.0 * n_triangles / n_wedges, 6) AS global_cc
+        |FROM ne, tri, wed""".stripMargin,
+
     "q_norm_remap" ->
       """SELECT COALESCE('NATION:' || n_name, 'RAW:' || CAST(c_nationkey AS VARCHAR)) AS canonical,
         |COUNT(*) AS n
@@ -648,6 +666,22 @@ object OracleSql {
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
 
+    // exact kNN join over the sampled query set; ranking by the SAME
+    // 6dp-rounded cosine as Spark (sequential-fold doubles match
+    // bit-for-bit), nb_id tiebreak
+    "q_sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, e.vec_id AS nb_id,
+        |  ROUND(list_dot_product(e.v, q.qv) /
+        |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, nb_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rk
+        |  FROM s)
+        |SELECT q_id, nb_id, cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
     "q_sim_centroid" ->
       """WITH x AS (
         |  SELECT label, CAST(dims.dim AS BIGINT) AS dim,
@@ -895,6 +929,19 @@ object OracleSql {
         |SELECT source, shard, COUNT(*) AS n_docs,
         |CAST(SUM(toks) AS BIGINT) AS sum_tokens
         |FROM sh GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
+    // bigram LM stats: counts exact, one long/long division rounded;
+    // ranking by (count, w1, w2) so no float enters the sort
+    "q_text_ngram_lm" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS p FROM documents),
+        |e AS (SELECT p, unnest(range(1, len(p))) AS i FROM d WHERE len(p) >= 2),
+        |b AS (SELECT p[CAST(i AS INT)] AS w1, p[CAST(i + 1 AS INT)] AS w2 FROM e),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+        |t AS (SELECT w1, SUM(cnt) AS tot FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, c.cnt,
+        |ROUND(CAST(c.cnt AS DOUBLE) / t.tot, 6) AS p_cond
+        |FROM c JOIN t ON c.w1 = t.w1
+        |ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 20""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),

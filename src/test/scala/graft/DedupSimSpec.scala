@@ -20,6 +20,24 @@ class DedupSimSpec extends GraftSuite {
       "unrelated doc must not pair")
   }
 
+  test("knn graph: per-query top-3 with rounded-cosine ranking and id tiebreak") {
+    // queries are vec_id % 50 == 0 -> ids 0 and 50
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f)),   // cos 1.0 with q0
+      (2L, Array(1f, 1f, 0f)),   // cos 0.707107 with both axes
+      (3L, Array(0f, 1f, 0f)),
+      (50L, Array(0f, 3f, 0f))). // second query, y axis
+      toDF("vec_id", "embedding")
+    val out = DedupSim.knnGraphOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1.0, 1L), (0L, 2L, 0.707107, 2L),
+      // cos-0 tie between 3 and 50 -> nb_id ascending
+      (0L, 3L, 0.0, 3L),
+      (50L, 3L, 1.0, 1L), (50L, 2L, 0.707107, 2L), (50L, 0L, 0.0, 3L)))
+  }
+
   test("near-dup jaccard of exact duplicates is 1.0") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")

@@ -16,6 +16,31 @@ class GraphOpsSpec extends GraftSuite {
     }
   }
 
+  test("triangles: planted co-membership graph counts exactly") {
+    // orders: {10,11,12}, {10,11}, {10,13} -> edges (10,11),(10,12),
+    // (11,12),(10,13); degrees 3/2/2/1 -> wedges C(3,2)+1+1 = 5;
+    // one triangle (10,11,12); cc = 3*1/5 = 0.6
+    val m = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (3L, 10L), (3L, 13L)).toDF("o", "p")
+    val r = GraphOps.trianglesOn(m).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_edges") == 4L)
+    assert(r.head.getAs[Long]("n_triangles") == 1L)
+    assert(r.head.getAs[Long]("n_wedges") == 5L)
+    assert(r.head.getAs[Double]("global_cc") == 0.6)
+  }
+
+  test("triangles: a hub star has zero triangles, wedges = C(deg,2)") {
+    // one order containing parts {1..5} joined pairwise... a pure STAR
+    // instead: hub 1 co-occurs with each leaf in its own order
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 4L)).toDF("o", "p")
+    val r = GraphOps.trianglesOn(m).collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 3L) // hub deg 3 -> C(3,2)
+  }
+
   test("edge merge: multiplicities sum back to lineitem count") {
     import org.apache.spark.sql.functions.sum
     val total = GraphOps.edgeMerge(spark, sf)

@@ -251,6 +251,20 @@ class TrainingDataSpec extends GraftSuite {
     ScratchCache.releaseAll()
   }
 
+  test("ngram lm: bigram counts and conditional probabilities") {
+    val corpus = docs(
+      (1L, "a b a b c", "en", "s1"),
+      (2L, "b c d", "en", "s1"))
+    // bigrams: (a,b)x2, (b,a), (b,c)x2, (c,d); totals a:2 b:3 c:1
+    val out = TextOps.ngramLmOn(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 1.0), ("b", "c", 2L, 0.666667),
+      ("b", "a", 1L, 0.333333), ("c", "d", 1L, 1.0)))
+    ScratchCache.releaseAll()
+  }
+
   test("bloom benchmark temp views are dropped by releaseAll (no leak)") {
     val corpus = docs(
       (100L, "alpha beta gamma delta epsilon zeta eta", "en", "s1"),
