@@ -380,7 +380,8 @@ object OracleSql {
     // at oracle scale (the Spark side runs the degree-ordered
     // compact-forward plan; same count by construction)
     "q_graph_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
         |  JOIN op b ON a.o = b.o AND a.p < b.p),
         |deg AS (SELECT x, COUNT(*) AS d FROM
