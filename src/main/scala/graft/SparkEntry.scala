@@ -30,6 +30,8 @@ object SparkEntry {
     "q_graph_cc" -> (GraphOps.connectedComponents _),
     "q_graph_pagerank" -> (GraphOps.pageRank _),
     "q_graph_triangles" -> (GraphOps.triangles _),
+    "q_graph_jaccard" -> (GraphOps.jaccard _),
+    "q_graph_paths" -> (GraphOps.paths _),
     "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project
@@ -52,6 +54,7 @@ object SparkEntry {
     "q_agg_hll_rollup" -> (Aggregates.aggHllRollup _),
     "q_agg_quantile" -> (Aggregates.aggQuantile _),
     "q_udaf_topk" -> (Aggregates.udafTopK _),
+    "q_agg_argmax" -> (Aggregates.aggArgmax _),
     // §2.5 windows
     "q_win_rank" -> (Windows.winRank _),
     "q_win_topk_group" -> (Windows.winTopKGroup _),
@@ -99,6 +102,7 @@ object SparkEntry {
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),
     "q_text_ngram_lm" -> (TextOps.ngramLm _),
+    "q_text_lm_score" -> (TextOps.lmScore _),
     "q_text_langid" -> (TextOps.langId _),
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
@@ -124,12 +128,15 @@ object SparkEntry {
     "q_events_funnel" -> (EventOps.funnel _),
     "q_events_retention" -> (EventOps.retention _),
     "q_events_anomaly" -> (EventOps.anomaly _),
+    "q_events_sessionize" -> (EventOps.sessionize _),
+    "q_events_attribution" -> (EventOps.attribution _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),
     "q_mm_features" -> (Multimodal.features _),
     "q_mm_frame_sample" -> (Multimodal.frameSample _),
     // §2.7 set ops
+    "q_unpivot" -> (Relational.unpivotMetrics _),
     "q_union_all" -> (Relational.unionAll _),
     "q_union_distinct" -> (Relational.unionDistinct _),
     "q_intersect" -> (Relational.intersectYears _),

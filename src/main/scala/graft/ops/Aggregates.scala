@@ -198,6 +198,42 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_agg_argmax — per-nation argmax/argmin (richest and poorest
+    * customer by account balance) via `max_by`/`min_by`, the
+    * "representative row per group" aggregate every report needs
+    * without paying a row_number window over the whole table.
+    *
+    * Scale shape: ONE hash aggregate with full map-side partial
+    * max_by/min_by combine (a window formulation would sort every
+    * group; max_by keeps a single candidate per partition per group),
+    * after a broadcast join against the 25-row nation dim.
+    * DETERMINISM: `max_by` picks an ARBITRARY row on ordering ties, so
+    * the ordering key is made unique by construction — exact integer
+    * cents (the *100 round is exact: balances are 2dp) composited with
+    * the unique custkey: (cents + 10^5)·10^7 + custkey. Fits a long
+    * while custkey < 10^7 (true at every test SF; a 100 TB deployment
+    * widens to DECIMAL(38,0) — same shape). */
+  def aggArgmax(s: SparkSession, d: String): DataFrame =
+    aggArgmaxOn(Tables.customer(s, d), Tables.nation(s, d))
+
+  /** Core of q_agg_argmax over any customer/nation-shaped frames. */
+  def aggArgmaxOn(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val ord = ((round(col("c_acctbal") * 100).cast("long") + 100000L)
+      * 10000000L + col("c_custkey")).as("ord")
+    customer
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal"), ord)
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("c_name"), col("ord")).as("top_cust"),
+        d2(max(col("c_acctbal").cast(D))).as("top_bal"),
+        min_by(col("c_name"), col("ord")).as("bottom_cust"),
+        d2(min(col("c_acctbal").cast(D))).as("bottom_bal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
   /** q_udaf_topk — typed Aggregator UDAF: bounded top-5 orders per
     * priority class, exploded back to rows. Oracle twin: row_number
     * window filter. */

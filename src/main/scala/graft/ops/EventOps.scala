@@ -109,6 +109,106 @@ object EventOps {
       .orderBy(col("hr"))
   }
 
+  /** q_events_sessionize — gap-based sessionization, THE prerequisite
+    * of every behavioral pipeline (and, for training data, the
+    * "group a user's crawl hits into browse sessions" pass): a new
+    * session starts at a user's first event or after a >12 h silence;
+    * sessions are then profiled by size (events per session, capped at
+    * 10+) with the exact event count and mean duration per size class.
+    *
+    * Plan shape: ONE user-keyed exchange feeds both windows (lag +
+    * running sum share the identical (user_id ⊕ us, event_id) sort —
+    * Catalyst plans them in a single Window operator pass) and the
+    * per-(user, session) aggregate reuses the same partitioning; the
+    * size-class rollup is a ≤10-row hash aggregate. At 100 TB the
+    * events scan shuffles once; nothing else is data-sized.
+    * DETERMINISM: ties are ordered by (us, event_id); durations are
+    * exact integer µs summed in DECIMAL(38,0) (a long could overflow
+    * at 100 TB session counts); the one division is exact-integer /
+    * exact-integer → double, rounded to 6dp identically. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeOn(Tables.events(s, d))
+
+  /** Core of q_events_sessionize over any events-shaped frame. */
+  def sessionizeOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val gapUs = 43200000000L // 12 h
+    val e = eventsDf.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val flagged = e
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = flagged
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("us")) - min(col("us"))).as("dur"))
+    sessions
+      .groupBy(least(col("n"), lit(10L)).as("size_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).cast("long").as("n_events"),
+        // denominator promoted to decimal: count·10^6 would overflow a
+        // long (ANSI throw) around 9e12 sessions — reachable at 100 TB
+        round(sum(col("dur").cast(DecimalType(38, 0))).cast("double")
+          / (count(lit(1)).cast(DecimalType(38, 0)) * 1000000L)
+            .cast("double"), 6).as("avg_dur_sec"))
+      .orderBy(col("size_bucket"))
+  }
+
+  /** q_events_attribution — last-touch conversion attribution: each
+    * purchase is credited to the user's most recent PRECEDING
+    * non-purchase event type (the "which touchpoint closed the sale"
+    * report; '(none)' when the purchase is the user's first event),
+    * with the purchase count, distinct converting users, and the mean
+    * touch→purchase gap per touch type.
+    *
+    * Plan shape: a single IGNORE NULLS last_value window over the
+    * user-keyed ordering — the classic "carry the last non-null
+    * forward" formulation, ONE exchange + ONE sort, no self-join of
+    * events against events (an events⋈events as-of per purchase would
+    * shuffle the table twice and explode on hot users). The window's
+    * frame excludes the current row, so a purchase never attributes to
+    * itself even when a touch shares its timestamp.
+    * DETERMINISM: (us, event_id) ordering; gaps are exact integer µs
+    * in DECIMAL(38,0); the division is guarded (explicit NULL for the
+    * '(none)' class, never an engine-dependent 0/0). */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOn(Tables.events(s, d))
+
+  /** Core of q_events_attribution over any events-shaped frame. */
+  def attributionOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = eventsDf.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = e
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(
+        when(col("event_type") =!= "purchase", col("us")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    touched
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        when(count(col("touch_us")) > 0,
+          round(sum((col("us") - col("touch_us"))
+              .cast(DecimalType(38, 0))).cast("double")
+            / (count(col("touch_us")).cast(DecimalType(38, 0))
+              * 1000000L).cast("double"), 6)).as("avg_gap_sec"))
+      .orderBy(col("touch_type"))
+  }
+
   /** q_events_retention — cohort retention matrix: users cohorted by
     * first-seen day; cell (cohort, k) counts distinct cohort members
     * active k days after their first day, with the retention rate

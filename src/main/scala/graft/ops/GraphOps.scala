@@ -237,6 +237,98 @@ object GraphOps {
           .as("global_cc"))
   }
 
+  /** q_graph_jaccard — item-similarity by exact order-set Jaccard over
+    * the (sliced) co-purchase relation: for every part pair sharing at
+    * least one order, J(a,b) = |orders(a) ∩ orders(b)| /
+    * |orders(a) ∪ orders(b)|; top-20 pairs. The classic "customers who
+    * bought X also bought Y" score — and, for a training pipeline, the
+    * co-occurrence similarity that seeds concept clustering.
+    *
+    * Scale shape: candidates come ONLY from the membership self-join on
+    * the order key (per-order fanout is bounded by the order's line
+    * count — never an all-pairs product over parts); intersections are
+    * one hash aggregate over those candidates; union sizes come from
+    * inclusion–exclusion (deg(a)+deg(b)−∩) via two equi joins against
+    * the per-part degree table, so no union is ever materialized.
+    * DETERMINISM: counts are exact integers; ONE double division,
+    * rounded to 6dp, and the ranking orders by the ROUNDED score with
+    * (u, v) tie-breaks so a 1-ulp divergence cannot flip ranks. */
+  def jaccard(s: SparkSession, d: String): DataFrame =
+    // same deterministic ¼-vocabulary slice as q_graph_triangles:
+    // co-purchase graphs densify quadratically as orders grow over a
+    // fixed part vocabulary (row-local filter, pushed into the scan)
+    jaccardOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_jaccard over any (o, p) membership frame. */
+  def jaccardOn(membership: DataFrame): DataFrame = {
+    val op = membership.select(col("o"), col("p")).distinct()
+      .pipe(ScratchCache.cache)
+    val inter = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .pipe(ScratchCache.cache)
+    inter
+      .join(deg.select(col("p").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("c").as("n_common"),
+        round(col("c").cast("double")
+          / (col("du") + col("dv") - col("c")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** q_graph_paths — bounded-depth BFS reachability profile: distance
+    * histogram (hop → node count, min-hop semantics) from the minimum
+    * part id over the undirected (sliced) co-purchase graph, depth ≤ 3.
+    * The "how far does influence propagate" / graph-radius QC probe,
+    * and the fixed-depth core of any distributed shortest-path pass.
+    *
+    * Scale shape: textbook frontier BFS — each hop is ONE equi join of
+    * the (cached) previous frontier against the symmetrized edge list
+    * plus a distinct; min-hop resolution is a single hash aggregate
+    * over the ≤4 unioned frontiers. Frontiers are ScratchCache'd so
+    * the unrolled plan executes each hop once (the DAG references each
+    * frontier twice: as the next hop's seed and in the final union).
+    * At unbounded depth this becomes the ccLabels checkpoint loop; at
+    * fixed small depth the unrolled lazy plan is strictly better (no
+    * eager jobs during construction — the lazy-construction rule).
+    * DETERMINISM: everything is exact integer sets and counts. */
+  def paths(s: SparkSession, d: String): DataFrame =
+    pathsOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_paths over any (o, p) membership frame. */
+  def pathsOn(membership: DataFrame): DataFrame = {
+    val op = membership.select(col("o"), col("p")).distinct()
+      .pipe(ScratchCache.cache)
+    val ec = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val sym = ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .pipe(ScratchCache.cache)
+    val src = op.agg(min(col("p")).as("node"))
+    // unrolled frontier expansion, each hop cached so execution is
+    // linear in depth (every frontier has two consumers in the DAG)
+    val hops = Iterator.iterate(src.pipe(ScratchCache.cache), 4) { f =>
+      f.join(sym, f("node") === sym("u"))
+        .select(col("v").as("node")).distinct()
+        .pipe(ScratchCache.cache)
+    }.toSeq
+    hops.zipWithIndex
+      .map { case (f, h) => f.withColumn("hop", lit(h.toLong)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
   /** Connected-component labels via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the DataFrame-native, 100 TB-safe formulation: every step is a

@@ -175,6 +175,39 @@ object Relational {
     a.intersect(b).orderBy(col("custkey"))
   }
 
+  /** q_unpivot — wide→long melt of four lineitem measures via the
+    * native `unpivot` (Spark 3.4+), then a per-metric profile — the
+    * inverse of q_pivot and the standard first step of any
+    * metric-catalog / feature-store export.
+    *
+    * Scale shape: unpivot is a row-local Expand (4 output rows per
+    * input row, no shuffle), followed by ONE 4-group hash aggregate
+    * with map-side partials — the scan stays pruned to the four
+    * measure columns. DETERMINISM: measures are cast to exact
+    * DECIMAL(12,2) BEFORE the melt (unpivot requires a common type;
+    * doubles would also sum order-dependently), sums widen to
+    * (38,2), and the mean divides exact operands once. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    unpivotMetricsOn(Tables.lineitem(s, d))
+
+  /** Core of q_unpivot over any lineitem-shaped frame. */
+  def unpivotMetricsOn(lineitem: DataFrame): DataFrame = {
+    val m = lineitem.select(
+      col("l_quantity").cast(D).as("qty"),
+      col("l_extendedprice").cast(D).as("price"),
+      col("l_discount").cast(D).as("disc"),
+      col("l_tax").cast(D).as("tax"))
+    m.unpivot(Array.empty[Column],
+        Array(col("qty"), col("price"), col("disc"), col("tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("value"))).as("total"),
+        round(sum(col("value")).cast("double") / count(lit(1)), 6)
+          .as("mean"))
+      .orderBy(col("metric"))
+  }
+
   /** §2.7 q_except — customers active in 1996 but not 1997. */
   def exceptYears(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

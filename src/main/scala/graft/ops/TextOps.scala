@@ -461,6 +461,56 @@ object TextOps {
       .limit(20)
   }
 
+  /** q_text_lm_score — per-document cross-entropy under the corpus's
+    * own bigram LM: score(doc) = mean over the doc's bigram instances
+    * of −ln p(w2|w1), reported for the 20 most "surprising" documents —
+    * the classic perplexity-style quality filter (Wenzek et al.,
+    * CCNet) with the corpus itself as the model, so no external LM is
+    * needed and every probe hits the model by construction (p > 0,
+    * no smoothing branch).
+    *
+    * Scale shape: bigrams are emitted ROW-LOCALLY by the native
+    * shingles() Generator; the (doc_id, w1, w2) frame is built once
+    * (ScratchCache'd for its two consumers: the model aggregate and
+    * the scoring probe); the model is vocabulary-sized, so its two
+    * joins back to the instance stream are plain equi joins that
+    * shuffle ONLY vocabulary-keyed data; the per-doc rollup is one
+    * hash aggregate. DETERMINISM: each instance's −ln p is rounded to
+    * 6dp and cast to DECIMAL(18,6) BEFORE summation — the per-doc sum
+    * is exact decimal (partition-order independent; a double sum
+    * would not be), and the final mean divides exact operands once;
+    * ranking orders by that deterministic score with doc_id
+    * tie-breaks. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOn(Tables.documents(s, d))
+
+  /** Core of q_text_lm_score over any documents-shaped frame. */
+  def lmScoreOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.plans.GraftExtensions.registerFunctions(docs.sparkSession)
+    val bg = docs
+      .select(col("doc_id"), expr("shingles(text, 2)"))
+      .select(col("doc_id"), split(col("shingle"), " ").as("arr"))
+      .select(col("doc_id"),
+        col("arr").getItem(0).as("w1"),
+        col("arr").getItem(1).as("w2"))
+      .pipe(ScratchCache.cache)
+    val cnts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .pipe(ScratchCache.cache)
+    val tot = cnts.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    bg.join(cnts, Seq("w1", "w2")).join(tot, Seq("w1"))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("tot")), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** q_text_tfidf — tf × ln(N/df), top-5 terms for doc_id < 10. The
     * ranking orders by the ROUNDED score (ties broken by term) so a
     * 1-ulp ln() divergence between engines cannot flip ranks. */

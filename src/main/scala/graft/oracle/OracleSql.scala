@@ -246,6 +246,41 @@ object OracleSql {
         |ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // arg_max/arg_min on a UNIQUE composite integer key (exact cents
+    // ⊕ custkey) — both engines pick arbitrary rows on ordering ties,
+    // so the key construction removes ties instead of hoping
+    "q_agg_argmax" ->
+      """WITH c AS (SELECT c_name, c_nationkey, c_acctbal,
+        |  (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) * 10000000
+        |    + c_custkey AS ord FROM customer)
+        |SELECT n_name,
+        |arg_max(c_name, ord) AS top_cust,
+        |CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE
+        |  AS top_bal,
+        |arg_min(c_name, ord) AS bottom_cust,
+        |CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))::DOUBLE
+        |  AS bottom_bal,
+        |COUNT(*) AS n_customers
+        |FROM c JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // UNION ALL melt mirrors Spark's row-local Expand; values are
+    // exact DECIMAL(12,2) before the melt so sums are order-free
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'qty' AS metric, CAST(l_quantity AS DECIMAL(12,2)) AS value
+        |    FROM lineitem
+        |  UNION ALL SELECT 'price', CAST(l_extendedprice AS DECIMAL(12,2))
+        |    FROM lineitem
+        |  UNION ALL SELECT 'disc', CAST(l_discount AS DECIMAL(12,2))
+        |    FROM lineitem
+        |  UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(12,2))
+        |    FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |CAST(SUM(value) AS DECIMAL(38,2))::DOUBLE AS total,
+        |round(CAST(SUM(value) AS DOUBLE) / COUNT(*), 6) AS mean
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+
     "q_udaf_topk" ->
       """SELECT o_orderpriority, rank, o_orderkey, price FROM (
         |  SELECT o_orderpriority,
@@ -394,6 +429,41 @@ object OracleSql {
         |SELECT n_edges, n_triangles, n_wedges,
         |ROUND(3.0 * n_triangles / n_wedges, 6) AS global_cc
         |FROM ne, tri, wed""".stripMargin,
+
+    // exact order-set Jaccard; ranking orders by the ROUNDED score
+    // (ties by u, v) so a 1-ulp divergence cannot flip ranks
+    "q_graph_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |inter AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |deg AS (SELECT p, COUNT(*) AS d FROM op GROUP BY 1)
+        |SELECT u, v, CAST(c AS BIGINT) AS n_common,
+        |round(c::DOUBLE / (du.d + dv.d - c), 6) AS jaccard
+        |FROM inter JOIN deg du ON inter.u = du.p
+        |  JOIN deg dv ON inter.v = dv.p
+        |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+
+    // min-hop BFS histogram via a bounded recursive CTE (the Spark
+    // side runs the unrolled cached-frontier plan; same sets by
+    // construction — UNION dedups (node, hop), MIN picks the first)
+    "q_graph_paths" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |src AS (SELECT MIN(p) AS node FROM op),
+        |bfs AS (
+        |  SELECT node, 0 AS hop FROM src
+        |  UNION
+        |  SELECT sym.v AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |),
+        |m AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY 1)
+        |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
+        |FROM m GROUP BY 1 ORDER BY hop""".stripMargin,
 
     "q_norm_remap" ->
       """SELECT COALESCE('NATION:' || n_name, 'RAW:' || CAST(c_nationkey AS VARCHAR)) AS canonical,
@@ -944,6 +1014,26 @@ object OracleSql {
         |FROM c JOIN t ON c.w1 = t.w1
         |ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 20""".stripMargin,
 
+    // per-instance −ln p rounded to 6dp and summed in DECIMAL so the
+    // per-doc total is exact and partition-order free in both engines
+    "q_text_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS p
+        |  FROM documents),
+        |e AS (SELECT doc_id, p, unnest(range(1, len(p))) AS i FROM d
+        |  WHERE len(p) >= 2),
+        |b AS (SELECT doc_id, p[CAST(i AS INT)] AS w1,
+        |  p[CAST(i + 1 AS INT)] AS w2 FROM e),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, SUM(cnt) AS tot FROM c GROUP BY 1),
+        |scored AS (SELECT doc_id,
+        |  CAST(ROUND(-ln(CAST(c.cnt AS DOUBLE) / t.tot), 6)
+        |    AS DECIMAL(18,6)) AS nll
+        |  FROM b JOIN c USING (w1, w2) JOIN t USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -1057,6 +1147,53 @@ object OracleSql {
         |round(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::DOUBLE
         |  / COUNT(*), 6) AS rate
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // 12 h silence gap; ties ordered (us, event_id); durations exact
+    // integer µs (HUGEINT sums mirror the Spark DECIMAL(38,0)); ONE
+    // division, rounded to 6dp
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, us, event_id,
+        |  CASE WHEN us - LAG(us) OVER w IS NULL
+        |       OR us - LAG(us) OVER w > 43200000000 THEN 1 ELSE 0 END
+        |    AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid, us FROM g),
+        |x AS (SELECT user_id, sid, COUNT(*) AS n, MAX(us) - MIN(us) AS dur
+        |  FROM s GROUP BY 1, 2)
+        |SELECT LEAST(n, 10) AS size_bucket,
+        |COUNT(*) AS n_sessions,
+        |CAST(SUM(n) AS BIGINT) AS n_events,
+        |round(SUM(CAST(dur AS HUGEINT))::DOUBLE
+        |  / (CAST(COUNT(*) AS HUGEINT) * 1000000)::DOUBLE, 6)
+        |  AS avg_dur_sec
+        |FROM x GROUP BY 1 ORDER BY size_bucket""".stripMargin,
+
+    // last-touch carry-forward via IGNORE NULLS last_value; frame
+    // excludes the current row so a purchase never self-attributes;
+    // '(none)' avg is an explicit NULL in both engines
+    "q_events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t AS (SELECT user_id, event_type, us,
+        |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER w AS touch,
+        |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN us END
+        |    IGNORE NULLS) OVER w AS touch_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT COALESCE(touch, '(none)') AS touch_type,
+        |COUNT(*) AS n_purchases,
+        |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |CASE WHEN COUNT(touch_us) > 0 THEN
+        |  round(SUM(CAST(us - touch_us AS HUGEINT))::DOUBLE
+        |    / (CAST(COUNT(touch_us) AS HUGEINT) * 1000000)::DOUBLE, 6)
+        |END AS avg_gap_sec
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
 
     // integer cross-multiplication flag (HUGEINT mirrors the Spark
     // side's DECIMAL(38,0) promotion), no float accumulation

@@ -108,4 +108,24 @@ class AggregatesSpec extends GraftSuite {
       assert(math.abs(ours(k) - v) < 5e-4, s"flag $k: ${ours(k)} vs $v")
     }
   }
+
+  test("argmax resolves balance ties by custkey, deterministically") {
+    import spark.implicits._
+    // nation 0: custs 1 and 2 TIE on balance -> top picks the larger
+    // custkey (2), bottom the smaller (1) by the composite ordering;
+    // negative balances must survive the cents encoding
+    val cust = Seq(
+      (1L, "alice", 0, 50.25), (2L, "bob", 0, 50.25),
+      (3L, "carol", 0, -10.00),
+      (4L, "dan", 1, -999.99), (5L, "eve", 1, 9999.99))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Seq((0, "N0"), (1, "N1")).toDF("n_nationkey", "n_name")
+    val out = Aggregates.aggArgmaxOn(cust, nat).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[String]("top_cust"), r.getAs[Double]("top_bal"),
+          r.getAs[String]("bottom_cust"), r.getAs[Double]("bottom_bal"),
+          r.getAs[Long]("n_customers"))).toMap
+    assert(out("N0") == (("bob", 50.25, "carol", -10.00, 3L)))
+    assert(out("N1") == (("eve", 9999.99, "dan", -999.99, 2L)))
+  }
 }

@@ -110,4 +110,76 @@ class EventOpsSpec extends GraftSuite {
     assert(out(("2024-01-02", 1)) == ((1L, 1L, 1.0)))
     assert(out.size == 4)
   }
+
+  // sessionize/attribution need the event_id tie-break column
+  private def eventsId(rows: (Long, Long, String, String)*) =
+    rows.toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+      .drop("t")
+
+  test("sessionize splits on >12h gaps and profiles by size class") {
+    val log = eventsId(
+      // user 1: two events 1h apart, then one 13h later -> sessions
+      // of size 2 (dur 3600s) and size 1 (dur 0)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 11:00:00"),
+      (3L, 1L, "view", "2024-01-02 00:00:00"),
+      // user 2: single event -> one size-1 session
+      (4L, 2L, "view", "2024-01-01 09:00:00"),
+      // user 3: gap of EXACTLY 12h does NOT split (strict >)
+      (5L, 3L, "view", "2024-01-01 00:00:00"),
+      (6L, 3L, "view", "2024-01-01 12:00:00"))
+    val out = EventOps.sessionizeOn(log).collect()
+      .map(r => r.getAs[Long]("size_bucket") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("avg_dur_sec"))).toMap
+    assert(out(1L) == ((2L, 2L, 0.0)))
+    // two 2-event sessions: durations 3600 and 43200 -> mean 23400
+    assert(out(2L) == ((2L, 4L, 23400.0)))
+    assert(out.size == 2)
+  }
+
+  test("sessionize caps the size class at 10+") {
+    val many = (1L to 12L).map(i =>
+      (i, 1L, "view", f"2024-01-01 10:${i}%02d:00"))
+    val out = EventOps.sessionizeOn(eventsId(many: _*)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("size_bucket") == 10L)
+    assert(out.head.getAs[Long]("n_events") == 12L)
+  }
+
+  test("attribution credits the last preceding non-purchase touch") {
+    val log = eventsId(
+      // user 1: view then click then purchase -> click credited
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:05:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: purchase is the FIRST event -> '(none)', null gap
+      (4L, 2L, "purchase", "2024-01-01 09:00:00"),
+      // user 3: a purchase between touch and purchase does not count
+      // as a touch -> both purchases credit the one view
+      (5L, 3L, "view", "2024-01-01 08:00:00"),
+      (6L, 3L, "purchase", "2024-01-01 08:10:00"),
+      (7L, 3L, "purchase", "2024-01-01 08:20:00"))
+    val out = EventOps.attributionOn(log).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"),
+          Option(r.getAs[java.lang.Double]("avg_gap_sec")))).toMap
+    assert(out("click") == ((1L, 1L, Some(300.0))))
+    assert(out("view") == ((2L, 1L, Some(900.0)))) // (600+1200)/2
+    assert(out("(none)") == ((1L, 1L, None)))
+    assert(out.size == 3)
+  }
+
+  test("attribution same-timestamp touch attributes by event_id order") {
+    // touch shares the purchase's timestamp but has a SMALLER event_id:
+    // the (us, event_id) frame places it before the purchase -> credited
+    val log = eventsId(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-01 10:00:00"))
+    val out = EventOps.attributionOn(log).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "view")
+    assert(out.head.getAs[Double]("avg_gap_sec") == 0.0)
+  }
 }

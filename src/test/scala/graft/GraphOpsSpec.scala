@@ -270,4 +270,32 @@ class GraphOpsSpec extends GraftSuite {
     ScratchCache.releaseAll()
     assert(a == b && a.nonEmpty)
   }
+
+  test("jaccard scores planted co-purchase overlaps exactly") {
+    import spark.implicits._
+    // orders: {1,2} both contain A,B; {3} contains A,C
+    // deg A=3, B=2, C=1; J(A,B)=2/(3+2-2)=2/3; J(A,C)=1/(3+1-1)=1/3
+    val m = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L)).toDF("o", "p")
+    val out = GraphOps.jaccardOn(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    ScratchCache.releaseAll()
+    assert(out((10L, 20L)) == ((2L, 0.666667)))
+    assert(out((10L, 30L)) == ((1L, 0.333333)))
+    assert(out.size == 2)
+  }
+
+  test("paths reports min-hop BFS counts on a planted chain") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 via pair-orders; BFS from min node 1, depth<=3:
+    // hop 0:{1} 1:{2} 2:{3} 3:{4}; node 5 is beyond the bound.
+    // order 5 re-links 1-2 (a cycle back) — min-hop must not double
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 4L), (4L, 4L), (4L, 5L), (5L, 1L), (5L, 2L)).toDF("o", "p")
+    val out = GraphOps.pathsOn(m).collect()
+      .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    ScratchCache.releaseAll()
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

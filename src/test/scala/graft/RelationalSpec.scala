@@ -54,4 +54,18 @@ class RelationalSpec extends GraftSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("unpivot melts to exact per-metric profiles") {
+    import spark.implicits._
+    val li = Seq((10.0, 100.50, 0.05, 0.02), (20.0, 200.50, 0.10, 0.04))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Relational.unpivotMetricsOn(li).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"),
+          r.getAs[Double]("mean"))).toMap
+    assert(out("qty") == ((2L, 30.0, 15.0)))
+    assert(out("price") == ((2L, 301.0, 150.5)))
+    assert(out("disc") == ((2L, 0.15, 0.075)))
+    assert(out("tax") == ((2L, 0.06, 0.03)))
+  }
 }

@@ -279,4 +279,19 @@ class TrainingDataSpec extends GraftSuite {
     assert(viewCount == before,
       "releaseAll must drop every per-construction benchmark view")
   }
+
+  test("lm_score ranks the rare-bigram document as most surprising") {
+    import spark.implicits._
+    // corpus LM: (a,a)=3, (a,b)=1, tot(a)=4
+    // doc 1 "a a a a": 3×(−ln 3/4) -> score 0.287682
+    // doc 2 "a b":     1×(−ln 1/4) -> score 1.386294
+    val docs = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.lmScoreOn(docs).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("score"))).toMap
+    assert(byDoc(1L) == ((3L, 0.287682)))
+    assert(byDoc(2L) == ((1L, 1.386294)))
+  }
 }
