@@ -32,6 +32,7 @@ object SparkEntry {
     "q_graph_triangles" -> (GraphOps.triangles _),
     "q_graph_jaccard" -> (GraphOps.jaccard _),
     "q_graph_paths" -> (GraphOps.paths _),
+    "q_graph_kcore" -> (GraphOps.kcore _),
     "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
     // §2.2 filter/project
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_text_contamination" -> (TextOps.contamination _),
     "q_text_repetition" -> (TextOps.repetition _),
     "q_sample_stratified" -> (TextOps.sampleStratified _),
+    "q_sample_reservoir" -> (TextOps.sampleReservoir _),
     "q_filter_bloom" -> (TextOps.filterBloom _),
     "q_dedup_url" -> (TextOps.dedupUrl _),
     "q_dedup_lines" -> (TextOps.dedupLines _),

@@ -117,8 +117,8 @@ object EventOps {
     * 10+) with the exact event count and mean duration per size class.
     *
     * Plan shape: ONE user-keyed exchange feeds both windows (lag +
-    * running sum share the identical (user_id ⊕ us, event_id) sort —
-    * Catalyst plans them in a single Window operator pass) and the
+    * running sum differ only in frame, so Catalyst stacks the two
+    * Window operators directly on one shared exchange + sort) and the
     * per-(user, session) aggregate reuses the same partitioning; the
     * size-class rollup is a ≤10-row hash aggregate. At 100 TB the
     * events scan shuffles once; nothing else is data-sized.

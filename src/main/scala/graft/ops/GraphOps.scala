@@ -329,6 +329,76 @@ object GraphOps {
       .orderBy(col("hop"))
   }
 
+  /** q_graph_kcore — bounded k-core peeling over the undirected
+    * (sliced) co-purchase graph: iteratively drop nodes of degree < k
+    * (4 rounds), reporting the surviving-node count per round — the
+    * standard dense-subgraph / hairball-trim QC (a node in the final
+    * set has ≥ k surviving neighbors after every peel). k adapts to
+    * the data as ¾ of the mean degree via EXACT integer arithmetic
+    * ((3·|E_sym|) div (4·|V|) — no float, no interpolated percentile,
+    * so both engines derive the identical threshold at any SF of a
+    * densifying graph).
+    *
+    * Scale shape: each round is ONE degree hash-aggregate over the
+    * shrinking edge set + two semi joins (u-keep, v-keep) — the
+    * textbook distributed peel; rounds are ScratchCache'd so the
+    * unrolled lazy plan executes each round once. Fixed depth keeps
+    * construction job-free (the lazy rule); a to-fixpoint variant is
+    * the ccLabels checkpoint loop. DETERMINISM: exact integer degrees
+    * and counts throughout. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_kcore over any (o, p) membership frame. */
+  def kcoreOn(membership: DataFrame): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val op = membership.select(col("o"), col("p")).distinct()
+      .pipe(ScratchCache.cache)
+    val ec = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val sym = ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .pipe(ScratchCache.cache)
+    // k = (3·|E_sym|) div (4·|V|), exact integers end-to-end; carried
+    // on the non-foldable all-zeros key (a literal key would constant-
+    // fold the broadcast joins into census-breaking BNLJs)
+    val kf = sym
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("u")).as("nodes"))
+      .select(expr("(3 * cnt) DIV (4 * nodes)").as("kth"))
+      .withColumn("kk", k0(col("kth")))
+    // each round: keep = degree-qualified nodes of the current edge
+    // set (THE per-round wire count — a keep node can lose all its
+    // neighbors and still belong to this round's set), then restrict
+    // the edges to keep×keep for the next round
+    val rounds = Seq.iterate((sym, Option.empty[DataFrame], 0), 5) {
+      case (edges, _, r) =>
+        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("dd"))
+          .withColumn("kk", k0(col("u")))
+          .join(broadcast(kf), "kk")
+          .filter(col("dd") >= col("kth"))
+          .select(col("u"))
+          .pipe(ScratchCache.cache)
+        val next = edges
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .pipe(ScratchCache.cache)
+        (next, Some(keep), r + 1)
+    }.collect { case (_, Some(keep), r) => (keep, r) }
+    rounds
+      .map { case (keep, r) =>
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .withColumn("round", lit(r.toLong)) }
+      .reduce(_ unionByName _)
+      .withColumn("kk", k0(col("n_nodes")))
+      .join(broadcast(kf), "kk")
+      .select(col("round"), col("n_nodes"), col("kth").as("k"))
+      .orderBy(col("round"))
+  }
+
   /** Connected-component labels via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the DataFrame-native, 100 TB-safe formulation: every step is a

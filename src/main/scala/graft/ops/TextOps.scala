@@ -579,6 +579,41 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_sample_reservoir — fixed-SIZE per-stratum sampling (k = 3 docs
+    * per language), the companion of [[sampleStratifiedOn]]'s
+    * fixed-FRACTION sampling: eval sets, per-source inspection
+    * samples, and few-shot pools all want "exactly k per group"
+    * regardless of stratum size. A true streaming reservoir is
+    * random-state-dependent; the distributed, rerun-stable equivalent
+    * is rank-by-salted-hash — every row draws a deterministic
+    * pseudo-random key (md5 of doc_id + salt '#resv', independent of
+    * the '#split'/'#strat' samplings), and the k smallest keys per
+    * stratum win. Append-stable for surviving rows' keys, exactly-k
+    * guaranteed, partition-layout independent.
+    *
+    * Scale shape: ONE lang-keyed exchange + per-group sort for the
+    * row_number window — the group-bounded window the other window
+    * keys use; the hash ranking never materializes more than the
+    * stratum. (At hot-stratum scale the standard refinement is a
+    * per-partition local top-k before the exchange — TakeOrdered's
+    * per-group sibling — noted, not needed at bench scale.)
+    * DETERMINISM: ties in the 128-bit key are broken by doc_id. */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame =
+    sampleReservoirOn(Tables.documents(s, d))
+
+  /** Core of q_sample_reservoir over any documents-shaped frame. */
+  def sampleReservoirOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("#resv"))),
+        col("doc_id"))
+    docs
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** q_dedup_url — URL canonicalization + URL-level dedup, the first
     * dedup pass every web-crawl training pipeline runs (before any
     * content hashing): collapse raw URLs that differ only in

@@ -465,6 +465,39 @@ object OracleSql {
         |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
         |FROM m GROUP BY 1 ORDER BY hop""".stripMargin,
 
+    // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
+    // unrolled round counts the degree-qualified keep set, then
+    // restricts the edges to keep×keep
+    "q_graph_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |kv AS (SELECT (3 * COUNT(*)) // (4 * COUNT(DISTINCT u)) AS kth
+        |  FROM s0),
+        |k1 AS (SELECT u FROM s0 GROUP BY u
+        |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
+        |s1 AS (SELECT s0.u, s0.v FROM s0
+        |  JOIN k1 a ON s0.u = a.u JOIN k1 b ON s0.v = b.u),
+        |k2 AS (SELECT u FROM s1 GROUP BY u
+        |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
+        |s2 AS (SELECT s1.u, s1.v FROM s1
+        |  JOIN k2 a ON s1.u = a.u JOIN k2 b ON s1.v = b.u),
+        |k3 AS (SELECT u FROM s2 GROUP BY u
+        |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
+        |s3 AS (SELECT s2.u, s2.v FROM s2
+        |  JOIN k3 a ON s2.u = a.u JOIN k3 b ON s2.v = b.u),
+        |k4 AS (SELECT u FROM s3 GROUP BY u
+        |  HAVING COUNT(*) >= (SELECT kth FROM kv))
+        |SELECT CAST(round AS BIGINT) AS round, n_nodes,
+        |(SELECT CAST(kth AS BIGINT) FROM kv) AS k FROM (
+        |  SELECT 1 AS round, COUNT(*) AS n_nodes FROM k1
+        |  UNION ALL SELECT 2, COUNT(*) FROM k2
+        |  UNION ALL SELECT 3, COUNT(*) FROM k3
+        |  UNION ALL SELECT 4, COUNT(*) FROM k4)
+        |ORDER BY round""".stripMargin,
+
     "q_norm_remap" ->
       """SELECT COALESCE('NATION:' || n_name, 'RAW:' || CAST(c_nationkey AS VARCHAR)) AS canonical,
         |COUNT(*) AS n
@@ -1132,6 +1165,17 @@ object OracleSql {
         |FROM a JOIN s ON a.cohort = s.cohort
         |GROUP BY a.cohort, day_offset, s.cohort_users
         |ORDER BY a.cohort, day_offset""".stripMargin,
+
+    // fixed-size-per-stratum "reservoir": rank by salted md5 (salt
+    // '#resv', independent of '#split'/'#strat'), doc_id tie-break
+    "q_sample_reservoir" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#resv'), doc_id)
+        |    AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
     // same salted-md5 bucketing as q_sample_split, salt '#strat'
     "q_sample_stratified" ->

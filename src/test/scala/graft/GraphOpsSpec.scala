@@ -286,6 +286,24 @@ class GraphOpsSpec extends GraftSuite {
     assert(out.size == 2)
   }
 
+  test("kcore peels low-degree fringe and keeps isolated-keep semantics") {
+    import spark.implicits._
+    // clique {1,2,3,4} (deg 3 each) + pendant 5 hanging off node 1
+    // (deg 1). |E_sym| = 14, |V| = 5 -> k = 42 div 20 = 2.
+    // round 1: {1,2,3,4} qualify (deg>=2), 5 drops; rounds 2-4 stable.
+    // membership orders: one per edge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val m = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, a), (i.toLong, b)) }.toDF("o", "p")
+    val out = GraphOps.kcoreOn(m).collect()
+      .map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("k"))).toMap
+    ScratchCache.releaseAll()
+    assert(out == Map(1L -> ((4L, 2L)), 2L -> ((4L, 2L)),
+      3L -> ((4L, 2L)), 4L -> ((4L, 2L))))
+  }
+
   test("paths reports min-hop BFS counts on a planted chain") {
     import spark.implicits._
     // chain 1-2-3-4-5 via pair-orders; BFS from min node 1, depth<=3:

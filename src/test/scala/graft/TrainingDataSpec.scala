@@ -280,6 +280,20 @@ class TrainingDataSpec extends GraftSuite {
       "releaseAll must drop every per-construction benchmark view")
   }
 
+  test("reservoir keeps exactly k per stratum, stable under repartition") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de")).toDF(
+      "doc_id", "text", "lang")
+    val a = TextOps.sampleReservoirOn(docs).collect()
+    val b = TextOps.sampleReservoirOn(docs.repartition(7)).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val perLang = a.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang == Map("en" -> 3, "de" -> 3))
+    assert(a.map(r => r.getAs[Long]("rk")).sorted.toSeq
+      == Seq(1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
   test("lm_score ranks the rare-bigram document as most surprising") {
     import spark.implicits._
     // corpus LM: (a,a)=3, (a,b)=1, tot(a)=4
