@@ -108,6 +108,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
+    "q_text_winnowing" -> (TextOps.winnowing _),
     "q_text_vocab_encode" -> (TextOps.vocabEncode _),
     "q_text_pii" -> (TextOps.pii _),
     "q_sample_split" -> (TextOps.sampleSplit _),
@@ -118,6 +119,8 @@ object SparkEntry {
     "q_text_repetition" -> (TextOps.repetition _),
     "q_sample_stratified" -> (TextOps.sampleStratified _),
     "q_sample_reservoir" -> (TextOps.sampleReservoir _),
+    "q_sample_temperature" -> (TextOps.sampleTemperature _),
+    "q_curate_pipeline" -> (TextOps.curatePipeline _),
     "q_filter_bloom" -> (TextOps.filterBloom _),
     "q_dedup_url" -> (TextOps.dedupUrl _),
     "q_dedup_lines" -> (TextOps.dedupLines _),

@@ -614,6 +614,143 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q_sample_temperature — temperature-resampled mixture weights
+    * (τ = 2, i.e. rate ∝ count^(1/2)): the standard multilingual /
+    * multi-domain rebalancing step — upweight small languages without
+    * letting the head language dominate. Weights are INTEGER
+    * isqrt(count) = floor(sqrt(count)) — IEEE sqrt is correctly
+    * rounded, so floor∘sqrt on the same long is bit-identical in both
+    * engines — and the per-lang target document count is the exact
+    * integer (weight · total_docs) div total_weight; only the realized
+    * rate crosses the wire as a rounded double.
+    *
+    * Scale shape: one lang-keyed hash agg (≤|langs| rows) + a
+    * broadcast of the 1-row totals on the non-foldable all-zeros key
+    * (a literal key would constant-fold the join into a
+    * census-breaking BNLJ). Nothing after the first agg is
+    * data-sized. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame =
+    sampleTemperatureOn(Tables.documents(s, d))
+
+  /** Core of q_sample_temperature over any documents-shaped frame. */
+  def sampleTemperatureOn(docs: DataFrame): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val w = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .pipe(ScratchCache.cache)
+    val tot = w
+      .agg(sum(col("weight")).as("tw"), sum(col("n_docs")).as("td"))
+      .withColumn("kk", k0(col("tw")))
+    w.withColumn("kk", k0(col("weight")))
+      .join(broadcast(tot.withColumnRenamed("tw", "tw2")
+        .withColumnRenamed("td", "td2")), "kk")
+      .select(col("lang"), col("n_docs"), col("weight"),
+        round(col("weight").cast("double") / col("tw2"), 6).as("rate"),
+        expr("(weight * td2) DIV tw2").as("target_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** q_text_winnowing — winnowing document fingerprints (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): per document,
+    * md5 over every word-5-gram shingle, then the minimum hash of each
+    * window of 4 consecutive shingles is selected; the distinct
+    * selected set is the document's fingerprint sketch. Winnowing
+    * guarantees any shared run of ≥ 8 words between two documents
+    * shares a selected fingerprint — the local-similarity dedup that
+    * single-min fingerprinting (q_text_fingerprint) and whole-doc
+    * MinHash miss. Wire: per source, docs fingerprinted, total
+    * selected prints, distinct prints, and prints shared by ≥ 2 docs
+    * (the dedup-candidate signal). Docs under 8 tokens (no full
+    * window) contribute nothing — both engines filter identically.
+    *
+    * Scale shape: the ENTIRE winnowing is row-local higher-order array
+    * code (split → transform/sequence shingle hashes → windowed
+    * array_min → array_distinct → explode) — no window function, no
+    * per-doc shuffle, unlike the lead-window shingle path; the only
+    * exchanges are the two final hash aggs. At 100 TB each task
+    * fingerprints its own rows and ships only (source, fp) pairs.
+    * DETERMINISM: md5 + lexicographic string min, exact int counts. */
+  def winnowing(s: SparkSession, d: String): DataFrame =
+    winnowingOn(Tables.documents(s, d))
+
+  /** Core of q_text_winnowing over any documents-shaped frame. */
+  def winnowingOn(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), col("source"),
+        split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(toks) - 4), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 5))))"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(hs) - 3), " +
+            "j -> array_min(slice(hs, j, 4)))"))).as("fp"))
+      .pipe(ScratchCache.cache)
+    // fps is distinct per (doc, fp), so count(*) per (source, fp) =
+    // number of docs carrying that print
+    val perFp = fps.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("nd"))
+    val nDocs = fps.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    perFp.groupBy(col("source"))
+      .agg(sum(col("nd")).as("tot_sel"),
+        count(lit(1)).as("distinct_fp"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_fp"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("tot_sel"),
+        col("distinct_fp"), col("shared_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** q_curate_pipeline — the end-to-end training-data curation funnel
+    * composed from this library's own stages, as one run with a
+    * per-stage survivor ledger (stage, n_docs, n_chars) — the
+    * training-data twin of q_pipeline_kgx's staged-counts contract:
+    *   0 raw            → every document
+    *   1 lang_keep      → language filter (drop zh here — stand-in
+    *                      for "not in the target language set")
+    *   2 quality_keep   → Gopher-style bounds: 20 ≤ ws-tokens ≤ 1000
+    *   3 dedup          → exact text dedup, min-doc_id representative
+    *   4 split_train    → the '#split' 90% train bucket of survivors
+    * Every boundary is integer/rule-based; the ledger is exact.
+    *
+    * Scale shape: stages 0–2 are row-local filters folded into the
+    * scan (one pass, predicate-pushed); dedup is the ONE data-sized
+    * hash agg (min doc_id per md5), ScratchCache'd for its two
+    * consumers (stage-3 ledger + stage-4 bucket filter); each ledger
+    * row is a 1-row aggregate unioned into a 5-row result. */
+  def curatePipeline(s: SparkSession, d: String): DataFrame =
+    curatePipelineOn(Tables.documents(s, d))
+
+  /** Core of q_curate_pipeline over any documents-shaped frame. */
+  def curatePipelineOn(docs: DataFrame): DataFrame = {
+    def ledger(stage: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")).cast("long"), lit(0L))
+            .as("n_chars"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_chars"))
+    val s0 = docs
+    val s1 = s0.filter(col("lang") =!= "zh")
+    val s2 = s1.filter(
+      size(split(col("text"), " ")).between(20, 1000))
+    val s3 = s2.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_chars")).as("n_chars"))
+      .pipe(ScratchCache.cache)
+    val s4 = s3.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100 < 90)
+    Seq(ledger(0L, "raw", s0), ledger(1L, "lang_keep", s1),
+        ledger(2L, "quality_keep", s2), ledger(3L, "dedup", s3),
+        ledger(4L, "split_train", s4))
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** q_dedup_url — URL canonicalization + URL-level dedup, the first
     * dedup pass every web-crawl training pipeline runs (before any
     * content hashing): collapse raw URLs that differ only in

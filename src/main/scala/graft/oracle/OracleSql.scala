@@ -903,6 +903,29 @@ object OracleSql {
         |SELECT doc_id, source, MIN(h) AS fp
         |FROM s GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
+    // winnowing (MOSS): md5 5-gram shingle hashes, min per 4-window
+    // (full windows only: i <= m-3), distinct per doc; nd per
+    // (source, fp) = docs carrying the print since f is doc-distinct
+    "q_text_winnowing" ->
+      """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS p
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 8),
+        |e AS (SELECT doc_id, source, p, unnest(range(1, len(p) - 3)) AS i FROM d),
+        |s AS (SELECT doc_id, source, i,
+        |  md5(array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS h
+        |  FROM e),
+        |wm AS (SELECT doc_id, source, i,
+        |  MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |  COUNT(*) OVER (PARTITION BY doc_id) AS m FROM s),
+        |f AS (SELECT DISTINCT doc_id, source, fp FROM wm WHERE i <= m - 3),
+        |pf AS (SELECT source, fp, COUNT(*) AS nd FROM f GROUP BY 1, 2),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM f GROUP BY 1)
+        |SELECT pf.source, nd.n_docs, CAST(SUM(pf.nd) AS BIGINT) AS tot_sel,
+        |COUNT(*) AS distinct_fp,
+        |CAST(SUM(CASE WHEN pf.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fp
+        |FROM pf JOIN nd ON pf.source = nd.source
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "q_text_contamination" ->
       """WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS p FROM documents),
         |e AS (SELECT doc_id, source, p, unnest(range(1, len(p) - 3)) AS i
@@ -969,6 +992,44 @@ object OracleSql {
         |SELECT source, split, COUNT(*) AS n_docs,
         |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    // τ=2 temperature weights: INTEGER floor(sqrt(count)) — IEEE sqrt
+    // is correctly rounded so floor∘sqrt is engine-identical; only the
+    // realized rate crosses the wire as a rounded double
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight FROM c),
+        |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+        |  CAST(SUM(n_docs) AS BIGINT) AS td FROM w)
+        |SELECT lang, n_docs, weight,
+        |ROUND(CAST(weight AS DOUBLE) / tw, 6) AS rate,
+        |(weight * td) // tw AS target_docs
+        |FROM w, t ORDER BY lang""".stripMargin,
+
+    // curation funnel ledger; dedup representative = min doc_id per
+    // md5(text), split bucket = the '#'-less q_sample_split rule
+    "q_curate_pipeline" ->
+      """WITH s1 AS (SELECT * FROM documents WHERE lang <> 'zh'),
+        |s2 AS (SELECT * FROM s1
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+        |s3 AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id,
+        |  MIN(n_chars) AS n_chars FROM s2 GROUP BY 1),
+        |s4 AS (SELECT * FROM s3
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 90)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    COUNT(*) AS n_docs,
+        |    COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) AS n_chars FROM documents
+        |  UNION ALL SELECT 1, 'lang_keep', COUNT(*),
+        |    COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s1
+        |  UNION ALL SELECT 2, 'quality_keep', COUNT(*),
+        |    COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s2
+        |  UNION ALL SELECT 3, 'dedup', COUNT(*),
+        |    COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s3
+        |  UNION ALL SELECT 4, 'split_train', COUNT(*),
+        |    COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s4
+        |) ORDER BY stage""".stripMargin,
 
     "q_sink_neo4j" ->
       """WITH c AS (

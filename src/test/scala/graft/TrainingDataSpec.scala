@@ -294,6 +294,63 @@ class TrainingDataSpec extends GraftSuite {
       == Seq(1L, 1L, 2L, 2L, 3L, 3L))
   }
 
+  test("winnowing guarantee: an 8-word shared run shares a fingerprint") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five six seven $run x y z", "s0", 60L),
+      (2L, s"$run p q r s t u v w", "s0", 50L),
+      (3L, "too short for any window", "s0", 24L), // 5 toks: dropped
+      (4L, "k l m n o p q r s t u v", "s1", 20L)
+    ).toDF("doc_id", "text", "source", "n_chars").select(
+      col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val out = TextOps.winnowingOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ScratchCache.releaseAll()
+    // winnowing theorem: docs 1 and 2 share a >= w+k-1 = 8-word run,
+    // so at least one selected fingerprint is common -> shared_fp >= 1
+    assert(out("s0").getAs[Long]("n_docs") == 2L) // doc 3 dropped
+    assert(out("s0").getAs[Long]("shared_fp") >= 1L)
+    assert(out("s1").getAs[Long]("n_docs") == 1L)
+    assert(out("s1").getAs[Long]("shared_fp") == 0L)
+    // selected set is a subset of all shingle hashes: tot >= distinct
+    assert(out("s0").getAs[Long]("tot_sel")
+      >= out("s0").getAs[Long]("distinct_fp"))
+  }
+
+  test("temperature weights flatten the head and are exactly integer") {
+    import spark.implicits._
+    // en 100 docs, de 4, fr 1 -> weights 10, 2, 1 (tw=13, td=105)
+    val docs = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 104).map(i => (i.toLong, "de")) ++ Seq((105L, "fr")))
+      .toDF("doc_id", "lang")
+    val out = TextOps.sampleTemperatureOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("weight"), r.getAs[Long]("target_docs"))).toMap
+    ScratchCache.releaseAll()
+    assert(out == Map("en" -> ((10L, 80L)), "de" -> ((2L, 16L)),
+      "fr" -> ((1L, 8L))))
+  }
+
+  test("curate pipeline ledger drops each stage's planted casualty") {
+    import spark.implicits._
+    val long20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long20, "s0", "en", 10L),            // survives everything?
+      (2L, long20, "s0", "en", 10L),            // exact dup of 1
+      (3L, "short doc only five words x", "s0", "en", 5L), // quality drop
+      (4L, long20 + " zh extra", "s0", "zh", 9L) // lang drop
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val rows = TextOps.curatePipelineOn(docs).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
+    ScratchCache.releaseAll()
+    assert(rows(0L) == 4L)
+    assert(rows(1L) == 3L) // zh gone
+    assert(rows(2L) == 2L) // short gone
+    assert(rows(3L) == 1L) // dup collapsed to min doc_id
+    assert(rows(4L) <= 1L) // split bucket of the survivor
+  }
+
   test("lm_score ranks the rare-bigram document as most surprising") {
     import spark.implicits._
     // corpus LM: (a,a)=3, (a,b)=1, tot(a)=4
