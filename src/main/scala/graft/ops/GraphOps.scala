@@ -341,11 +341,19 @@ object GraphOps {
     *
     * Scale shape: each round is ONE degree hash-aggregate over the
     * shrinking edge set + two semi joins (u-keep, v-keep) — the
-    * textbook distributed peel; rounds are ScratchCache'd so the
-    * unrolled lazy plan executes each round once. Fixed depth keeps
-    * construction job-free (the lazy rule); a to-fixpoint variant is
-    * the ccLabels checkpoint loop. DETERMINISM: exact integer degrees
-    * and counts throughout. */
+    * textbook distributed peel. Each round is truncated with a LAZY
+    * localCheckpoint (not `.cache()`): a round's frame is referenced
+    * three times downstream (wire count + both semi joins), so the
+    * unrolled lazy plan grows 3^rounds copies of the base self-join,
+    * and cache-plan substitution does not reliably collapse the nested
+    * copies (measured: a 7000-line physical plan with 200+ duplicated
+    * joins, ~100 s at sf0.1 — vs ~1 s checkpointed). The lazy
+    * checkpoint truncates lineage at CONSTRUCTION time (plan size
+    * constant per round, still job-free — the lazy rule) and
+    * materializes each round exactly once on first use; blocks are
+    * registered with ScratchCache for release after consumption. A
+    * to-fixpoint variant is the ccLabels checkpoint loop.
+    * DETERMINISM: exact integer degrees and counts throughout. */
   def kcore(s: SparkSession, d: String): DataFrame =
     kcoreOn(Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)
@@ -360,9 +368,13 @@ object GraphOps {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    val sym = ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .pipe(ScratchCache.cache)
+    def trunc(df: DataFrame): DataFrame = {
+      val t = df.localCheckpoint(false)
+      ScratchCache.defer(() => unpersistCheckpoint(t))
+      t
+    }
+    val sym = trunc(ec.unionByName(
+      ec.select(col("v").as("u"), col("u").as("v"))))
     // k = (3·|E_sym|) div (4·|V|), exact integers end-to-end; carried
     // on the non-foldable all-zeros key (a literal key would constant-
     // fold the broadcast joins into census-breaking BNLJs)
@@ -370,22 +382,22 @@ object GraphOps {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("u")).as("nodes"))
       .select(expr("(3 * cnt) DIV (4 * nodes)").as("kth"))
       .withColumn("kk", k0(col("kth")))
+      .pipe(ScratchCache.cache)
     // each round: keep = degree-qualified nodes of the current edge
     // set (THE per-round wire count — a keep node can lose all its
     // neighbors and still belong to this round's set), then restrict
     // the edges to keep×keep for the next round
     val rounds = Seq.iterate((sym, Option.empty[DataFrame], 0), 5) {
       case (edges, _, r) =>
-        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("dd"))
-          .withColumn("kk", k0(col("u")))
-          .join(broadcast(kf), "kk")
-          .filter(col("dd") >= col("kth"))
-          .select(col("u"))
-          .pipe(ScratchCache.cache)
-        val next = edges
+        val keep = trunc(
+          edges.groupBy(col("u")).agg(count(lit(1)).as("dd"))
+            .withColumn("kk", k0(col("u")))
+            .join(broadcast(kf), "kk")
+            .filter(col("dd") >= col("kth"))
+            .select(col("u")))
+        val next = trunc(edges
           .join(keep, Seq("u"), "left_semi")
-          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-          .pipe(ScratchCache.cache)
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi"))
         (next, Some(keep), r + 1)
     }.collect { case (_, Some(keep), r) => (keep, r) }
     rounds
