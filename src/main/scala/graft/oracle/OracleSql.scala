@@ -468,27 +468,32 @@ object OracleSql {
     // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
     // unrolled round counts the degree-qualified keep set, then
     // restricts the edges to keep×keep
+    // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references the previous one three times, so the
+    // inlined tree re-expands the base self-join 3^rounds times and
+    // spills to disk at sf1 (the exact DuckDB twin of the Spark-side
+    // lazy-cache blowup fixed with localCheckpoints in GraphOps.kcoreOn)
     "q_graph_kcore" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_partkey % 4 = 0),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
         |  JOIN op b ON a.o = b.o AND a.p < b.p),
-        |s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-        |kv AS (SELECT (3 * COUNT(*)) // (4 * COUNT(DISTINCT u)) AS kth
+        |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |kv AS MATERIALIZED (SELECT (3 * COUNT(*)) // (4 * COUNT(DISTINCT u)) AS kth
         |  FROM s0),
-        |k1 AS (SELECT u FROM s0 GROUP BY u
+        |k1 AS MATERIALIZED (SELECT u FROM s0 GROUP BY u
         |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
-        |s1 AS (SELECT s0.u, s0.v FROM s0
+        |s1 AS MATERIALIZED (SELECT s0.u, s0.v FROM s0
         |  JOIN k1 a ON s0.u = a.u JOIN k1 b ON s0.v = b.u),
-        |k2 AS (SELECT u FROM s1 GROUP BY u
+        |k2 AS MATERIALIZED (SELECT u FROM s1 GROUP BY u
         |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
-        |s2 AS (SELECT s1.u, s1.v FROM s1
+        |s2 AS MATERIALIZED (SELECT s1.u, s1.v FROM s1
         |  JOIN k2 a ON s1.u = a.u JOIN k2 b ON s1.v = b.u),
-        |k3 AS (SELECT u FROM s2 GROUP BY u
+        |k3 AS MATERIALIZED (SELECT u FROM s2 GROUP BY u
         |  HAVING COUNT(*) >= (SELECT kth FROM kv)),
-        |s3 AS (SELECT s2.u, s2.v FROM s2
+        |s3 AS MATERIALIZED (SELECT s2.u, s2.v FROM s2
         |  JOIN k3 a ON s2.u = a.u JOIN k3 b ON s2.v = b.u),
-        |k4 AS (SELECT u FROM s3 GROUP BY u
+        |k4 AS MATERIALIZED (SELECT u FROM s3 GROUP BY u
         |  HAVING COUNT(*) >= (SELECT kth FROM kv))
         |SELECT CAST(round AS BIGINT) AS round, n_nodes,
         |(SELECT CAST(kth AS BIGINT) FROM kv) AS k FROM (
