@@ -379,13 +379,19 @@ object DedupSim {
     * [[simAnnIvf]]) feeding the same rank window — this key pins the
     * exact semantics those approximations are measured against.
     * DETERMINISM: ranking orders by the 6dp-ROUNDED cosine (identical
-    * doubles in both engines — sequential fold, see [[simCosineTopK]])
-    * with vec_id tiebreak. */
+    * doubles in both engines — the codegen [[graft.functions
+    * .CosineSimilarity]] accumulates in ascending index order exactly
+    * like the oracle's fold; same parity the embcos oracle proves)
+    * with vec_id tiebreak. The sf0.1→sf1 sweep caught the interpreted
+    * per-pair lambda chain (dot + BOTH norms re-derived per pair)
+    * scaling at 94× for 10× data; the fused codegen expression is the
+    * fix (150.8 s → ~3 s at sf1). */
   def knnGraph(s: SparkSession, d: String): DataFrame =
     knnGraphOn(Tables.embeddings(s, d))
 
   /** Core of q_sim_knn_graph over any (vec_id, embedding) frame. */
   def knnGraphOn(embeddings: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(embeddings.sparkSession)
     val e = embeddings
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -396,11 +402,7 @@ object DedupSim {
       .join(broadcast(q), "k")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nb_id"),
-        round(
-          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
-          (sqrt(expr("aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x)")) *
-           sqrt(expr("aggregate(transform(qv, x -> x * x), 0d, (acc, x) -> acc + x)"))),
-          6).as("cos"))
+        round(expr("cosine_sim(v, qv)"), 6).as("cos"))
     scored
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
