@@ -382,10 +382,16 @@ object DedupSim {
     * doubles in both engines — the codegen [[graft.functions
     * .CosineSimilarity]] accumulates in ascending index order exactly
     * like the oracle's fold; same parity the embcos oracle proves)
-    * with vec_id tiebreak. The sf0.1→sf1 sweep caught the interpreted
-    * per-pair lambda chain (dot + BOTH norms re-derived per pair)
-    * scaling at 94× for 10× data; the fused codegen expression is the
-    * fix (150.8 s → ~3 s at sf1). */
+    * with vec_id tiebreak. The sf0.1→sf1 sweep caught TWO scale bugs
+    * here: (1) the interpreted per-pair lambda chain (dot + BOTH norms
+    * re-derived per pair) scaled at 94× for 10× data — fixed by the
+    * fused codegen expression (150.8 → 16 s at sf1); (2) the pair
+    * expansion inherited the SCAN's partitioning — a 5 MB / 20k-row
+    * parquet reads as 2 splits, so the 8M-pair join, cosine, and
+    * partial top-k sort all ran on 2 of 32 cores. The explicit
+    * defaultParallelism repartition of the corpus side spreads the
+    * expansion (16 → ~2 s at sf1); explicit numPartitions so AQE
+    * cannot coalesce the deliberately small-input shuffle back down. */
   def knnGraph(s: SparkSession, d: String): DataFrame =
     knnGraphOn(Tables.embeddings(s, d))
 
@@ -398,7 +404,12 @@ object DedupSim {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         k0(col("vec_id")).as("k"))
-    val scored = e.withColumn("k", k0(col("vec_id")))
+    // spread the |corpus|·|queries| expansion across all cores: the
+    // corpus parquet alone is tiny (few input splits) but each row
+    // fans out to |queries| pairs downstream
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val scored = e.repartition(par, col("vec_id"))
+      .withColumn("k", k0(col("vec_id")))
       .join(broadcast(q), "k")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nb_id"),
