@@ -19,6 +19,8 @@ object SparkEntry {
     "q_sink_neo4j" -> (Neo4jSink.sinkNeo4j _),
     "q_sink_partitioned" -> (Sources.sinkPartitioned _),
     "q_snapshot_diff" -> (Incremental.snapshotDiff _),
+    "q_scd2_history" -> (Incremental.scd2History _),
+    "q_cdc_apply" -> (Incremental.cdcApply _),
     "q_source_spec" -> (Pipeline.pipelineSpecs _),
     // §2.11 graph / ETL
     "q_norm_remap" -> (GraphOps.normRemap _),

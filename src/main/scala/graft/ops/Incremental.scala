@@ -2,6 +2,7 @@ package graft.ops
 
 import java.nio.file.{Files, Paths, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -113,4 +114,104 @@ object Incremental {
       .agg(count(lit(1)).as("n"),
         d2(sum(col("v_new").cast(DecimalType(18, 2)))).as("sum_new"))
       .orderBy(col("status"))
+
+  /** q_scd2_history — SCD type-2 dimension-history build (the
+    * gaps-and-islands collapse every warehouse runs to turn a change
+    * LOG into validity INTERVALS): each customer's order-status
+    * timeline is collapsed into maximal runs of equal status, each run
+    * becoming one `[valid_from, valid_to)` row with `valid_to = NULL`
+    * marking the current record. Wire = the per-status interval ledger
+    * (interval count, open/current count, covered orders, mean run
+    * length) so the oracle value-checks the whole collapse.
+    *
+    * Scale shape: the change-point marking and island numbering are two
+    * window passes over ONE hash partitioning of the log by customer
+    * (Catalyst plans them in a single sort+window stage — no second
+    * exchange), then a per-(customer,island) hash aggregate and a
+    * vocabulary-free lead() on the already-partitioned run table. At
+    * 100 TB the log shuffles once by entity key; there is no self-join
+    * and no driver state — the canonical distributed SCD-2 plan. */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2HistoryOn(Tables.orders(s, d)
+      .select(col("o_custkey").as("ent"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("attr")))
+
+  /** Core of q_scd2_history over any (ent, ts, seq, attr) change log
+    * (`seq` breaks timestamp ties so windows are total orders). */
+  def scd2HistoryOn(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ent")).orderBy(col("ts"), col("seq"))
+    val prev = lag(col("attr"), 1).over(w)
+    val marked = log.withColumn("chg",
+      when(prev.isNull.or(prev =!= col("attr")), 1).otherwise(0))
+    val runs = marked
+      .withColumn("island", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("ent"), col("island"), col("attr"))
+      .agg(count(lit(1)).as("n_rows"), min(col("ts")).as("valid_from"))
+    val iv = runs.withColumn("valid_to",
+      lead(col("valid_from"), 1)
+        .over(Window.partitionBy(col("ent")).orderBy(col("island"))))
+    iv.groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).cast("long")
+          .as("n_current"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        round(sum(col("n_rows")).cast("double") / count(lit(1)), 6)
+          .as("avg_run"))
+      .orderBy(col("attr"))
+  }
+
+  /** q_cdc_apply — MERGE INTO (upsert/delete) application, the step
+    * after [[snapshotDiff]] classifies: derive the changeset between
+    * the base and target snapshots (insert / update / delete), apply
+    * it to the base, and wire the per-op applied ledger plus the
+    * resulting table's count+sum — value-proving the merged table,
+    * not just the classification. All money stays DECIMAL end-to-end
+    * (snapshots are cast once at the edge); the wire is the standard
+    * exact-(38,2)→double cast.
+    *
+    * Scale shape: two full-outer sort-merge joins on the SAME snapshot
+    * key (derive, then apply) — Catalyst reuses the exchange, the
+    * per-row op logic is narrow, and the only outputs are a ≤3-row
+    * ledger and a 1-row summary. No per-row lookups, no driver loops:
+    * this is exactly how a lakehouse MERGE plans at 100 TB. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val money = (c: Column) => c.cast(DecimalType(12, 2))
+    val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"), money(col("o_totalprice")).as("v_old"))
+    val target = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, money(col("o_totalprice")) +
+            lit(new java.math.BigDecimal("1.00")).cast(DecimalType(12, 2)))
+          .otherwise(money(col("o_totalprice"))).as("v_new"))
+    cdcApplyOn(base, target)
+  }
+
+  /** Core of q_cdc_apply over any (k, v_old) base / (k, v_new) target
+    * snapshot pair. */
+  def cdcApplyOn(base: DataFrame, target: DataFrame): DataFrame = {
+    val chg = base.join(target, Seq("k"), "full_outer")
+      .select(col("k"), col("v_old"), col("v_new"),
+        when(col("v_old").isNull, "insert")
+          .when(col("v_new").isNull, "delete")
+          .when(col("v_old") =!= col("v_new"), "update").as("op"))
+      .filter(col("op").isNotNull)
+    val applied = base
+      .join(chg.select(col("k"), col("op"), col("v_new")), Seq("k"),
+        "full_outer")
+      .filter(col("op").isNull.or(col("op") =!= "delete"))
+      .select(when(col("op").isNotNull, col("v_new"))
+        .otherwise(col("v_old")).as("v"))
+    val perOp = chg.groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(when(col("op") === "delete", col("v_old"))
+          .otherwise(col("v_new")).cast(DecimalType(18, 2)))).as("sum_v"))
+    val result = applied
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("v").cast(DecimalType(18, 2)))).as("sum_v"))
+      .withColumn("op", lit("result"))
+    perOp.unionByName(result.select(col("op"), col("n"), col("sum_v")))
+      .orderBy(col("op"))
+  }
 }

@@ -1341,6 +1341,69 @@ object OracleSql {
         |  AS DOUBLE) AS sum_new
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
+    // gaps-and-islands SCD-2 collapse; windows totally ordered by
+    // (ts, seq) with seq unique, so both engines number islands alike
+    "q_scd2_history" ->
+      """WITH log AS (SELECT o_custkey AS ent, o_orderdate AS ts,
+        |  o_orderkey AS seq, o_orderstatus AS attr FROM orders),
+        |m AS (SELECT ent, ts, seq, attr,
+        |  CASE WHEN lag(attr) OVER (PARTITION BY ent ORDER BY ts, seq)
+        |            IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+        |  FROM log),
+        |r AS (SELECT ent, attr, ts,
+        |  SUM(chg) OVER (PARTITION BY ent ORDER BY ts, seq
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |runs AS (SELECT ent, island, attr, COUNT(*) AS n_rows,
+        |  MIN(ts) AS valid_from FROM r GROUP BY ent, island, attr),
+        |iv AS (SELECT attr, n_rows,
+        |  lead(valid_from) OVER (PARTITION BY ent ORDER BY island)
+        |    AS valid_to
+        |  FROM runs)
+        |SELECT attr, COUNT(*) AS n_intervals,
+        |CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_current,
+        |CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |ROUND(CAST(SUM(n_rows) AS DOUBLE) / COUNT(*), 6) AS avg_run
+        |FROM iv GROUP BY attr ORDER BY attr""".stripMargin,
+
+    // MERGE application: derive insert/update/delete between the two
+    // snapshots, apply to the base, ledger + resulting table summary;
+    // money DECIMAL end-to-end, exact-(38,2)->double wire
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS v_old
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |tgt AS (SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |       THEN CAST(o_totalprice AS DECIMAL(12,2))
+        |            + CAST(1.00 AS DECIMAL(12,2))
+        |       ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS v_new
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |chg AS (SELECT k, v_old, v_new,
+        |  CASE WHEN v_old IS NULL THEN 'insert'
+        |       WHEN v_new IS NULL THEN 'delete'
+        |       WHEN v_old <> v_new THEN 'update' END AS op
+        |  FROM base FULL JOIN tgt USING (k)
+        |  WHERE CASE WHEN v_old IS NULL THEN 'insert'
+        |             WHEN v_new IS NULL THEN 'delete'
+        |             WHEN v_old <> v_new THEN 'update' END IS NOT NULL),
+        |applied AS (SELECT
+        |  CASE WHEN op IS NOT NULL THEN v_new ELSE v_old END AS v
+        |  FROM base FULL JOIN (SELECT k, op, v_new FROM chg) USING (k)
+        |  WHERE op IS NULL OR op <> 'delete'),
+        |perop AS (SELECT op, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(CASE WHEN op = 'delete' THEN v_old
+        |                          ELSE v_new END AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS sum_v
+        |  FROM chg GROUP BY op),
+        |res AS (SELECT 'result' AS op, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS DOUBLE) AS sum_v
+        |  FROM applied)
+        |SELECT op, n, sum_v FROM (SELECT * FROM perop
+        |  UNION ALL SELECT * FROM res) ORDER BY op""".stripMargin,
+
     // salting is semantics-invisible for inner equi joins: the oracle
     // is the PLAIN join — any salt artifact breaks the value match
     "q_join_skew" ->

@@ -58,4 +58,39 @@ class IncrementalSpec extends GraftSuite {
     assert(out("unchanged") == ((1L, Some(20.0))))
     assert(out.size == 4)
   }
+
+  test("scd2 collapses runs into intervals with one open record per entity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // ent 1: A,A,B,A (3 intervals, last A open); ent 2: C,C (1 open)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "A"),
+      (2L, ts("2024-01-01 00:00:00"), 5L, "C"),
+      (2L, ts("2024-01-05 00:00:00"), 6L, "C"))
+      .toDF("ent", "ts", "seq", "attr")
+    val out = Incremental.scd2HistoryOn(log).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("n_current"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("avg_run")))).toMap
+    assert(out("A") == ((2L, 1L, 3L, 1.5)))
+    assert(out("B") == ((1L, 0L, 1L, 1.0)))
+    assert(out("C") == ((1L, 1L, 2L, 2.0)))
+    assert(out.size == 3)
+  }
+
+  test("cdc apply merges insert/update/delete and proves the result table") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v_old")
+    val target = Seq((2L, 20.0), (3L, 35.0), (4L, 40.0)).toDF("k", "v_new")
+    val out = Incremental.cdcApplyOn(base, target).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_v")))).toMap
+    assert(out("insert") == ((1L, 40.0)))
+    assert(out("update") == ((1L, 35.0)))
+    assert(out("delete") == ((1L, 10.0))) // ledger sums the dropped value
+    // applied table == target snapshot: 3 rows, 20+35+40
+    assert(out("result") == ((3L, 95.0)))
+    assert(out.size == 4)
+  }
 }
