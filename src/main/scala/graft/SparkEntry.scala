@@ -58,6 +58,7 @@ object SparkEntry {
     "q_agg_quantile" -> (Aggregates.aggQuantile _),
     "q_udaf_topk" -> (Aggregates.udafTopK _),
     "q_agg_argmax" -> (Aggregates.aggArgmax _),
+    "q_agg_histogram" -> (Aggregates.aggHistogram _),
     // §2.5 windows
     "q_win_rank" -> (Windows.winRank _),
     "q_win_topk_group" -> (Windows.winTopKGroup _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_sim_ann_ivf" -> (DedupSim.simAnnIvf _),
     "q_sim_centroid" -> (DedupSim.simCentroid _),
     "q_emb_quantize" -> (DedupSim.embQuantize _),
+    "q_emb_dim_stats" -> (DedupSim.embDimStats _),
     "q_text_wordcount" -> (TextOps.wordCount _),
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),
@@ -137,6 +139,7 @@ object SparkEntry {
     "q_events_anomaly" -> (EventOps.anomaly _),
     "q_events_sessionize" -> (EventOps.sessionize _),
     "q_events_attribution" -> (EventOps.attribution _),
+    "q_events_transitions" -> (EventOps.transitions _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),

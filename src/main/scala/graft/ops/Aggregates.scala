@@ -250,4 +250,36 @@ object Aggregates {
         d2(col("col._1")).as("price"))
       .orderBy(col("o_orderpriority"), col("rank"))
   }
+
+  /** q_agg_histogram — data-driven equi-width histogram of
+    * `o_totalprice` (16 buckets between the observed min and max):
+    * the distribution profile every optimizer statistics pass and
+    * data-quality monitor computes. Bucketing is INTEGER-exact: money
+    * becomes exact cents (DECIMAL(12,2)·100 → BIGINT, fraction .00 so
+    * the cast is exact in both engines), and the bucket index is the
+    * integral `((cents−lo)·16) DIV (hi−lo+1)` — no float division, no
+    * boundary ties, engine-identical by construction.
+    *
+    * Plan shape: one 1-row min/max aggregate over the cents column,
+    * broadcast back onto the scan via the non-foldable all-zeros key
+    * (pmod(hash,1) — a literal key would fold away and plan as a
+    * BroadcastNestedLoopJoin), then ONE 16-group hash aggregate with
+    * map-side partials. Two narrow passes over the data, no shuffle of
+    * the fact table at any SF. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val o = Tables.orders(s, d).select(
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      dec(col("o_totalprice")).as("v"))
+    val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .withColumn("k", k0(col("lo")))
+    o.withColumn("k", k0(col("cents")))
+      .join(broadcast(bounds), "k")
+      .select(expr("((cents - lo) * 16) div (hi - lo + 1)").as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        d2(sum(col("v").cast(DecimalType(18, 2)))).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
 }

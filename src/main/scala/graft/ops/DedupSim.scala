@@ -861,4 +861,51 @@ object DedupSim {
         round(sqrt(col("ss")) / col("n_vecs"), 6).as("cnorm"))
       .orderBy(col("label"), col("dim"))
   }
+
+  /** q_emb_dim_stats — per-dimension embedding health statistics
+    * (n, mean, variance, min, max for each of the 64 dimensions): the
+    * distribution audit run before any similarity/ANN pass — dead
+    * dimensions (≈0 variance), scale outliers and mean drift all show
+    * up here, and IVF/LSH bucket quality depends on them.
+    *
+    * Determinism: each float is quantized once to DECIMAL(12,6)
+    * (double→decimal rounds identically in both engines — no exact
+    * decimal tie at the 7th place is representable in binary, same
+    * argument as [[emb]]); sums and sums-of-squares then stay
+    * decimal-EXACT (6/12-scale), are explicitly round()ed to scale 6
+    * BEFORE the double wire so the magnitude·10^scale stays under 2^53
+    * at any SF (the money-wire rule), and the variance arithmetic runs
+    * on the same wired doubles in both engines. min/max are plain
+    * float→double casts — no arithmetic, no rounding needed.
+    *
+    * Scale shape: posexplode is row-local (narrow), ONE hash aggregate
+    * down to 64 rows with map-side partials carrying (count, two
+    * decimal sums, min, max) — the classic one-pass moments plan; at
+    * 100 TB nothing but that single aggregate exchanges. */
+  def embDimStats(s: SparkSession, d: String): DataFrame =
+    embDimStatsOn(Tables.embeddings(s, d))
+
+  /** Core of q_emb_dim_stats over any frame with an `embedding`
+    * Array[Float] column. */
+  def embDimStatsOn(embDf: DataFrame): DataFrame = {
+    val q6 = (c: Column) => c.cast(DecimalType(12, 6))
+    val x = embDf
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("vd"))
+      .withColumn("q", q6(col("vd")))
+    val g = x.groupBy(col("dim")).agg(
+      count(lit(1)).as("n_vecs"),
+      round(sum(col("q")), 6).cast(DecimalType(38, 6)).as("sv"),
+      round(sum(col("q") * col("q")), 6).cast(DecimalType(38, 6)).as("sq"),
+      min(col("vd")).as("v_min"),
+      max(col("vd")).as("v_max"))
+    val m = col("sv").cast("double") / col("n_vecs")
+    g.select(col("dim"), col("n_vecs"),
+        round(m, 6).as("mean"),
+        round(col("sq").cast("double") / col("n_vecs") - m * m, 6)
+          .as("variance"),
+        col("v_min"), col("v_max"))
+      .orderBy(col("dim"))
+  }
 }

@@ -245,4 +245,41 @@ object EventOps {
           .as("retention"))
       .orderBy(col("cohort"), col("day_offset"))
   }
+
+  /** q_events_transitions — first-order Markov transition matrix over
+    * the event-type alphabet: for each user's timeline (ordered by
+    * event time, event_id breaking µs ties) count every consecutive
+    * (from_type → to_type) pair and derive the row-conditional
+    * probability p(to|from). The user-journey summary every product
+    * warehouse keeps, and the event-sequence analogue of
+    * q_text_ngram_lm's bigram statistics.
+    *
+    * Plan shape: ONE user-keyed sort+window pass (lag) over the events
+    * scan, a data-sized hash aggregate down to the ≤|types|² matrix,
+    * then a window over that vocabulary-sized table for the
+    * conditioning totals — nothing after the first aggregate scales
+    * with the data, and the one exchange is the same user_id
+    * partitioning every other event op uses. */
+  def transitions(s: SparkSession, d: String): DataFrame =
+    transitionsOn(Tables.events(s, d))
+
+  /** Core of q_events_transitions over any events-shaped frame. */
+  def transitionsOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = eventsDf.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = e
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val matrix = pairs
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("from_type"))
+    matrix
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(tw), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -1341,6 +1341,58 @@ object OracleSql {
         |  AS DOUBLE) AS sum_new
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
+    // per-dimension moments: quantize each float once to DECIMAL(12,6)
+    // (no representable tie at the 7th place — cast rounds identically),
+    // decimal-exact sums, explicit round(…,6) before the double wire
+    "q_emb_dim_stats" ->
+      """WITH x AS (SELECT CAST(dims.dim AS BIGINT) AS dim,
+        |  CAST(embedding[dims.dim] AS DOUBLE) AS vd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) dims),
+        |q AS (SELECT dim, vd, CAST(vd AS DECIMAL(12,6)) AS q FROM x),
+        |g AS (SELECT dim, COUNT(*) AS n_vecs,
+        |  CAST(ROUND(SUM(q), 6) AS DECIMAL(38,6)) AS sv,
+        |  CAST(ROUND(SUM(q * q), 6) AS DECIMAL(38,6)) AS sq,
+        |  MIN(vd) AS v_min, MAX(vd) AS v_max
+        |  FROM q GROUP BY dim)
+        |SELECT dim, n_vecs,
+        |ROUND(CAST(sv AS DOUBLE) / n_vecs, 6) AS mean,
+        |ROUND(CAST(sq AS DOUBLE) / n_vecs
+        |  - (CAST(sv AS DOUBLE) / n_vecs) * (CAST(sv AS DOUBLE) / n_vecs),
+        |  6) AS variance,
+        |v_min, v_max FROM g ORDER BY dim""".stripMargin,
+
+    // Markov transition matrix; timelines ordered by (epoch µs,
+    // event_id) so the ns-precision parquet timestamps can't reorder
+    // ties across engines
+    "q_events_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS from_type
+        |  FROM e),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+        |  (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // integer-exact equi-width histogram: exact cents, integral DIV
+    // bucketing (operands non-negative, so DuckDB // == Spark div)
+    "q_agg_histogram" ->
+      """WITH o AS (SELECT
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders),
+        |bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+        |b AS (SELECT ((cents - lo) * 16) // (hi - lo + 1) AS bucket, v
+        |  FROM o, bounds)
+        |SELECT bucket, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // gaps-and-islands SCD-2 collapse; windows totally ordered by
     // (ts, seq) with seq unique, so both engines number islands alike
     "q_scd2_history" ->

@@ -128,4 +128,27 @@ class AggregatesSpec extends GraftSuite {
     assert(out("N0") == (("bob", 50.25, "carol", -10.00, 3L)))
     assert(out("N1") == (("eve", 9999.99, "dan", -999.99, 2L)))
   }
+
+  test("histogram partitions every order into 16 integer-exact buckets") {
+    val rows = Aggregates.aggHistogram(spark, sf).collect()
+    val buckets = rows.map(_.getAs[Long]("bucket"))
+    assert(buckets.forall(b => b >= 0 && b <= 15))
+    // min lands in bucket 0 and max in bucket 15 by construction:
+    // ((hi-lo)*16) div (hi-lo+1) == 15 whenever hi-lo >= 15
+    assert(buckets.contains(0L) && buckets.contains(15L))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    // bucket sums add up to the exact-decimal total of the table
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val total = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(38, 2)).cast("double")).head.getDouble(0)
+    // exact 2dp arithmetic: valueOf uses the shortest decimal repr, so
+    // each wire double round-trips to its exact money value
+    val sumPrices = rows
+      .map(r => java.math.BigDecimal.valueOf(r.getAs[Double]("sum_price")))
+      .reduce(_ add _)
+    assert(sumPrices.compareTo(java.math.BigDecimal.valueOf(total)) == 0)
+  }
 }

@@ -234,4 +234,20 @@ class DedupSimSpec extends GraftSuite {
         r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
     }
   }
+
+  test("embedding dim stats: exact moments per dimension on a planted frame") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f)),
+      (2L, Array(3.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = DedupSim.embDimStatsOn(df).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean"),
+          r.getAs[Double]("variance"), r.getAs[Double]("v_min"),
+          r.getAs[Double]("v_max")))).toMap
+    // dim 1: {1,3} -> mean 2, var (1+9)/2 - 4 = 1; dim 2: {-1,1}
+    assert(out(1L) == ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(out(2L) == ((2L, 0.0, 1.0, -1.0, 1.0)))
+    assert(out.size == 2)
+  }
 }

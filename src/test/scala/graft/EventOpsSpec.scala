@@ -182,4 +182,21 @@ class EventOpsSpec extends GraftSuite {
     assert(out.head.getString(0) == "view")
     assert(out.head.getAs[Double]("avg_gap_sec") == 0.0)
   }
+
+  test("transitions count per-user consecutive pairs with row-conditional p") {
+    val log = eventsId(
+      // user 1: view -> click -> view; user 2: view -> purchase
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:05:00"),
+      (3L, 1L, "view", "2024-01-01 10:10:00"),
+      (4L, 2L, "view", "2024-01-01 09:00:00"),
+      (5L, 2L, "purchase", "2024-01-01 09:30:00"))
+    val out = EventOps.transitionsOn(log).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(out(("view", "click")) == ((1L, 0.5)))
+    assert(out(("view", "purchase")) == ((1L, 0.5)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 3) // no cross-user pair (2->4 never adjacent)
+  }
 }
