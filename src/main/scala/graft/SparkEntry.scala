@@ -110,6 +110,7 @@ object SparkEntry {
     "q_text_lm_score" -> (TextOps.lmScore _),
     "q_text_langid" -> (TextOps.langId _),
     "q_text_quality" -> (TextOps.quality _),
+    "q_text_classifier" -> (TextOps.textClassifier _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_text_winnowing" -> (TextOps.winnowing _),

@@ -938,4 +938,60 @@ object TextOps {
         col("n_dropped"))
       .orderBy(col("source"))
   }
+
+  /** q_text_classifier — fastText-style LINEAR quality classifier: a
+    * fixed-weight linear model over row-local engineered features
+    * (stopword ratio, digit ratio, saturated length, mean token
+    * length), scored per document and thresholded — the model-based
+    * quality filter (CCNet / fastText `__label__wiki` style) that
+    * complements `q_text_quality`'s bare heuristics. Weights are
+    * frozen constants standing in for a trained model; swapping in
+    * learned weights changes numbers, not the plan.
+    *
+    * Determinism: the entire model is INTEGER arithmetic — features
+    * are micro-units via integral `(num·10⁶) DIV den` (operands
+    * non-negative, so Spark `div` ≡ DuckDB `//`), weights are integer
+    * hundredths, and the score is a BIGINT in 10⁻⁸ units. No float
+    * division, no decimal cast, no rounding mode anywhere until the
+    * one mean-score wire division. Threshold compare is exact integer.
+    *
+    * Scale shape: scoring is a narrow row-local projection fused into
+    * the scan (whole-stage codegen, no UDF); the only exchange is the
+    * final per-source hash aggregate with map-side partials. At 100 TB
+    * this is a single pass, the cheapest possible filter plan. */
+  def textClassifier(s: SparkSession, d: String): DataFrame =
+    textClassifierOn(Tables.documents(s, d))
+
+  /** Core of q_text_classifier over any documents-shaped frame. */
+  def textClassifierOn(docsDf: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    val f = docsDf.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("nt"),
+      size(filter(split(lower(col("text")), " "),
+        t => t.isInCollection(stops))).cast("long").as("ns"),
+      length(col("text")).cast("long").as("nc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+        .as("nd"),
+      (length(col("text")) -
+        length(translate(col("text"), " ", ""))).cast("long").as("nsp"))
+    val scored = f
+      .withColumn("f_stop6", expr("(ns * 1000000) div nt"))
+      .withColumn("f_digit6", expr("(nd * 1000000) div greatest(nc, 1)"))
+      .withColumn("f_len6", expr("(least(nt, 256) * 1000000) div 256"))
+      .withColumn("f_wlen6", expr("((nc - nsp) * 1000000) div (nt * 8)"))
+      // score in 1e-8 units: 0.20 + 1.50·stop − 2.00·digit + 0.80·len
+      // + 0.50·wlen (weights in hundredths)
+      .withColumn("score8", expr(
+        "20000000 + 150*f_stop6 - 200*f_digit6 + 80*f_len6 + 50*f_wlen6"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score8") > 55000000L, 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        min(col("score8")).as("min_score8"),
+        max(col("score8")).as("max_score8"),
+        round(sum(col("score8")).cast("double") / count(lit(1))
+          / 100000000.0, 6).as("mean_score"))
+      .orderBy(col("source"))
+  }
 }

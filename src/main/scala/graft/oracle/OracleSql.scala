@@ -1341,6 +1341,39 @@ object OracleSql {
         |  AS DOUBLE) AS sum_new
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
+    // linear quality classifier: all-integer model (micro-unit features
+    // via //, integer hundredth weights, BIGINT 1e-8 score) — the only
+    // float op is the final mean wire division
+    "q_text_classifier" ->
+      """WITH f AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT)
+        |    AS ns,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+        |    'g')) AS BIGINT) AS nd,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |    AS nsp
+        |  FROM documents),
+        |x AS (SELECT source,
+        |  (ns * 1000000) // nt AS f_stop6,
+        |  (nd * 1000000) // greatest(nc, 1) AS f_digit6,
+        |  (least(nt, 256) * 1000000) // 256 AS f_len6,
+        |  ((nc - nsp) * 1000000) // (nt * 8) AS f_wlen6
+        |  FROM f),
+        |sc AS (SELECT source,
+        |  20000000 + 150*f_stop6 - 200*f_digit6 + 80*f_len6 + 50*f_wlen6
+        |    AS score8 FROM x)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN score8 > 55000000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_kept,
+        |CAST(MIN(score8) AS BIGINT) AS min_score8,
+        |CAST(MAX(score8) AS BIGINT) AS max_score8,
+        |ROUND(CAST(SUM(score8) AS DOUBLE) / COUNT(*) / 100000000.0, 6)
+        |  AS mean_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
     // per-dimension moments: quantize each float once to DECIMAL(12,6)
     // (no representable tie at the 7th place — cast rounds identically),
     // decimal-exact sums, explicit round(…,6) before the double wire

@@ -16,6 +16,26 @@ class TrainingDataSpec extends GraftSuite {
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length(col("text")).cast("long"))
 
+  test("classifier scores are integer-exact and threshold deterministically") {
+    val corpus = docs(
+      // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
+      // f_digit6=200000, f_len6=11718, f_wlen6=125000 -> score8 =
+      // 20000000 + 49999950 - 40000000 + 937440 + 6250000 = 37187390
+      (1L, "a b 1", "en", "s1"),
+      // all-stopword doc: nt=8 ns=8 nc=26 nd=0 nsp=7 -> f_stop6=1000000,
+      // f_len6=31250, f_wlen6=296875 -> score8 = 20000000 + 150000000
+      // + 2500000 + 14843750 = 187343750 (> 55000000: kept)
+      (2L, "the of and is to in the of", "en", "s1"))
+    val out = TextOps.textClassifierOn(corpus).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_kept") == 1L)
+    assert(r.getAs[Long]("min_score8") == 37187390L)
+    assert(r.getAs[Long]("max_score8") == 187343750L)
+    // (37187390 + 187343750) / 2 / 1e8 = 1.1226557 -> 1.122656
+    assert(r.getAs[Double]("mean_score") == 1.122656)
+  }
+
   test("contamination flags exactly the train docs sharing a benchmark 5-gram") {
     val corpus = docs(
       (100L, "alpha beta gamma delta epsilon zeta", "en", "s1"), // benchmark
