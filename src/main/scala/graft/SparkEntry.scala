@@ -107,6 +107,7 @@ object SparkEntry {
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_tfidf" -> (TextOps.tfidf _),
     "q_text_ngram_lm" -> (TextOps.ngramLm _),
+    "q_text_bpe_pairs" -> (TextOps.bpePairs _),
     "q_text_lm_score" -> (TextOps.lmScore _),
     "q_text_langid" -> (TextOps.langId _),
     "q_text_quality" -> (TextOps.quality _),

@@ -939,6 +939,35 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q_text_bpe_pairs — the BPE tokenizer-training primitive: count
+    * every adjacent character pair inside each (lowercased,
+    * whitespace-split) word across the corpus and report the top-20 —
+    * exactly the statistic the first byte-pair-encoding merge step
+    * maximizes, and the iteration driver of a full BPE vocab build
+    * (each merge round re-runs this count on the re-segmented corpus).
+    *
+    * Scale shape: pair generation is entirely row-local
+    * (`transform(sequence(...))` over each token — higher-order array
+    * code inside whole-stage codegen, no (token, position) shuffle),
+    * followed by ONE hash aggregate over the ≤|alphabet|²-keyed pair
+    * space and a TakeOrdered top-20 (no global sort). The single
+    * exchange carries only partial counts of a vocabulary-sized key
+    * set — at 100 TB the reduce side is still tiny. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairsOn(Tables.documents(s, d))
+
+  /** Core of q_text_bpe_pairs over any documents-shaped frame. */
+  def bpePairsOn(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** q_text_classifier — fastText-style LINEAR quality classifier: a
     * fixed-weight linear model over row-local engineered features
     * (stopword ratio, digit ratio, saturated length, mean token

@@ -1341,6 +1341,18 @@ object OracleSql {
         |  AS DOUBLE) AS sum_new
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
+    // BPE first-merge statistic: adjacent char pairs inside words;
+    // expansion of len<2 tokens is empty in both engines, ties broken
+    // by the pair string
+    "q_text_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT substring(tok, CAST(i.i AS INT), 2) AS pair
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(tok))) AS i) i
+        |  WHERE length(tok) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     // linear quality classifier: all-integer model (micro-unit features
     // via //, integer hundredth weights, BIGINT 1e-8 score) — the only
     // float op is the final mean wire division

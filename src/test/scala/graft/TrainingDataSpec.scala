@@ -16,6 +16,14 @@ class TrainingDataSpec extends GraftSuite {
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length(col("text")).cast("long"))
 
+  test("bpe pairs count adjacent char pairs inside words only") {
+    val corpus = docs((1L, "aaa ab b", "en", "s1"))
+    // aaa -> aa,aa; ab -> ab; "b" too short to pair
+    val out = TextOps.bpePairsOn(corpus).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n"))
+    assert(out.toSeq == Seq("aa" -> 2L, "ab" -> 1L))
+  }
+
   test("classifier scores are integer-exact and threshold deterministically") {
     val corpus = docs(
       // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
