@@ -51,12 +51,20 @@ object Bench {
     // A query that THROWS records -1 (never a timing): time-to-
     // exception would otherwise masquerade as a fast valid
     // measurement, hiding a red query behind a green-looking number.
+    // The exception's first line is kept per key (`errors` in the
+    // JSON) so a failing artifact names its own root cause — round
+    // 7's 19 reds were diagnosable only by re-running tests because
+    // the bench recorded nothing but -1.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        errors(name) = Bench.firstLine(e)
+        -1.0
+      }
       finally graft.ops.ScratchCache.releaseAll()
       if (t >= 0)
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
@@ -70,10 +78,13 @@ object Bench {
     // entries make a red query impossible to miss in the JSON
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errorsJson = failed
+      .map(k => "\"" + k + "\":\"" + jsonEscape(errors.getOrElse(k, "unknown")) + "\"")
+      .mkString("{", ",", "}")
     // Per-query detail first (one long line), then a SHORT total-only
     // line LAST: the harness captures only the output tail, and round 1
     // showed a single huge line truncates mid-dict and loses the total.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     println(line)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
     // Also persist the FULL per-query line: harnesses that capture only
@@ -85,4 +96,22 @@ object Bench {
     catch { case _: Throwable => () }
     spark.stop()
   }
+
+  /** Exception class + first message line, the one string that names a
+    * failure's root cause in the bench artifact. */
+  def firstLine(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("")
+    val head = msg.linesIterator.find(_.nonEmpty).getOrElse("")
+    (e.getClass.getSimpleName + (if (head.nonEmpty) ": " + head else ""))
+      .take(300)
+  }
+
+  /** Minimal JSON string escaping for the hand-rolled bench line. */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
 }

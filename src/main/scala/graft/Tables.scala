@@ -47,19 +47,37 @@ object Tables {
     cached(s, d, "orders")(s.read.parquet(p(d, "orders")))
   def lineitem(s: SparkSession, d: String): DataFrame =
     cached(s, d, "lineitem")(s.read.parquet(p(d, "lineitem")))
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long and floor to µs (DuckDB's
-    * CAST(ts_ns AS TIMESTAMP) truncates identically; the generator's ns
-    * values are µs-aligned anyway, so the floor is lossless).
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations, so the reader adapts to the loaded schema:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session — set by `Graft.init` and the Verify/Bench/test harnesses.
-    * Deliberately NOT set here: a reader function mutating session conf
-    * is a global side effect library consumers don't expect. */
+    *  - TIMESTAMP(NANOS) (rounds 1–7 data): Spark 4 refuses to read
+    *    parquet ns as a timestamp; under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as
+    *    BIGINT nanos, which we floor to µs (`ts DIV 1000`) — DuckDB's
+    *    CAST(ts_ns AS TIMESTAMP) truncates identically, and the
+    *    generator's ns values are µs-aligned anyway, so it's lossless.
+    *  - timestamp[us] (round-8+ data): Spark reads it natively as
+    *    TIMESTAMP_NTZ; we only cast to the session-zone TimestampType
+    *    (value-preserving under the pinned UTC session) so every
+    *    downstream frame and oracle sees the exact type/values they
+    *    were verified against.
+    *
+    * The legacy branch still REQUIRES `nanosAsLong=true` on the session
+    * — set by `Graft.init` and the Verify/Bench/test harnesses, and
+    * harmless when no ns column exists. Deliberately NOT set here: a
+    * reader function mutating session conf is a global side effect
+    * library consumers don't expect. */
   def events(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "events")(
-      s.read.parquet(p(d, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    cached(s, d, "events") {
+      val raw = s.read.parquet(p(d, "events"))
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts DIV 1000")) // legacy ns-as-long data
+        case _ =>
+          expr("CAST(ts AS TIMESTAMP)") // native µs (NTZ → UTC LTZ)
+      }
+      raw.withColumn("ts", ts)
+    }
   def documents(s: SparkSession, d: String): DataFrame =
     cached(s, d, "documents")(s.read.parquet(p(d, "documents")))
   def embeddings(s: SparkSession, d: String): DataFrame =

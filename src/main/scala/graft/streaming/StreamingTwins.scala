@@ -36,6 +36,10 @@ case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
   * active-day span, not the stream length). */
 case class RetentionState(cohortDay: Int, seen: Seq[Int])
 
+/** Per-user state for [[StreamingTwins.attributionCredits]]: the most
+  * recent non-purchase touch (type + µs); touchUs = -1 ⇒ no touch yet. */
+case class TouchState(touchType: String, touchUs: Long)
+
 /** transformWithState processor (Spark 4 stateful API, the successor to
   * flatMapGroupsWithState): per-user running count of events since the
   * first signup, with explicit ValueState. Requires the RocksDB state
@@ -254,6 +258,48 @@ object StreamingTwins {
       }(Encoders.product[RetentionState],
         Encoders.product[(Long, Int, Int)])
       .toDF("user_id", "cohort_day", "day_offset")
+  }
+
+  /** q_events_attribution streaming twin — last-touch credit assignment
+    * via flatMapGroupsWithState: per-user state is ONLY the most recent
+    * non-purchase touch (one type + one µs per user — O(users),
+    * independent of stream length); every purchase emits
+    * (user_id, touch_type, purchase_us, gap_us) the moment it arrives,
+    * crediting the carried touch ('(none)' / gap −1 when the purchase
+    * is the user's first event). Rows within a trigger are applied in
+    * (us, event_id) order, reproducing the batch window's
+    * excludes-current-row frame (a touch sharing the purchase's
+    * timestamp but ordered before it still gets the credit); across
+    * triggers the twin assumes per-user event-time order, the same
+    * one-pass caveat as [[funnelStages]]. The attribution REPORT is the
+    * downstream per-touch-type aggregate of these credits —
+    * StreamingSpec asserts it equals the batch
+    * [[graft.ops.EventOps.attributionOn]] report row-for-row. */
+  def attributionCredits(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)](
+        Encoders.product[(Long, Long, Long, String)])
+    typed
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TouchState, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(TouchState("(none)", -1L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2))
+            .flatMap { case (_, _, us, et) =>
+              if (et != "purchase") { st = TouchState(et, us); None }
+              else Some((user, st.touchType, us,
+                if (st.touchUs < 0) -1L else us - st.touchUs))
+            }
+          state.update(st)
+          out.iterator
+      }(Encoders.product[TouchState],
+        Encoders.product[(Long, String, Long, Long)])
+      .toDF("user_id", "touch_type", "purchase_us", "gap_us")
   }
 
   /** Continuous-ingest EP2: raw CURIEs arrive on a stream and every

@@ -312,6 +312,49 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("attribution twin: streamed credits reproduce the batch report") {
+    // per-user last-touch cases: credited touch, '(none)' first-event
+    // purchase, self-exclusion at a shared timestamp, re-credit after a
+    // second touch — split across TWO triggers so state must carry
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0),
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "purchase", 0.0), // (none)
+      Ev(5, ts("2024-01-01 09:30:00"), 2, "view", 0.0),
+      Ev(6, ts("2024-01-01 09:30:00"), 2, "purchase", 0.0), // same-ts view wins
+      Ev(7, ts("2024-01-01 08:00:00"), 3, "error", 0.0),
+      Ev(8, ts("2024-01-01 08:30:00"), 3, "purchase", 0.0),
+      Ev(9, ts("2024-01-01 08:40:00"), 3, "purchase", 0.0)) // same touch twice
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.attributionCredits(ms.toDF())
+      .writeStream.format("memory").queryName("atttwin")
+      .outputMode("append").start()
+    try {
+      val (first, second) = log.partition(_.event_id <= 5)
+      ms.addData(first: _*); q.processAllAvailable()
+      ms.addData(second: _*); q.processAllAvailable()
+      import org.apache.spark.sql.functions.{count, countDistinct, lit, round, sum, when, col}
+      import org.apache.spark.sql.types.DecimalType
+      val streamed = spark.table("atttwin")
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct($"user_id").as("n_users"),
+          when(count(when($"gap_us" >= 0, 1)) > 0,
+            round(sum(when($"gap_us" >= 0, $"gap_us")
+                .cast(DecimalType(38, 0))).cast("double")
+              / (count(when($"gap_us" >= 0, 1)).cast(DecimalType(38, 0))
+                * 1000000L).cast("double"), 6)).as("avg_gap_sec"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)))).toSet
+      val batch = graft.ops.EventOps.attributionOn(log.toDF()).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_users"), Option(r.get(3)))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("retention twin: streamed cells equal the batch matrix") {
     val log = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),

@@ -4,14 +4,17 @@ tooling, like check.py — NOT part of the Scala library).
 
 Reproduces the SHAPE of the driver's synthetic tables at arbitrary
 scale factors so the library's scaling trend can be measured beyond
-the provided sf0.1: same schemas (including the events.ts
-timestamp[ns] quirk the Spark readers special-case), same value
-domains, same planted-duplicate rates. Values are NOT byte-identical
-to the driver's (its seed stream is unknown) — scale runs are
+the provided sf0.1: same schemas, same value domains, same
+planted-duplicate rates. Values are NOT byte-identical to the
+driver's (its seed stream is unknown) — scale runs are
 self-consistent: Verify and check.py are pointed at the SAME generated
 dir, so the DuckDB oracle comparison is exact there too.
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>     e.g. 1 /tmp/gen_sf1
+events.ts is timestamp[us] like the round-8+ driver data; pass --ns
+to emit the rounds-1..7 TIMESTAMP(NANOS) shape instead, which
+regression-tests Tables.events' legacy nanosAsLong branch.
+
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--ns]   e.g. 1 /tmp/gen_sf1
 Row counts at sf=1: lineitem 6M, orders 1.5M, customer 150k, part
 200k, supplier 10k, events 1M (15k users), documents 50k,
 embeddings 20k.
@@ -49,12 +52,14 @@ def write(out, name, table):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def ts_ms(base_ms, offsets_ms):
-    return pa.array((base_ms + offsets_ms).astype("int64"),
-                    type=pa.timestamp("ms"))
+def ts_us(base_ms, offsets_ms):
+    # µs like the driver's round-8+ data (Spark loads it as
+    # TIMESTAMP_NTZ; the readers cast to the UTC session zone)
+    return pa.array(((base_ms + offsets_ms) * 1000).astype("int64"),
+                    type=pa.timestamp("us"))
 
 
-def main(sf: float, out: str):
+def main(sf: float, out: str, ns_events: bool = False):
     Path(out).mkdir(parents=True, exist_ok=True)
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -118,7 +123,7 @@ def main(sf: float, out: str):
         "o_orderstatus": pa.array(
             np.array(["O", "P", "F"])[r.integers(0, 3, n_ord)]),
         "o_totalprice": np.round(r.uniform(1000, 500_000, n_ord), 2),
-        "o_orderdate": ts_ms(epoch95,
+        "o_orderdate": ts_us(epoch95,
                              r.integers(0, 2405, n_ord) * DAY_MS),
         "o_orderpriority": pa.array(PRIOS[r.integers(0, 5, n_ord)])}))
 
@@ -140,18 +145,21 @@ def main(sf: float, out: str):
             np.array(["A", "N", "R"])[r.integers(0, 3, n_li)]),
         "l_linestatus": pa.array(
             np.array(["F", "O"])[r.integers(0, 2, n_li)]),
-        "l_shipdate": ts_ms(epoch95,
+        "l_shipdate": ts_us(epoch95,
                             r.integers(1, 2500, n_li) * DAY_MS)}))
 
-    # events.ts is TIMESTAMP(NANOS) on disk — the one schema quirk the
-    # Spark readers special-case (legacy.parquet.nanosAsLong) and the
-    # DuckDB oracle truncates with CAST(ts AS TIMESTAMP)
+    # events.ts: timestamp[us] like the round-8+ driver data, or (with
+    # --ns) the legacy TIMESTAMP(NANOS) shape the readers special-case
+    # via legacy.parquet.nanosAsLong. ns values are µs-aligned in both
+    # generations, so the legacy floor-to-µs is lossless.
     r = np.random.default_rng(4206)
-    ns = epoch24 * 1_000_000 + r.integers(0, 30 * 86_400 * 10**9, n_ev,
-                                          dtype="int64")
+    ns = epoch24 * 1_000_000 + (r.integers(0, 30 * 86_400 * 10**6, n_ev,
+                                           dtype="int64") * 1000)
+    ts_arr = (pa.array(ns, type=pa.timestamp("ns")) if ns_events
+              else pa.array(ns // 1000, type=pa.timestamp("us")))
     write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
-        "ts": pa.array(ns, type=pa.timestamp("ns")),
+        "ts": ts_arr,
         "user_id": pa.array(r.integers(0, n_users, n_ev),
                             type=pa.int64()),
         "event_type": pa.array(ETYPES[r.integers(0, 5, n_ev)]),
@@ -205,4 +213,4 @@ def main(sf: float, out: str):
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    main(float(sys.argv[1]), sys.argv[2], ns_events="--ns" in sys.argv[3:])
