@@ -59,6 +59,8 @@ object SparkEntry {
     "q_udaf_topk" -> (Aggregates.udafTopK _),
     "q_agg_argmax" -> (Aggregates.aggArgmax _),
     "q_agg_histogram" -> (Aggregates.aggHistogram _),
+    "q_agg_corr" -> (Aggregates.aggCorr _),
+    "q_agg_mode" -> (Aggregates.aggMode _),
     // §2.5 windows
     "q_win_rank" -> (Windows.winRank _),
     "q_win_topk_group" -> (Windows.winTopKGroup _),
@@ -142,6 +144,8 @@ object SparkEntry {
     "q_events_sessionize" -> (EventOps.sessionize _),
     "q_events_attribution" -> (EventOps.attribution _),
     "q_events_transitions" -> (EventOps.transitions _),
+    "q_events_dwell" -> (EventOps.dwell _),
+    "q_events_ltv" -> (EventOps.ltv _),
     // §2.12 multimodal (binary media columns; decode step stubbed)
     "q_mm_decode" -> (Multimodal.decode _),
     "q_mm_meta" -> (Multimodal.meta _),

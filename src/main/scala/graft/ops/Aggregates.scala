@@ -282,4 +282,68 @@ object Aggregates {
         d2(sum(col("v").cast(DecimalType(18, 2)))).as("sum_price"))
       .orderBy(col("bucket"))
   }
+
+  /** q_agg_corr — Pearson correlation + sample covariance of quantity
+    * vs discount per return flag, derived from EXACT decimal power
+    * sums (Σx, Σy, Σxy, Σx², Σy²) so the result is identical under any
+    * partitioning — the builtin float corr/covar_samp accumulate in
+    * partition order and are not cross-engine/cross-parallelism stable
+    * (same rationale as [[aggStats]]).
+    *
+    * The five sums are ONE map-side-combined hash aggregate; the
+    * double conversions stay far below 2^53 scaled units through
+    * ~sf10 (x ≤ 50, y ≤ 0.10: Σx² ≈ 1.5e9·sf at 4 dp), and every
+    * arithmetic step after the casts is the same IEEE expression on
+    * both engines, rounded 6 dp on the wire. */
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_discount"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round((col("sxy").cast("double")
+            - col("n").cast("double")
+              * (col("sx").cast("double") / col("n").cast("double"))
+              * (col("sy").cast("double") / col("n").cast("double")))
+          / (col("n").cast("double") - 1.0), 6).as("covar_qty_disc"),
+        round((col("sxy").cast("double") / col("n").cast("double")
+            - (col("sx").cast("double") / col("n").cast("double"))
+              * (col("sy").cast("double") / col("n").cast("double")))
+          / sqrt((col("sxx").cast("double") / col("n").cast("double")
+              - (col("sx").cast("double") / col("n").cast("double"))
+                * (col("sx").cast("double") / col("n").cast("double")))
+            * (col("syy").cast("double") / col("n").cast("double")
+              - (col("sy").cast("double") / col("n").cast("double"))
+                * (col("sy").cast("double") / col("n").cast("double")))),
+          6).as("corr_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_agg_mode — per-group mode (most frequent l_quantity per return
+    * flag) with a deterministic lowest-value tie-break: a value-level
+    * hash aggregate (map-side partials collapse each partition to
+    * ≤ |distinct values| rows) followed by a row_number window over the
+    * ≤ groups×values aggregate — the window never sees the raw data,
+    * so only the first aggregate scales. The builtin `mode()` breaks
+    * ties arbitrarily in both engines; the explicit (count DESC, value
+    * ASC) ordering is what makes the result an oracle surface. */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), dec(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n_mode").desc, col("qty").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").cast("double").as("mode_qty"),
+        col("n_mode"))
+      .orderBy(col("l_returnflag"))
+  }
 }

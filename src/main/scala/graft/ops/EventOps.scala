@@ -246,6 +246,93 @@ object EventOps {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** q_events_dwell — time-to-next-event (dwell) statistics per event
+    * type: for each event, the gap to the SAME user's next event (any
+    * type); per starting type the count of non-terminal events, the
+    * mean gap, and the max gap in seconds. The "how long do users sit
+    * on this screen" report, and the timing complement of
+    * [[transitions]]' type-to-type counts.
+    *
+    * Plan shape: the same single user-keyed sort+window pass as
+    * transitions (lead instead of lag) into a ≤|types|-row hash
+    * aggregate — one exchange, nothing after the aggregate scales with
+    * the data. DETERMINISM: gaps are exact integer µs; the mean is an
+    * exact DECIMAL(38,0) sum over µs divided as double (gap sums stay
+    * far below 2^53 µs·rows for any month-long window — at a 100 TB
+    * year-long log the sum still fits DECIMAL(38,0) exactly and the
+    * double wire division is the only rounding step, 6 dp both
+    * engines); max is a single µs value, exact in double. */
+  def dwell(s: SparkSession, d: String): DataFrame =
+    dwellOn(Tables.events(s, d))
+
+  /** Core of q_events_dwell over any events-shaped frame. */
+  def dwellOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = eventsDf.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    e.withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("gap_us").cast(DecimalType(38, 0))).cast("double")
+          / (count(lit(1)).cast(DecimalType(38, 0)) * 1000000L)
+            .cast("double"), 6).as("avg_dwell_sec"),
+        round(max(col("gap_us")).cast("double") / 1000000.0, 6)
+          .as("max_dwell_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_events_ltv — cohort lifetime-value curve: users cohorted by
+    * first-seen day (as [[retention]]); per (cohort, day_offset) the
+    * purchase value that offset contributed and the RUNNING cumulative
+    * value per cohort member — "how much has a day-k cohort user been
+    * worth by day k+n", the monetized retention matrix.
+    *
+    * Plan shape: one user-keyed aggregate for cohorts, an equi-join
+    * back to the purchase rows sharing that partitioning, a
+    * (cohort × offset) hash aggregate down to ≤ days² rows, and the
+    * running sum as a window over THAT matrix-sized frame — the
+    * cumulative window never touches the event-sized data, so at
+    * 100 TB only the cohort join scales. Cohort sizes broadcast back
+    * (≤ days rows). DETERMINISM: values sum as exact DECIMAL(38,2)
+    * (cents) through BOTH aggregation levels; the per-user division is
+    * the only double step, rounded 6 dp on both engines. */
+  def ltv(s: SparkSession, d: String): DataFrame =
+    ltvOn(Tables.events(s, d))
+
+  /** Core of q_events_ltv over any events-shaped frame. */
+  def ltvOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val days = eventsDf.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"), col("value"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = days.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(sum(col("value").cast(DecimalType(12, 2)))
+        .cast(DecimalType(38, 2)).as("day_value"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value",
+        sum(col("day_value")).over(cum).cast(DecimalType(38, 2)))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("day_offset"),
+        col("day_value").cast("double").as("day_value"),
+        col("cum_value").cast("double").as("cum_value"),
+        round(col("cum_value").cast("double") / col("cohort_users"), 6)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** q_events_transitions — first-order Markov transition matrix over
     * the event-type alphabet: for each user's timeline (ordered by
     * event time, event_id breaking µs ties) count every consecutive

@@ -1660,6 +1660,91 @@ object OracleSql {
         |  FROM f WHERE fi % 4 = 0)
         |SELECT media_type, COUNT(*) AS n_sampled_frames,
         |CAST(SUM(flen) AS BIGINT) AS sampled_bytes
-        |FROM s GROUP BY media_type ORDER BY media_type""".stripMargin
+        |FROM s GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    // dwell gaps are exact integer µs; HUGEINT mirrors the Spark side's
+    // DECIMAL(38,0) sums, double division is the one rounding step
+    "q_events_dwell" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |    AS gap_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |round(SUM(CAST(gap_us AS HUGEINT))::DOUBLE
+        |  / (CAST(COUNT(*) AS HUGEINT) * 1000000)::DOUBLE, 6)
+        |  AS avg_dwell_sec,
+        |round(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_dwell_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // cohort LTV: exact DECIMAL(38,2) cents through both aggregation
+    // levels and the running window; doubles only on the wire
+    "q_events_ltv" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, value
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1),
+        |s AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+        |cells AS (SELECT cohort,
+        |  date_diff('day', cohort, day) AS day_offset,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |    AS day_value
+        |  FROM d JOIN f USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cohort, day_offset, day_value,
+        |  CAST(SUM(day_value) OVER (PARTITION BY cohort ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,2)) AS cum_value
+        |  FROM cells)
+        |SELECT c.cohort, CAST(day_offset AS INT) AS day_offset,
+        |CAST(day_value AS DOUBLE) AS day_value,
+        |CAST(cum_value AS DOUBLE) AS cum_value,
+        |round(CAST(cum_value AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
+        |FROM cum c JOIN s ON c.cohort = s.cohort
+        |ORDER BY c.cohort, day_offset""".stripMargin,
+
+    // correlation from exact decimal power sums; every post-cast step
+    // is the same IEEE double expression on both engines
+    "q_agg_corr" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |  SUM(CAST(l_discount AS DECIMAL(12,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(12,2))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |  SUM(CAST(l_discount AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |round((CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE)
+        |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_qty_disc,
+        |round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+        |  AS corr_qty_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // deterministic mode: explicit (count DESC, value ASC) tie-break —
+    // the builtin mode() is tie-arbitrary in both engines
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty, COUNT(*) AS n_mode
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, qty, n_mode,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n_mode DESC, qty ASC) AS rn FROM c)
+        |SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -151,4 +151,52 @@ class AggregatesSpec extends GraftSuite {
       .reduce(_ add _)
     assert(sumPrices.compareTo(java.math.BigDecimal.valueOf(total)) == 0)
   }
+
+  test("corr matches a driver-side recomputation from the raw rows") {
+    val out = Aggregates.aggCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("covar_qty_disc"),
+        r.getAs[Double]("corr_qty_disc")))).toMap
+    // recompute per flag from the collected raw pairs with the same
+    // power-sum formula (exact BigDecimal sums, doubles only at the end)
+    val raw = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+      .groupBy(_._1)
+    raw.foreach { case (flag, rows) =>
+      val n = rows.length
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val syy = rows.map(t => t._3 * t._3).sum
+      val nd = n.toDouble
+      val mx = sx.toDouble / nd; val my = sy.toDouble / nd
+      val cov = (sxy.toDouble - nd * mx * my) / (nd - 1.0)
+      val corr = (sxy.toDouble / nd - mx * my) /
+        math.sqrt((sxx.toDouble / nd - mx * mx) *
+          (syy.toDouble / nd - my * my))
+      val (gotN, gotCov, gotCorr) = out(flag)
+      assert(gotN == n.toLong)
+      assert(math.abs(gotCov - cov) < 1e-6, s"$flag covar")
+      assert(math.abs(gotCorr - corr) < 1e-6, s"$flag corr")
+      assert(gotCorr >= -1.0 && gotCorr <= 1.0)
+    }
+  }
+
+  test("mode picks the max-count value with lowest-value tie-break") {
+    val out = Aggregates.aggMode(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("mode_qty"), r.getAs[Long]("n_mode")))).toMap
+    val counts = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1)
+    counts.foreach { case (flag, vs) =>
+      val maxN = vs.map(_._2).max
+      val expectQty = vs.filter(_._2 == maxN).map(_._1._2).min
+      assert(out(flag) == ((expectQty, maxN)), s"flag $flag")
+    }
+  }
 }

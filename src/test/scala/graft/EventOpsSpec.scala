@@ -199,4 +199,46 @@ class EventOpsSpec extends GraftSuite {
     assert(out(("click", "view")) == ((1L, 1.0)))
     assert(out.size == 3) // no cross-user pair (2->4 never adjacent)
   }
+
+  test("dwell: per-type gap stats from each event to the user's next") {
+    val log = eventsId(
+      // user 1: view --300s--> click --60s--> view (terminal, no gap)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:05:00"),
+      (3L, 1L, "view", "2024-01-01 10:06:00"),
+      // user 2: view --30s--> purchase (terminal)
+      (4L, 2L, "view", "2024-01-01 09:00:00"),
+      (5L, 2L, "purchase", "2024-01-01 09:00:30"))
+    val out = EventOps.dwellOn(log).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("avg_dwell_sec"),
+        r.getAs[Double]("max_dwell_sec")))).toMap
+    // 'view' starts: 300s (u1 e1) + 30s (u2 e4) -> avg 165, max 300
+    assert(out("view") == ((2L, 165.0, 300.0)))
+    assert(out("click") == ((1L, 60.0, 60.0)))
+    assert(!out.contains("purchase")) // both purchases are terminal
+  }
+
+  private def eventsVal(rows: (Long, Long, String, String, Double)*) =
+    rows.toDF("event_id", "user_id", "event_type", "t", "value")
+      .withColumn("ts", to_timestamp(col("t")))
+      .drop("t")
+
+  test("ltv: cohort purchase value accumulates across day offsets") {
+    val log = eventsVal(
+      // user 1+2 cohort Jan-1 (u2 via a non-purchase first touch)
+      (1L, 1L, "purchase", "2024-01-01 10:00:00", 10.0),
+      (2L, 2L, "view", "2024-01-01 11:00:00", 99.0), // value ignored
+      (3L, 1L, "purchase", "2024-01-03 10:00:00", 5.0),
+      (4L, 2L, "purchase", "2024-01-03 12:00:00", 7.0),
+      // user 3 cohort Jan-2, never purchases -> cohort sized, no cells
+      (5L, 3L, "view", "2024-01-02 09:00:00", 50.0))
+    val out = EventOps.ltvOn(log).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Int]("day_offset")) ->
+        ((r.getAs[Double]("day_value"), r.getAs[Double]("cum_value"),
+          r.getAs[Double]("ltv_per_user")))).toMap
+    assert(out(("2024-01-01", 0)) == ((10.0, 10.0, 5.0))) // 2 cohort users
+    assert(out(("2024-01-01", 2)) == ((12.0, 22.0, 11.0)))
+    assert(out.size == 2) // no cells for the purchase-free cohort
+  }
 }
