@@ -1745,6 +1745,98 @@ object OracleSql {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |    ORDER BY n_mode DESC, qty ASC) AS rn FROM c)
         |SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, n_mode
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // CSV/JSONL roundtrips preserve values exactly (Spark writes doubles
+    // in shortest-round-trip form and the read schema is pinned), so the
+    // oracle recomputes the post-roundtrip aggregate straight from the
+    // source table — same source-side-recompute pattern as
+    // q_sink_partitioned
+    "q_source_csv" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_source_jsonl" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the KGX write is value-preserving by construction; the admission
+    // counts (exploded category → node count) are recomputed from the
+    // source tables: each customer carries [biolink:Agent, customer],
+    // each part [biolink:ChemicalEntity, part]
+    "q_sink_kgx" ->
+      """WITH c AS (
+        |  SELECT 'biolink:Agent' AS category, COUNT(*) AS n_nodes FROM customer
+        |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'biolink:ChemicalEntity', COUNT(*) FROM part
+        |  UNION ALL SELECT 'part', COUNT(*) FROM part)
+        |SELECT category, CAST(n_nodes AS BIGINT) AS n_nodes
+        |FROM c ORDER BY category""".stripMargin,
+
+    // Fixed-5-iteration PageRank, unrolled like the k-core round CTEs.
+    // The Spark side is DECIMAL(38,18)-exact; this twin runs in DOUBLE,
+    // which is safe because (a) every intermediate Spark rounding happens
+    // at scale 15-18 where doubles carry the value to ~1e-21 absolute, so
+    // the accumulated divergence at rank_x_n is ~1e-10, far below the
+    // 5e-7 half-ulp of the 6-digit output rounding, and (b) the top-20
+    // cut + ordering happen on the ROUNDED value with (ntype, node)
+    // tiebreaks, so equal ranks order identically in both engines.
+    // Every round CTE is MATERIALIZED (same DuckDB-inlining blowup the
+    // k-core oracle documents).
+    "q_graph_pagerank" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey * 2 AS src,
+        |  l_partkey * 2 + 1 AS dst FROM lineitem),
+        |nd AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |dg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM nd),
+        |r0 AS MATERIALIZED (SELECT nd.id,
+        |  1.0 / (SELECT n FROM nv) AS r, dg.id IS NULL AS dang
+        |  FROM nd LEFT JOIN dg ON nd.id = dg.id),
+        |r1 AS MATERIALIZED (SELECT r0.id,
+        |  0.15 / (SELECT n FROM nv) + 0.85 * (COALESCE(c.s, 0)
+        |    + (SELECT COALESCE(SUM(CASE WHEN dang THEN r END), 0) FROM r0)
+        |      / (SELECT n FROM nv)) AS r, r0.dang
+        |  FROM r0 LEFT JOIN (SELECT e.dst AS id, SUM(r0.r / dg.deg) AS s
+        |    FROM r0 JOIN e ON r0.id = e.src JOIN dg ON r0.id = dg.id
+        |    GROUP BY 1) c ON r0.id = c.id),
+        |r2 AS MATERIALIZED (SELECT r1.id,
+        |  0.15 / (SELECT n FROM nv) + 0.85 * (COALESCE(c.s, 0)
+        |    + (SELECT COALESCE(SUM(CASE WHEN dang THEN r END), 0) FROM r1)
+        |      / (SELECT n FROM nv)) AS r, r1.dang
+        |  FROM r1 LEFT JOIN (SELECT e.dst AS id, SUM(r1.r / dg.deg) AS s
+        |    FROM r1 JOIN e ON r1.id = e.src JOIN dg ON r1.id = dg.id
+        |    GROUP BY 1) c ON r1.id = c.id),
+        |r3 AS MATERIALIZED (SELECT r2.id,
+        |  0.15 / (SELECT n FROM nv) + 0.85 * (COALESCE(c.s, 0)
+        |    + (SELECT COALESCE(SUM(CASE WHEN dang THEN r END), 0) FROM r2)
+        |      / (SELECT n FROM nv)) AS r, r2.dang
+        |  FROM r2 LEFT JOIN (SELECT e.dst AS id, SUM(r2.r / dg.deg) AS s
+        |    FROM r2 JOIN e ON r2.id = e.src JOIN dg ON r2.id = dg.id
+        |    GROUP BY 1) c ON r2.id = c.id),
+        |r4 AS MATERIALIZED (SELECT r3.id,
+        |  0.15 / (SELECT n FROM nv) + 0.85 * (COALESCE(c.s, 0)
+        |    + (SELECT COALESCE(SUM(CASE WHEN dang THEN r END), 0) FROM r3)
+        |      / (SELECT n FROM nv)) AS r, r3.dang
+        |  FROM r3 LEFT JOIN (SELECT e.dst AS id, SUM(r3.r / dg.deg) AS s
+        |    FROM r3 JOIN e ON r3.id = e.src JOIN dg ON r3.id = dg.id
+        |    GROUP BY 1) c ON r3.id = c.id),
+        |r5 AS MATERIALIZED (SELECT r4.id,
+        |  0.15 / (SELECT n FROM nv) + 0.85 * (COALESCE(c.s, 0)
+        |    + (SELECT COALESCE(SUM(CASE WHEN dang THEN r END), 0) FROM r4)
+        |      / (SELECT n FROM nv)) AS r, r4.dang
+        |  FROM r4 LEFT JOIN (SELECT e.dst AS id, SUM(r4.r / dg.deg) AS s
+        |    FROM r4 JOIN e ON r4.id = e.src JOIN dg ON r4.id = dg.id
+        |    GROUP BY 1) c ON r4.id = c.id)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END AS ntype,
+        |CAST(id // 2 AS BIGINT) AS node,
+        |round(r * (SELECT n FROM nv), 6) AS rank_x_n
+        |FROM r5
+        |ORDER BY rank_x_n DESC, ntype, node LIMIT 20""".stripMargin
   )
 }
