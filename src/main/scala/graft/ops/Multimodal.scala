@@ -9,14 +9,25 @@ import graft.Tables
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample as batched partition-level transforms).
   *
-  * The container has no media codecs and the testdata has no real media,
-  * so the DECODE STEP IS A DETERMINISTIC STUB (clearly marked below):
-  * media bytes are the UTF-8 encoding of documents.text. Everything
-  * around the stub — the binary column type, the metadata struct schema,
-  * the mapPartitions batching shape (one decoder init per partition, the
-  * Scala analogue of a Pandas-UDF batch), frame slicing and sampling on
-  * binary columns — is real, tested Spark plumbing that a real codec
-  * drops into.
+  * The testdata has no real media files, so payloads are synthesized:
+  * audio/video rows carry the UTF-8 encoding of documents.text (opaque
+  * stand-in, decode STUBBED below), but image/png rows carry a REAL PNG
+  * — deterministic grayscale pixels derived from doc_id, encoded with
+  * the pure-JVM javax.imageio codec — and q_mm_decode REALLY decodes it
+  * (PNG signature/IHDR parse, IDAT inflate, filter reconstruction →
+  * pixels) through a once-per-partition ImageReader. Everything around
+  * the remaining stub — the binary column type, the metadata struct
+  * schema, the mapPartitions batching shape (one decoder init per
+  * partition, the Scala analogue of a Pandas-UDF batch), frame slicing
+  * and sampling on binary columns — is real, tested Spark plumbing that
+  * the audio/video codecs drop into.
+  *
+  * q_mm_meta/q_mm_features/q_mm_frame_sample keep the text-derived
+  * payload for ALL rows: their wire outputs aggregate ENCODED byte
+  * lengths/histograms, and a compressed PNG's byte stream is
+  * deflate-implementation-dependent — not recomputable by the DuckDB
+  * oracle. The decode key avoids that by reporting DECODED quantities
+  * (pixel counts and pixel sums), which are codec-independent.
   *
   * Scale notes: binary payloads ride the same columnar parquet path as
   * any column (with `maxPartitionBytes` keeping splits bounded); decode
@@ -41,11 +52,67 @@ object Multimodal {
           .otherwise("video/mp4").as("media_type"),
         col("source"))
 
-  /** ===== STUB ===== The "decoder": a real implementation would call a
-    * codec (libpng/ffmpeg/...) here, once-initialized per partition.
-    * This deterministic fake extracts byte length, a "magic" prefix and
-    * an additive checksum — enough to prove the batching shape, schema
-    * and partition behavior without a codec. */
+  /** Deterministic tiny grayscale PNG for a doc: w = 8 + doc_id%8,
+    * h = 8 + doc_id%5, row-major pixel i = (doc_id*31 + i*7) mod 256.
+    * Encoded with javax.imageio's pure-JVM PNG writer (no native
+    * codec). The pixel function is closed-form so the DuckDB oracle can
+    * recompute decoded sums without ever seeing the compressed bytes. */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 8).toInt
+    val h = (8 + docId % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + i * 7) % 256).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL per-partition PNG decoder: one javax.imageio ImageReader
+    * instance reused across the partition's rows (the once-per-
+    * partition init every codec needs). Returns (width, height,
+    * sum-of-gray-samples) from the actually-decoded raster — signature
+    * parse, IDAT inflate and filter reconstruction all really run. */
+  private[graft] final class PngDecoder {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(in, true, true)
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (w, h, sum)
+      } finally in.close()
+    }
+    def dispose(): Unit = reader.dispose()
+  }
+
+  /** ===== STUB ===== The audio/video "decoder": a real implementation
+    * would call a codec (ffmpeg/...) here, once-initialized per
+    * partition like [[PngDecoder]]. This deterministic fake extracts
+    * byte length, a "magic" prefix and an additive checksum — enough to
+    * prove the batching shape, schema and partition behavior without a
+    * codec. */
   private def decodeStub(mediaType: String, bytes: Array[Byte]): (String, Long) = {
     val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
     var sum = 0L
@@ -55,20 +122,40 @@ object Multimodal {
   }
 
   /** q_mm_decode — partition-batched decode: mapPartitions with one
-    * (stubbed) decoder per partition, aggregated per media type. The
-    * aggregate (count, total bytes, checksum sum) is deterministic, so
-    * this IS oracle-checked — the oracle recomputes the same stub in
-    * SQL (length / additive byte checksum). */
+    * decoder init per partition, aggregated per media type. image/png
+    * rows are REALLY decoded (see [[PngDecoder]]): the ingestion step
+    * swaps in the real encoded PNG payload, and the decode step reports
+    * DECODED quantities — n_bytes = decoded raster bytes (w·h at 8-bit
+    * gray), checksum = sum of decoded pixel values, magic = the actual
+    * PNG signature bytes. audio/video rows flow through the labeled
+    * stub. Both paths are deterministic and codec-independent on the
+    * wire, so the whole aggregate IS oracle-checked (the oracle
+    * recomputes pixel sums from the closed-form pixel function and the
+    * stub checksum from the text bytes). */
   def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = mediaTable(s, d)
       .select(col("doc_id"), col("media_type"), col("media"))
       .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // ingestion stand-in (no media files in the container): image
+        // rows get their real encoded PNG payload; one encoder context
+        // per partition
+        rows.map { case (id, mt, bytes) =>
+          if (mt == "image/png") (id, mt, pngBytes(id)) else (id, mt, bytes)
+        }
+      }
     val decoded = src.mapPartitions { rows =>
-      // one decoder init per partition would go here
+      val png = new PngDecoder() // one decoder init per partition
       rows.map { case (id, mt, bytes) =>
-        val (magic, sum) = decodeStub(mt, bytes)
-        MediaMeta(id, mt, bytes.length.toLong, magic, sum)
+        if (mt == "image/png") {
+          val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          val (w, h, pixSum) = png.decode(bytes)
+          MediaMeta(id, mt, w.toLong * h, magic, pixSum)
+        } else {
+          val (magic, sum) = decodeStub(mt, bytes)
+          MediaMeta(id, mt, bytes.length.toLong, magic, sum)
+        }
       }
     }
     decoded.toDF()

@@ -1598,22 +1598,37 @@ object OracleSql {
     // 2-hex-char slices), matching the Spark stub's unsigned byte sum
     // exactly — SUM(ascii(char)) over character positions would agree
     // only on pure-ASCII corpora
+    // image/png rows are REALLY decoded on the Spark side; their wire
+    // contribution (decoded raster bytes = w·h, checksum = pixel sum) is
+    // recomputed here from the closed-form pixel function
+    // pixel(i) = (doc_id*31 + i*7) % 256 over w=8+doc_id%8, h=8+doc_id%5
+    // — codec-independent, so the oracle never touches compressed bytes.
+    // audio/video rows keep the labeled stub (text-byte checksum).
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type FROM documents),
         |h AS (SELECT doc_id, media_type, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS n_bytes FROM d),
+        |  octet_length(encode(text)) AS n_bytes FROM d
+        |  WHERE media_type <> 'image/png'),
         |ch AS (SELECT doc_id, media_type, n_bytes, hx,
         |  unnest(range(0, n_bytes)) AS p FROM h),
         |cs AS (SELECT doc_id, media_type, any_value(n_bytes) AS n_bytes,
         |  SUM(('0x' || substring(hx, CAST(p * 2 + 1 AS INT), 2))::INT) AS checksum
-        |  FROM ch GROUP BY doc_id, media_type)
+        |  FROM ch GROUP BY doc_id, media_type),
+        |px AS (SELECT doc_id,
+        |  unnest(range(0, (8 + doc_id % 8) * (8 + doc_id % 5))) AS i
+        |  FROM d WHERE media_type = 'image/png'),
+        |ics AS (SELECT doc_id, COUNT(*) AS n_bytes,
+        |  SUM((doc_id * 31 + i * 7) % 256) AS checksum
+        |  FROM px GROUP BY doc_id),
+        |allcs AS (SELECT media_type, n_bytes, checksum FROM cs
+        |  UNION ALL SELECT 'image/png', n_bytes, checksum FROM ics)
         |SELECT media_type, COUNT(*) AS n,
         |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |CAST(SUM(checksum) AS BIGINT) AS total_checksum
-        |FROM cs GROUP BY media_type ORDER BY media_type""".stripMargin,
+        |FROM allcs GROUP BY media_type ORDER BY media_type""".stripMargin,
 
     "q_mm_meta" ->
       """WITH d AS (SELECT source,

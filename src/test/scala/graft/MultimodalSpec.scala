@@ -12,13 +12,46 @@ class MultimodalSpec extends GraftSuite {
       Set("image/png", "audio/wav", "video/mp4"))
   }
 
-  test("decode stub: total bytes equals sum of document n_chars (ASCII)") {
-    import org.apache.spark.sql.functions.sum
-    val total = Multimodal.decode(spark, sf)
-      .agg(sum("total_bytes")).first().getLong(0)
-    val chars = Tables.documents(spark, sf)
+  test("png encode: payload is a real PNG (signature + IHDR)") {
+    val b = Multimodal.pngBytes(42L)
+    assert(b.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+  }
+
+  /** Closed-form expectations for the planted image of doc d. */
+  private def planted(d: Long): (Int, Int, Long) = {
+    val w = (8 + d % 8).toInt; val h = (8 + d % 5).toInt
+    val sum = (0 until w * h).map(i => (d * 31 + i * 7) % 256).sum
+    (w, h, sum)
+  }
+
+  test("png decode: encode→ImageIO-decode roundtrip recovers exact planted pixels") {
+    val dec = new Multimodal.PngDecoder()
+    for (d <- Seq(0L, 3L, 42L, 99L, 123456L)) {
+      val (w, h, sum) = dec.decode(Multimodal.pngBytes(d))
+      assert((w, h, sum) == planted(d), s"doc $d")
+    }
+    dec.dispose()
+  }
+
+  test("decode aggregate: stub rows carry text bytes, image rows carry decoded pixels") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val byType = Multimodal.decode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // audio/video: total_bytes = total text chars of those docs (ASCII)
+    val stubChars = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 =!= 0)
       .agg(sum("n_chars")).first().getLong(0)
-    assert(total == chars)
+    assert(byType("audio/wav")._1 + byType("video/mp4")._1 == stubChars)
+    // image/png: decoded raster bytes + pixel sums match the closed form
+    val imgDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val (expBytes, expSum) = imgDocs.foldLeft((0L, 0L)) { case ((b, s), d) =>
+      val (w, h, ps) = planted(d); (b + w.toLong * h, s + ps)
+    }
+    assert(byType("image/png") == ((expBytes, expSum)))
   }
 
   test("feature histogram: bins sum to total payload bytes") {
