@@ -191,13 +191,10 @@ object GraphOps {
   /** Core of q_graph_triangles over any (o, p) membership frame. */
   def trianglesOn(membership: DataFrame): DataFrame = {
     val k0 = (c: Column) => pmod(hash(c), lit(1))
-    val op = membership.select(col("o"), col("p")).distinct()
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     // id-canonical co-purchase edges (u < v), deduped across orders;
-    // per-order fanout is bounded by the order's line count
-    val ec = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+    // skew-hardened per-order pair build (see [[coPairs]])
+    val ec = coPairs(op).distinct()
       .pipe(ScratchCache.cache)
     val deg = ec.select(col("u").as("x")).unionByName(
         ec.select(col("v").as("x")))
@@ -261,13 +258,71 @@ object GraphOps {
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
-  /** Core of q_graph_jaccard over any (o, p) membership frame. */
-  def jaccardOn(membership: DataFrame): DataFrame = {
-    val op = membership.select(col("o"), col("p")).distinct()
-      .pipe(ScratchCache.cache)
-    val inter = op.as("a").join(op.as("b"),
+  /** (o, p, gsz): the membership frame size-tagged via a WINDOW count —
+    * the window's hash-partitioning on o is exactly what [[coPairs]]'s
+    * cold self-join needs, so tagging costs ONE shuffle of op (like the
+    * naive pair build) instead of an agg+join's two extra exchanges.
+    * Deliberately NOT cached: [[coPairs]]'s four consumers (cold a/b,
+    * hot A/B sides) all sit on the same exchange, which Spark reuses
+    * (ReusedExchange), and re-running the per-partition window count
+    * per consumer measured cheaper than materializing a cache
+    * (1.28/2.11/1.79 s vs 1.32/2.41/1.87 s for jaccard/paths/triangles
+    * at sf0.1). */
+  private[graft] def sizeTagged(op: DataFrame): DataFrame =
+    op.withColumn("gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o"))))
+
+  /** All within-order part pairs (u < v) of an (o, p) membership frame,
+    * ONE ROW PER (order, pair) CO-OCCURRENCE — the shared pair build
+    * behind [[jaccardOn]], [[pathsOn]] and [[trianglesOn]].
+    *
+    * SKEW HARDENING. The naive `a ⋈ b ON a.o = b.o AND a.p < b.p`
+    * self-join lands ALL of a group's m·(m−1)/2 pairs on the single
+    * reducer that owns key o — fine on TPC-H-shaped data (≤7 items per
+    * order; measured plan-identical cold path) but a straggler/OOM on a
+    * power-law membership graph where one hub key holds 10k+ items
+    * (~10⁸ pairs on one task). Two-phase build:
+    *  - per-key sizes ride a window count ([[sizeTagged]]) — NOT a
+    *    broadcast heavy-hitter list: at 100 TB that list itself can
+    *    exceed driver memory; the window is a linear pass on the same
+    *    hash-partitioning the self-join needs;
+    *  - keys at or under `hotThreshold` take the plain self-join
+    *    (bounded ≤ threshold²/2 pairs per task);
+    *  - hotter keys are pair-built on a `blocks`×`blocks` grid: each
+    *    item hashes to a block, side A replicates to block pairs
+    *    (blk, blk..B−1), side B to (0..blk, blk), and the join keys on
+    *    (o, blockA, blockB) — spreading one hub's pairs over B(B+1)/2
+    *    reducer keys, so max task work drops m² → (m/B)². Off-diagonal
+    *    tasks emit (least, greatest); diagonal tasks filter a.p < b.p —
+    *    every unordered pair appears exactly once, so cold ∪ hot equals
+    *    the naive join row-for-row (property-tested against a planted
+    *    hub in GraphOpsSpec). Replication cost: ≤ (B+1)/2 shuffle
+    *    copies, paid ONLY by hot keys. */
+  private[graft] def coPairs(tagged: DataFrame, hotThreshold: Int = 256,
+      blocks: Int = 16): DataFrame = {
+    val cold = tagged.filter(col("gsz") <= hotThreshold)
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
+    val hot = tagged.filter(col("gsz") > hotThreshold)
+      .select(col("o"), col("p"), pmod(hash(col("p")), lit(blocks)).as("blk"))
+    val aSide = hot.select(col("o"), col("p"), col("blk"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("jb"))
+    val bSide = hot.select(col("o"), col("p"), col("blk"),
+      explode(sequence(lit(0), col("blk"))).as("ib"))
+    val hotPairs = aSide.as("a").join(bSide.as("b"),
+        col("a.o") === col("b.o") &&
+        col("a.blk") === col("b.ib") && col("a.jb") === col("b.blk") &&
+        (col("a.blk") < col("b.blk") || col("a.p") < col("b.p")))
+      .select(least(col("a.p"), col("b.p")).as("u"),
+        greatest(col("a.p"), col("b.p")).as("v"))
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** Core of q_graph_jaccard over any (o, p) membership frame. */
+  def jaccardOn(membership: DataFrame): DataFrame = {
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val inter = coPairs(op)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
     val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
       .pipe(ScratchCache.cache)
@@ -304,12 +359,8 @@ object GraphOps {
 
   /** Core of q_graph_paths over any (o, p) membership frame. */
   def pathsOn(membership: DataFrame): DataFrame = {
-    val op = membership.select(col("o"), col("p")).distinct()
-      .pipe(ScratchCache.cache)
-    val ec = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
     val sym = ec.unionByName(
         ec.select(col("v").as("u"), col("u").as("v")))
       .pipe(ScratchCache.cache)

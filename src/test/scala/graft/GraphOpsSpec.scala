@@ -316,4 +316,57 @@ class GraphOpsSpec extends GraftSuite {
     ScratchCache.releaseAll()
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("coPairs: planted hub takes the grid path and matches the naive pair build") {
+    import spark.implicits._
+    // 40 TPC-H-shaped orders (2-7 parts, with cross-order repeats) plus
+    // ONE power-law hub order holding 500 distinct parts — the shape
+    // that serializes the naive per-key self-join onto a single reducer
+    val normal = for (o <- 1L to 40L; i <- 0L until (o % 6 + 2))
+      yield (o, (o * 7 + i * 13) % 97)
+    val hub = (0L until 500L).map(i => (999L, 1000L + i))
+    val op = (normal ++ hub).toDF("o", "p").distinct()
+    val naive = op.as("a").join(op.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v"))
+      .groupBy("u", "v").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // threshold forces the hub (500 > 64) through the B=8 grid while
+    // the 40 normal orders stay on the cold path
+    val hardened = GraphOps.coPairs(GraphOps.sizeTagged(op),
+        hotThreshold = 64, blocks = 8)
+      .groupBy("u", "v").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    ScratchCache.releaseAll()
+    assert(hardened == naive)
+    // the hub really contributes its full 500·499/2 pair set
+    assert(hardened.count(t => t._1 >= 1000L && t._2 >= 1000L) == 500 * 499 / 2)
+  }
+
+  test("jaccard on a planted hub equals a naive-pair-build replica") {
+    import spark.implicits._
+    val normal = for (o <- 1L to 30L; i <- 0L until (o % 5 + 2))
+      yield (o, (o * 11 + i * 17) % 61)
+    val hub = (0L until 400L).map(i => (777L, i))
+    val m = (normal ++ hub).toDF("o", "p")
+    // hardened path (hub 400 > default threshold 256 → grid)
+    val got = GraphOps.jaccardOn(m).collect().map(_.toSeq).toSeq
+    ScratchCache.releaseAll()
+    // the pre-hardening plan, rebuilt inline as the reference
+    import org.apache.spark.sql.functions.{count, lit, round}
+    val op = m.select("o", "p").distinct()
+    val inter = op.as("a").join(op.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val deg = op.groupBy($"p").agg(count(lit(1)).as("d"))
+    val want = inter
+      .join(deg.select($"p".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"p".as("v"), $"d".as("dv")), "v")
+      .select($"u", $"v", $"c".as("n_common"),
+        round($"c".cast("double") / ($"du" + $"dv" - $"c"), 6).as("jaccard"))
+      .orderBy($"jaccard".desc, $"u", $"v").limit(20)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
 }
