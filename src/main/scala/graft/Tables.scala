@@ -74,6 +74,15 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           timestamp_micros(expr("ts DIV 1000")) // legacy ns-as-long data
         case _ =>
+          // NTZ carries a wall-clock; CAST to TIMESTAMP interprets it
+          // in the SESSION zone. The harness pins UTC — enforce it here
+          // so a non-UTC library consumer fails loudly instead of
+          // silently shifting every event time against the timezone-
+          // naive oracle (ADVICE r8).
+          require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+            "graft.Tables.events reads a TIMESTAMP_NTZ column via a " +
+              "session-zone cast; set spark.sql.session.timeZone=UTC " +
+              s"(found '${s.conf.get("spark.sql.session.timeZone")}')")
           expr("CAST(ts AS TIMESTAMP)") // native µs (NTZ → UTC LTZ)
       }
       raw.withColumn("ts", ts)

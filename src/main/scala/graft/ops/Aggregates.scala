@@ -295,10 +295,16 @@ object Aggregates {
     * ~sf10 (x ≤ 50, y ≤ 0.10: Σx² ≈ 1.5e9·sf at 4 dp), and every
     * arithmetic step after the casts is the same IEEE expression on
     * both engines, rounded 6 dp on the wire. */
-  def aggCorr(s: SparkSession, d: String): DataFrame = {
+  def aggCorr(s: SparkSession, d: String): DataFrame =
+    aggCorrOn(Tables.lineitem(s, d))
+
+  /** Core of q_agg_corr over any frame with (l_returnflag, l_quantity,
+    * l_discount) — split out so the degenerate-group guards (n = 1,
+    * zero variance) are spec-testable on planted frames. */
+  private[graft] def aggCorrOn(li: DataFrame): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_discount"))
-    Tables.lineitem(s, d)
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -306,21 +312,34 @@ object Aggregates {
         sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(
         col("l_returnflag"), col("n"),
-        round((col("sxy").cast("double")
-            - col("n").cast("double")
-              * (col("sx").cast("double") / col("n").cast("double"))
-              * (col("sy").cast("double") / col("n").cast("double")))
-          / (col("n").cast("double") - 1.0), 6).as("covar_qty_disc"),
-        round((col("sxy").cast("double") / col("n").cast("double")
-            - (col("sx").cast("double") / col("n").cast("double"))
-              * (col("sy").cast("double") / col("n").cast("double")))
-          / sqrt((col("sxx").cast("double") / col("n").cast("double")
-              - (col("sx").cast("double") / col("n").cast("double"))
-                * (col("sx").cast("double") / col("n").cast("double")))
-            * (col("syy").cast("double") / col("n").cast("double")
-              - (col("sy").cast("double") / col("n").cast("double"))
-                * (col("sy").cast("double") / col("n").cast("double")))),
-          6).as("corr_qty_disc"))
+        col("n").cast("double").as("dn"),
+        col("sx").cast("double").as("dx"), col("sy").cast("double").as("dy"),
+        col("sxy").cast("double").as("dxy"),
+        col("sxx").cast("double").as("dxx"), col("syy").cast("double").as("dyy"))
+      .select(
+        col("l_returnflag"), col("n"), col("dn"),
+        (col("dxx") / col("dn")
+          - (col("dx") / col("dn")) * (col("dx") / col("dn"))).as("vx"),
+        (col("dyy") / col("dn")
+          - (col("dy") / col("dn")) * (col("dy") / col("dn"))).as("vy"),
+        (col("dxy")
+          - col("dn") * (col("dx") / col("dn")) * (col("dy") / col("dn")))
+          .as("cps"), // centered product sum
+        (col("dxy") / col("dn")
+          - (col("dx") / col("dn")) * (col("dy") / col("dn"))).as("cm"))
+      .select(
+        col("l_returnflag"), col("n"),
+        // degenerate-group guards (ADVICE r8): a single-row group
+        // divides by n-1 = 0 and a zero-variance group by sqrt(0) —
+        // Inf/NaN whose wire form is engine-settings-dependent; both
+        // engines emit NULL deterministically instead. The guarded
+        // arithmetic is UNCHANGED (same IEEE expression shapes), so
+        // non-degenerate values are bit-identical to before.
+        when(col("n") > 1,
+          round(col("cps") / (col("dn") - 1.0), 6)).as("covar_qty_disc"),
+        when(col("n") > 1 && col("vx") > 0 && col("vy") > 0,
+          round(col("cm") / sqrt(col("vx") * col("vy")), 6))
+          .as("corr_qty_disc"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -1733,22 +1733,27 @@ object OracleSql {
         |  SUM(CAST(l_discount AS DECIMAL(12,2))
         |    * CAST(l_discount AS DECIMAL(12,2))) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, n,
-        |round((CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE)
-        |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        |    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-        |  / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_qty_disc,
-        |round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |, v AS (SELECT l_returnflag, n,
+        |  CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
         |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-        |  / sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
-        |  AS corr_qty_disc
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+        |  CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy,
+        |  CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE)
+        |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cps,
+        |  CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cm
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |CASE WHEN n > 1
+        |  THEN round(cps / (CAST(n AS DOUBLE) - 1.0), 6) END
+        |  AS covar_qty_disc,
+        |CASE WHEN n > 1 AND vx > 0 AND vy > 0
+        |  THEN round(cm / sqrt(vx * vy), 6) END AS corr_qty_disc
+        |FROM v ORDER BY l_returnflag""".stripMargin,
 
     // deterministic mode: explicit (count DESC, value ASC) tie-break —
     // the builtin mode() is tie-arbitrary in both engines

@@ -265,8 +265,11 @@ object StreamingTwins {
     * non-purchase touch (one type + one µs per user — O(users),
     * independent of stream length); every purchase emits
     * (user_id, touch_type, purchase_us, gap_us) the moment it arrives,
-    * crediting the carried touch ('(none)' / gap −1 when the purchase
-    * is the user's first event). Rows within a trigger are applied in
+    * crediting the carried touch ('(none)' / gap Long.MinValue when the
+    * purchase is the user's first event — a RESERVED sentinel, so any
+    * OTHER negative gap can only mean cross-trigger event-time disorder
+    * and is detectable downstream instead of masquerading as a
+    * first-event row; ADVICE r8). Rows within a trigger are applied in
     * (us, event_id) order, reproducing the batch window's
     * excludes-current-row frame (a touch sharing the purchase's
     * timestamp but ordered before it still gets the credit); across
@@ -293,7 +296,7 @@ object StreamingTwins {
             .flatMap { case (_, _, us, et) =>
               if (et != "purchase") { st = TouchState(et, us); None }
               else Some((user, st.touchType, us,
-                if (st.touchUs < 0) -1L else us - st.touchUs))
+                if (st.touchUs < 0) Long.MinValue else us - st.touchUs))
             }
           state.update(st)
           out.iterator

@@ -184,6 +184,24 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("corr guards: single-row and zero-variance groups emit NULL, not Inf/NaN") {
+    import spark.implicits._
+    val planted = Seq(
+      ("single", 5.0, 0.05),            // n = 1 → both NULL
+      ("flatx", 3.0, 0.01), ("flatx", 3.0, 0.07), // var(x) = 0 → corr NULL
+      ("ok", 1.0, 0.01), ("ok", 2.0, 0.02), ("ok", 3.0, 0.03))
+      .toDF("l_returnflag", "l_quantity", "l_discount")
+    val out = Aggregates.aggCorrOn(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(out("single") == ((true, true)))
+    assert(out("flatx") == ((false, true))) // covar defined (0), corr not
+    assert(out("ok") == ((false, false)))
+    val ok = Aggregates.aggCorrOn(planted).collect()
+      .find(_.getString(0) == "ok").get
+    assert(math.abs(ok.getAs[Double]("corr_qty_disc") - 1.0) < 1e-6)
+  }
+
   test("mode picks the max-count value with lowest-value tie-break") {
     val out = Aggregates.aggMode(spark, sf).collect()
       .map(r => r.getString(0) ->
