@@ -93,6 +93,54 @@ class ParsersSpec extends GraftSuite {
       ("GO:0000001", "part_of", "GO:0007005")))
   }
 
+  test("record-per-element XML parses splittably to records and KGX nodes") {
+    import graft.ops.Xml
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.writeString(dir.resolve("drugs.xml"),
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<drugbank xmlns="http://www.drugbank.ca">
+        |  <drug type="small molecule" created="2005-06-13">
+        |    <drugbank-id primary="true">DB00001</drugbank-id>
+        |    <name>Lepirudin &amp; Co</name>
+        |    <synonym>Hirudin variant-1</synonym>
+        |    <synonym>Lepirudina</synonym>
+        |  </drug>
+        |  <drug type="biotech">
+        |    <drugbank-id primary="true">DB00002</drugbank-id>
+        |    <name>Cetuximab</name>
+        |  </drug>
+        |</drugbank>
+        |""".stripMargin)
+    val recs = Xml.records(spark, dir.toString, "drug")
+    assert(recs.count() == 2) // prolog/wrapper/epilogue fragments shed
+    val first = recs
+      .select(Xml.attribute(col("attrs"), "type").as("t"),
+        Xml.unescape(Xml.element(col("body"), "name")).as("nm"),
+        Xml.elements(col("body"), "synonym").as("syn"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[scala.collection.Seq[String]](2).toSeq)).toSet
+    assert(first == Set(
+      ("small molecule", "Lepirudin & Co",
+        Seq("Hirudin variant-1", "Lepirudina")),
+      ("biotech", "Cetuximab", Seq.empty)))
+    val nodes = Xml.readNodes(spark, dir.toString, "drug",
+        "drugbank-id", "name", "biolink:Drug").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nodes == Set(
+      ("DB00001", "Lepirudin & Co", "biolink:Drug"),
+      ("DB00002", "Cetuximab", "biolink:Drug")))
+  }
+
+  test("XML unescape decodes entities innermost-first") {
+    import graft.ops.Xml
+    import org.apache.spark.sql.functions.lit
+    val got = spark.range(1)
+      .select(Xml.unescape(lit("&amp;lt; &lt;b&gt; &quot;x&apos;s&quot; &amp;")).as("v"))
+      .head().getString(0)
+    assert(got == "&lt; <b> \"x's\" &")
+  }
+
   test("SQL-dump INSERT statements parse to typed rows") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_sqldump")
