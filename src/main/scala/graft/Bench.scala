@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // interleaved reps cycle ~104 distinct query plans between a
       // query's reps; the default 100-entry codegen class cache evicts

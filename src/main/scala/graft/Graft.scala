@@ -17,6 +17,11 @@ object Graft {
     // this flag (Tables.events then floors ns→µs). Session-level conf is
     // set HERE, once, not inside table readers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every oracle-verified value was produced under UTC, and the
+    // round-8+ events data is TIMESTAMP_NTZ whose cast to TimestampType
+    // reads the session zone (Tables.events enforces this) — pin it at
+    // the same once-per-session spot as the parquet flag
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftExtensions.registerFunctions(spark)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofStrategy))
       spark.experimental.extraStrategies =
