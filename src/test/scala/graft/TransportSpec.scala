@@ -113,4 +113,88 @@ class TransportSpec extends GraftSuite {
       .isEmpty)
     ScratchCache.releaseAll()
   }
+
+  /** Loopback normalization service on 127.0.0.1:ephemeral — answers
+    * the reference EP2 contract; ids ending in '3' normalize to null
+    * (service-declined). `failFirst` requests return 500 before
+    * recovering, to exercise the retry path for real. */
+  private def loopbackServer(hits: java.util.concurrent.atomic.AtomicInteger,
+      failFirst: Int = 0): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/get_normalized_nodes",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val n = hits.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val resp =
+          if (n <= failFirst) "upstream exploded"
+          else {
+            val list = body.substring(body.indexOf('['), body.indexOf(']'))
+            """"([^"]+)"""".r.findAllMatchIn(list).map(_.group(1)).map { id =>
+              if (id.endsWith("3")) s""""$id":null"""
+              else s""""$id":{"id":{"identifier":"CANON:$id","label":"lbl $id"},""" +
+                s""""equivalent_identifiers":[{"identifier":"$id","label":null}],""" +
+                s""""type":["biolink:Agent"]}"""
+            }.mkString("{", ",", "}")
+          }
+        val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(if (n <= failFirst) 500 else 200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        os.write(bytes); os.close()
+      })
+    server.start()
+    server
+  }
+
+  test("HTTP transport: real java.net.http POSTs against a loopback service") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    val server = loopbackServer(hits)
+    try {
+      val port = server.getAddress.getPort
+      val t = new graft.ops.HttpNormTransport(
+        s"http://127.0.0.1:$port/get_normalized_nodes", backoffMs = 0)
+      val ids = (1 to 10).map(i => s"RAW:$i").toDF("raw")
+      val failDir = java.nio.file.Files
+        .createTempDirectory("graft_httpfail").toString + "/out"
+      val m = NodeNorm.normalizeBatched(ids, "raw", 4, t, failDir)
+      val rows = m.collect().map(r =>
+        r.getString(0) -> Option(r.getString(1))).toMap
+      ScratchCache.releaseAll()
+      assert(rows.size == 10)
+      assert(rows("RAW:1") == Some("CANON:RAW:1"))
+      assert(rows("RAW:3") == None)  // service-declined over real HTTP
+      assert(hits.get() == 3) // 10 distinct ids / batchSize 4 = 3 POSTs
+      assert(spark.read.schema("raw_id STRING, err STRING").json(failDir)
+        .isEmpty) // no transport failures
+    } finally server.stop(0)
+  }
+
+  test("HTTP transport: 500s retry with backoff, 4xx fails the batch fast") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    val server = loopbackServer(hits, failFirst = 2)
+    try {
+      val port = server.getAddress.getPort
+      val url = s"http://127.0.0.1:$port/get_normalized_nodes"
+      // two 500s then success — inside the retry budget
+      val t = new graft.ops.HttpNormTransport(url, maxRetries = 3, backoffMs = 0)
+      val body = t.post(Seq("RAW:1"))
+      assert(body.contains("CANON:RAW:1") && hits.get() == 3)
+      // 404 (wrong path): fail fast, exactly ONE request, batch -> failure file
+      val bad = new graft.ops.HttpNormTransport(
+        s"http://127.0.0.1:$port/nope", maxRetries = 3, backoffMs = 0)
+      val before = hits.get()
+      val ids = Seq("B1", "B2").toDF("raw")
+      val failDir = java.nio.file.Files
+        .createTempDirectory("graft_httpfail4").toString + "/out"
+      val m = NodeNorm.normalizeBatched(ids, "raw", 10, bad, failDir)
+      assert(m.collect().isEmpty) // nothing normalized
+      val failed = spark.read.schema("raw_id STRING, err STRING")
+        .json(failDir).collect()
+      ScratchCache.releaseAll()
+      assert(failed.map(_.getString(0)).sorted.toSeq == Seq("B1", "B2"))
+      assert(failed.head.getString(1).contains("404"))
+      assert(hits.get() == before) // /nope never reaches the context counter
+    } finally server.stop(0)
+  }
 }
