@@ -108,6 +108,39 @@ object Neo4jSink {
     writeGraph(nodes, edges, root)
   }
 
+  /** The exact `neo4j-admin database import full` invocation for a
+    * layout written by [[writeGraph]] — the ORION-era
+    * `neo4j_tools.py` call, reconstructed as a pure argument list so
+    * it is unit-testable without a Neo4j install. `neo4j-admin`
+    * accepts comma-joined `<header>,<data-glob>` pairs; executors'
+    * part files ride a glob, the driver-side one-line headers ride
+    * first. */
+  def importCommand(root: String, database: String = "neo4j",
+      neo4jAdmin: String = "neo4j-admin"): Seq[String] = Seq(
+    neo4jAdmin, "database", "import", "full",
+    s"--nodes=$root/nodes.header.csv,$root/nodes/part-.*\\.csv",
+    s"--relationships=$root/edges.header.csv,$root/edges/part-.*\\.csv",
+    "--delimiter=,", "--array-delimiter=;", "--overwrite-destination",
+    database)
+
+  /** Run the bulk load for a written layout. Returns the importer's
+    * exit code, or None when `neo4jAdmin` is not on this machine (the
+    * zero-egress build container has no Neo4j; the command
+    * CONSTRUCTION is what the spec pins — a deployment points
+    * `neo4jAdmin` at its install and this wrapper is the whole load
+    * step). Output streams to the caller's stdout/stderr so import
+    * diagnostics are never swallowed. */
+  def runImport(root: String, database: String = "neo4j",
+      neo4jAdmin: String = "neo4j-admin"): Option[Int] = {
+    val cmd = importCommand(root, database, neo4jAdmin)
+    try {
+      val p = new ProcessBuilder(cmd: _*).inheritIO().start()
+      Some(p.waitFor())
+    } catch {
+      case _: java.io.IOException => None // binary not present
+    }
+  }
+
   /** The query surface: write, then re-read the data files and return
     * per-label node counts + per-type relationship counts — the bulk
     * loader's admission report, verified against the source tables by

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Neo4jSink
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class Neo4jSinkSpec extends GraftSuite {
 
@@ -65,5 +66,35 @@ class Neo4jSinkSpec extends GraftSuite {
       "Agent" -> nCust, "customer" -> nCust,
       "ChemicalEntity" -> nPart, "part" -> nPart,
       "rel:RELATED_TO" -> nLine))
+  }
+
+  test("import command pins the neo4j-admin contract for the written layout") {
+    val cmd = graft.ops.Neo4jSink.importCommand("/data/g", "graphdb")
+    assert(cmd.head == "neo4j-admin")
+    assert(cmd.slice(1, 4) == Seq("database", "import", "full"))
+    assert(cmd.contains(
+      "--nodes=/data/g/nodes.header.csv,/data/g/nodes/part-.*\\.csv"))
+    assert(cmd.contains(
+      "--relationships=/data/g/edges.header.csv,/data/g/edges/part-.*\\.csv"))
+    assert(cmd.contains("--array-delimiter=;")) // multi-label ';' contract
+    assert(cmd.last == "graphdb")
+  }
+
+  test("runImport invokes the binary with exactly the constructed args") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neo4j_admin")
+    val log = dir.resolve("args.log")
+    val fake = dir.resolve("fake-neo4j-admin")
+    java.nio.file.Files.writeString(fake,
+      s"#!/bin/sh\nprintf '%s\\n' \"$$@\" > $log\nexit 0\n")
+    fake.toFile.setExecutable(true)
+    val got = graft.ops.Neo4jSink.runImport("/data/g",
+      neo4jAdmin = fake.toString)
+    assert(got == Some(0))
+    val logged = java.nio.file.Files.readAllLines(log)
+    assert(logged.asScala.toSeq ==
+      graft.ops.Neo4jSink.importCommand("/data/g").tail)
+    // no binary on the machine → None, never an exception
+    assert(graft.ops.Neo4jSink.runImport("/data/g",
+      neo4jAdmin = dir.resolve("missing").toString).isEmpty)
   }
 }
