@@ -857,8 +857,10 @@ object GraphOps {
   }
 
   /** q_graph_cc — connected components of the bipartite order–part
-    * graph; returns the component size histogram. No oracle
-    * (iterative); invariants + GraphX cross-check asserted in tests.
+    * graph; returns the component size histogram. Oracle-checked: the
+    * histogram is label-invariant, so DuckDB's pointer-doubling CC
+    * twin (OracleSql) matches exactly; GraphX cross-check stays in
+    * tests as an independent third implementation.
     * Part vertex ids offset by 2^31 so the two id spaces don't
     * collide. */
   def connectedComponents(s: SparkSession, d: String): DataFrame = {

@@ -1857,6 +1857,39 @@ object OracleSql {
         |CAST(id // 2 AS BIGINT) AS node,
         |round(r * (SELECT n FROM nv), 6) AS rank_x_n
         |FROM r5
-        |ORDER BY rank_x_n DESC, ntype, node LIMIT 20""".stripMargin
+        |ORDER BY rank_x_n DESC, ntype, node LIMIT 20""".stripMargin,
+
+    // Exact connected components via pointer-doubling label propagation:
+    // each round takes the neighbor min (t_k) then jumps one pointer
+    // level (l_k(n) = min(t_k(n), t_k(t_k(n)))), so the min label's
+    // reach roughly doubles per round — 8 rounds cover diameter ≈ 2^8.
+    // Convergence margin measured against a union-find ground truth on
+    // the generated data: sf0.1's single 167k-node giant component
+    // needs 6 rounds, sf0.01 needs 5; 8 ships. The output histogram is
+    // label-invariant, so any exact CC matches GraphOps.ccLabels'
+    // min-label result no matter how either side converged. Every
+    // round CTE is MATERIALIZED (same DuckDB-inlining blowup the
+    // k-core oracle documents).
+    "q_graph_cc" -> {
+      val rounds = 8
+      val base =
+        """WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS a,
+          |  l_partkey + 2147483648 AS b FROM lineitem),
+          |ue AS MATERIALIZED (SELECT a, b FROM e0
+          |  UNION ALL SELECT b AS a, a AS b FROM e0),
+          |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue GROUP BY a)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
+           |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
+           |  JOIN l${k - 1} la ON ue.a = la.node
+           |  JOIN l${k - 1} lb ON ue.b = lb.node GROUP BY ue.a),
+           |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp) AS comp
+           |  FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", "\n") +
+        s"""SELECT size, COUNT(*) AS n_components FROM (
+           |  SELECT comp, COUNT(*) AS size FROM l$rounds GROUP BY comp)
+           |GROUP BY size ORDER BY size""".stripMargin
+    }
   )
 }
