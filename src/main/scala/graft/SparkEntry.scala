@@ -15,6 +15,7 @@ object SparkEntry {
     "q_scan_project" -> (Relational.scanProject _),
     "q_source_csv" -> (Sources.sourceCsv _),
     "q_source_jsonl" -> (Sources.sourceJsonl _),
+    "q_source_orc" -> (Sources.sourceOrc _),
     "q_sink_kgx" -> (Sources.sinkKgx _),
     "q_sink_neo4j" -> (Neo4jSink.sinkNeo4j _),
     "q_sink_partitioned" -> (Sources.sinkPartitioned _),
@@ -30,6 +31,7 @@ object SparkEntry {
     "q_graph_edge_merge" -> (GraphOps.edgeMerge _),
     "q_graph_degree" -> (GraphOps.degree _),
     "q_graph_cc" -> (GraphOps.connectedComponents _),
+    "q_graph_label_prop" -> (GraphOps.labelProp _),
     "q_graph_pagerank" -> (GraphOps.pageRank _),
     "q_graph_triangles" -> (GraphOps.triangles _),
     "q_graph_jaccard" -> (GraphOps.jaccard _),
@@ -37,6 +39,7 @@ object SparkEntry {
     "q_graph_kcore" -> (GraphOps.kcore _),
     "q_kgx_validate" -> (GraphOps.kgxValidate _),
     "q_pipeline_kgx" -> (Pipeline.pipelineKgx _),
+    "q_profile_table" -> (Profile.profileTable _),
     // §2.2 filter/project
     "q_filter_pred" -> (Relational.filterPred _),
     "q_project_expr" -> (Relational.projectExpr _),

@@ -856,6 +856,56 @@ object GraphOps {
     cc.vertices.map { case (node, comp) => (node, comp) }.toDF("node", "comp")
   }
 
+  /** q_graph_label_prop — community detection by SYNCHRONOUS label
+    * propagation (fixed 4 rounds) over the undirected (sliced)
+    * co-purchase part graph: every node starts as its own label; each
+    * round every node adopts the label most frequent among its
+    * neighbors, ties to the SMALLEST label. The standard cheap
+    * community pass (LPA) for knowledge-graph QC — unlike
+    * [[connectedComponents]] it splits a connected hairball into
+    * densely-linked groups. Wire: community size histogram
+    * (size, n_communities).
+    *
+    * DETERMINISM (what makes this oracle-able where classic async LPA
+    * is not): synchronous rounds, a FIXED round count, and an exact
+    * integer argmax with min-label tie-break — both engines agree
+    * bit-for-bit, so the DuckDB twin unrolls the same 4 rounds as
+    * QUALIFY row_number CTEs.
+    *
+    * Scale shape: each round is one equi join of the (cached,
+    * skew-hardened — [[coPairs]]) symmetric edge list against the
+    * label frame plus two hash aggregates — (node, label) counting,
+    * then per-node argmax via max(struct(count, −label)) so no window
+    * over nodes is needed. Rounds chain linearly (each frame has ONE
+    * downstream consumer), so the unrolled lazy plan stays linear —
+    * no checkpointing required, unlike kcore's 3-consumer rounds. */
+  def labelProp(s: SparkSession, d: String): DataFrame =
+    labelPropOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_label_prop over any (o, p) membership frame. */
+  def labelPropOn(membership: DataFrame): DataFrame = {
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    val sym = ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .pipe(ScratchCache.cache)
+    var lab = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 4) {
+      lab = sym.join(lab, sym("v") === lab("node"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c").as("c"),
+          (col("lab") * -1).as("nl"))).as("m"))
+        .select(col("u").as("node"), (col("m.nl") * -1).as("lab"))
+    }
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+  }
+
   /** q_graph_cc — connected components of the bipartite order–part
     * graph; returns the component size histogram. Oracle-checked: the
     * histogram is label-invariant, so DuckDB's pointer-doubling CC

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Table profiling — the data-quality pass a 100 TB ingest runs before
+  * anything else touches the data (the reference's per-source QC
+  * counters generalized to a schema-driven profile; SURVEY §2.9's
+  * curation family). One operator, exact answers: per column the null
+  * count, EXACT distinct count, and numeric min/max.
+  *
+  * Plan shape (the part that matters at scale): the frame is MELTED —
+  * one narrow (col_name, value-as-string, value-as-double, is_null)
+  * row per cell via a single generator — then aggregated in TWO
+  * explicit phases:
+  *
+  *   1. groupBy(col_name, v)  — dedups values; map-side partial
+  *      aggregation collapses each column's repeated values before the
+  *      only wide shuffle, so shuffle volume is Σ per-column distinct,
+  *      not rows × columns;
+  *   2. groupBy(col_name)     — 11 groups; folds phase-1's partial
+  *      null counts and min/max.
+  *
+  * This is deliberately NOT `agg(countDistinct, sum, min, max)` on the
+  * unmelted frame: mixing distinct and non-distinct aggregates makes
+  * Catalyst plan an Expand (one duplicated row stream per aggregate
+  * branch), which multiplies the scan output by the branch count. The
+  * manual two-phase form ships one generator + two hash aggregates and
+  * stays entirely in whole-stage codegen.
+  *
+  * Exactness contract: n_distinct counts native values via their
+  * string image (injective for every profiled type, including the
+  * shortest-roundtrip double format); min/max are computed on doubles
+  * (single values, no accumulation — cross-engine safe); timestamps
+  * profile as epoch micros. At 100 TB the same plan holds — swap the
+  * exact phase-1 dedup for approx_count_distinct only if the Σdistinct
+  * shuffle itself is the bottleneck (it is the profile's floor).
+  *
+  * Nulls are PLANTED deterministically (every 7th l_quantity, every
+  * 13th l_returnflag) so the null path is genuinely exercised and
+  * oracle-able — the TPC-H-shaped testdata itself ships no NULLs.
+  */
+object Profile {
+
+  /** q_profile_table — exact per-column profile of lineitem (with two
+    * deterministically null-planted columns). Wire: (col_name,
+    * n_nulls, n_distinct, min_num, max_num) ordered by col_name. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("l_quantity",
+        when(col("l_linenumber") % 7 === 0, lit(null)).otherwise(col("l_quantity")))
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % 13 === 0, lit(null)).otherwise(col("l_returnflag")))
+    profileOn(li)
+  }
+
+  /** Core of q_profile_table over any frame — split out so tests can
+    * profile hand-built fixtures. Numeric image: integral/floating
+    * columns cast to double, timestamps to epoch micros, strings none. */
+  def profileOn(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cells: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val num: Column = f.dataType match {
+        case _: NumericType => c.cast("double")
+        case _: TimestampType => unix_micros(c).cast("double")
+        // NTZ carries a wall-clock; the session zone is pinned UTC
+        // (Graft.init / the harness builders assert it), so the cast
+        // to instant is the identity on the micros value — same
+        // contract Tables.events documents.
+        case _: TimestampNTZType =>
+          unix_micros(c.cast(TimestampType)).cast("double")
+        case _ => lit(null).cast("double")
+      }
+      struct(lit(f.name).as("col_name"), c.cast("string").as("v"),
+        num.as("x"), c.isNull.cast("long").as("isn"))
+    }
+    val melted = df
+      .select(explode(array(cells: _*)).as("cell"))
+      .select(col("cell.*"))
+    melted
+      .groupBy(col("col_name"), col("v"))
+      .agg(sum(col("isn")).as("nn"), min(col("x")).as("mn"),
+        max(col("x")).as("mx"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("nn")).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
+        min(col("mn")).as("min_num"), max(col("mx")).as("max_num"))
+      .orderBy(col("col_name"))
+  }
+}

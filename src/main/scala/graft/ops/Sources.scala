@@ -57,6 +57,24 @@ object Sources {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_source_orc — ORC write/read roundtrip: the other first-class
+    * columnar format Spark ships (stripe-level predicate pushdown +
+    * column pruning like parquet; the format a Hive-side consumer of
+    * this library's outputs would hand us). Schema travels in the file
+    * footer, so the read needs no pinned schema — unlike CSV/JSONL
+    * there is no inference pass to avoid. Oracle: source-side
+    * recomputation (DuckDB reads no ORC; the aggregate is recomputed
+    * from the parquet the slice came from — same pattern as
+    * q_source_csv/q_source_jsonl). */
+  def sourceOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("orc", d)
+    slice(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), d2(sum(col("l_quantity").cast(D))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q_sink_kgx — the reference's terminal output: KGX node + edge
     * JSON Lines (Biolink-style property graph) built from the relational
     * tables and written via to_json(struct(...)) → text. Returns the

@@ -1779,6 +1779,15 @@ object OracleSql {
         |FROM lineitem WHERE l_orderkey < 250
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // ORC roundtrip: DuckDB reads no ORC — recompute the aggregate from
+    // the source parquet (same source-side pattern as q_source_csv).
+    "q_source_orc" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_source_jsonl" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
@@ -1870,6 +1879,62 @@ object OracleSql {
     // min-label result no matter how either side converged. Every
     // round CTE is MATERIALIZED (same DuckDB-inlining blowup the
     // k-core oracle documents).
+    // Exact per-column profile; one SELECT per column UNION ALL'd (the
+    // DuckDB twin of the melt — COUNT(DISTINCT c) counts native values,
+    // Spark counts their injective string images; same cardinality).
+    "q_profile_table" -> {
+      val planted =
+        """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          |  CASE WHEN l_linenumber % 7 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+          |  l_extendedprice, l_discount, l_tax,
+          |  CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+          |  l_linestatus, l_shipdate FROM lineitem)""".stripMargin
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val selects =
+        numCols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  MIN($c)::DOUBLE AS min_num, MAX($c)::DOUBLE AS max_num FROM li""".stripMargin
+        } ++ strCols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num FROM li""".stripMargin
+        } ++ Seq(
+          """SELECT 'l_shipdate' AS col_name, COUNT(*) - COUNT(l_shipdate) AS n_nulls,
+            |  COUNT(DISTINCT l_shipdate) AS n_distinct,
+            |  epoch_us(MIN(l_shipdate))::DOUBLE AS min_num,
+            |  epoch_us(MAX(l_shipdate))::DOUBLE AS max_num FROM li""".stripMargin)
+      planted + "\n" + selects.mkString("", "\nUNION ALL\n", "\n") +
+        "ORDER BY col_name"
+    },
+
+    // Synchronous 4-round label propagation, unrolled; per-round argmax
+    // with min-label tie-break via QUALIFY row_number — the DuckDB twin
+    // of Spark's max(struct(count, -label)).
+    "q_graph_label_prop" -> {
+      val rounds = 4
+      val base =
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+          |  JOIN op b ON a.o = b.o AND a.p < b.p),
+          |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          |l0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM s0 GROUP BY u)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT u AS node, lab FROM (
+           |  SELECT s0.u, l.lab, COUNT(*) AS c FROM s0
+           |  JOIN l${k - 1} l ON s0.v = l.node GROUP BY s0.u, l.lab)
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+           |    ORDER BY c DESC, lab ASC) = 1)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", "\n") +
+        s"""SELECT size, COUNT(*) AS n_communities FROM (
+           |  SELECT lab, COUNT(*) AS size FROM l$rounds GROUP BY lab)
+           |GROUP BY size ORDER BY size""".stripMargin
+    },
+
     "q_graph_cc" -> {
       val rounds = 8
       val base =

@@ -220,10 +220,39 @@ class GraphOpsSpec extends GraftSuite {
     assert(first.nonEmpty, "kgx node files written")
   }
 
-  test("csv and jsonl roundtrips agree with each other") {
+  test("csv, jsonl and orc roundtrips agree with each other") {
     val a = Sources.sourceCsv(spark, sf).collect().map(_.toString).toSeq
     val b = Sources.sourceJsonl(spark, sf).collect().map(_.toString).toSeq
-    assert(a == b && a.nonEmpty)
+    val c = Sources.sourceOrc(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b && b == c && a.nonEmpty)
+  }
+
+  test("label propagation splits two planted cliques joined by one bridge") {
+    import spark.implicits._
+    // two 4-cliques as order-memberships (one order = one clique) plus
+    // a bridge order containing one node of each; LPA must keep the
+    // cliques as separate communities — cc would fuse them
+    val membership = (Seq.tabulate(4)(i => (1L, 10L + i)) ++
+      Seq.tabulate(4)(i => (2L, 20L + i)) ++
+      Seq((3L, 10L), (3L, 20L))).toDF("o", "p")
+    val hist = GraphOps.labelPropOn(membership).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_communities")))
+    assert(hist.toSeq == Seq((4L, 2L)))
+  }
+
+  test("label propagation histogram sums to the vertex count") {
+    import org.apache.spark.sql.functions._
+    val hist = GraphOps.labelProp(spark, sf)
+    val total = hist.agg(sum(col("size") * col("n_communities"))).head.getLong(0)
+    // LPA labels exactly the nodes with >=1 neighbor: parts sharing an
+    // order with another sliced part — recompute that set independently
+    val op = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val paired = op.withColumn("gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o"))))
+      .filter(col("gsz") >= 2).select(col("p")).distinct().count()
+    assert(total == paired)
   }
 
   test("pagerank matches an independent driver-side reference") {

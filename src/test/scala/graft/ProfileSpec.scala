@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Profile operator: exact metrics on a hand-built fixture plus shape
+  * invariants on the sf0.001 lineitem profile. */
+class ProfileSpec extends GraftSuite {
+
+  test("profileOn computes exact nulls/distincts/minmax on a fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(1L), None, Some(2.5)),
+      (Some(3L), Some("b"), None),
+      (None, Some("a"), Some(-1.0))
+    ).toDF("k", "s", "x")
+    val rows = Profile.profileOn(df).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("k", "s", "x"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val k = byName("k")
+    assert(k.getAs[Long]("n_nulls") == 1L)
+    assert(k.getAs[Long]("n_distinct") == 2L)
+    assert(k.getAs[Double]("min_num") == 1.0)
+    assert(k.getAs[Double]("max_num") == 3.0)
+    val s = byName("s")
+    assert(s.getAs[Long]("n_nulls") == 1L)
+    assert(s.getAs[Long]("n_distinct") == 2L)
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    val x = byName("x")
+    assert(x.getAs[Long]("n_nulls") == 1L)
+    assert(x.getAs[Long]("n_distinct") == 2L)
+    assert(x.getAs[Double]("min_num") == -1.0)
+    assert(x.getAs[Double]("max_num") == 2.5)
+  }
+
+  test("q_profile_table plants the declared nulls and profiles every column") {
+    val rows = Profile.profileTable(spark, sf).collect()
+    assert(rows.length == 11) // every lineitem column, none dropped
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // planted: every 7th linenumber nulls quantity, every 13th orderkey
+    // nulls returnflag — recompute the expected counts independently
+    val li = Tables.lineitem(spark, sf)
+    val expQty = li.filter(col("l_linenumber") % 7 === 0).count()
+    val expRf = li.filter(col("l_orderkey") % 13 === 0).count()
+    assert(byName("l_quantity").getAs[Long]("n_nulls") == expQty)
+    assert(byName("l_returnflag").getAs[Long]("n_nulls") == expRf)
+    assert(byName("l_orderkey").getAs[Long]("n_nulls") == 0L)
+    // distincts: orderkey distinct matches an independent exact count
+    val expOk = li.select(col("l_orderkey")).distinct().count()
+    assert(byName("l_orderkey").getAs[Long]("n_distinct") == expOk)
+    // timestamp profiles as epoch micros, strings carry no numeric image
+    assert(byName("l_shipdate").getAs[Double]("min_num") > 0)
+    assert(byName("l_linestatus").isNullAt(rows.head.fieldIndex("min_num")))
+  }
+}
