@@ -877,8 +877,11 @@ object GraphOps {
     * label frame plus two hash aggregates — (node, label) counting,
     * then per-node argmax via max(struct(count, −label)) so no window
     * over nodes is needed. Rounds chain linearly (each frame has ONE
-    * downstream consumer), so the unrolled lazy plan stays linear —
-    * no checkpointing required, unlike kcore's 3-consumer rounds. */
+    * downstream consumer) but are still lazily localCheckpoint'd: the
+    * uncheckpointed 4-round lazy plan measured 21–88 s at sf0.1
+    * (optimizer + AQE re-planning over the deeply nested chain), vs
+    * ~1 s with per-round truncation — the same lineage lesson kcore's
+    * scaladoc records, triggered by DEPTH here rather than fan-out. */
   def labelProp(s: SparkSession, d: String): DataFrame =
     labelPropOn(Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)
@@ -888,18 +891,32 @@ object GraphOps {
   def labelPropOn(membership: DataFrame): DataFrame = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = ec.unionByName(
+    def trunc(df: DataFrame): DataFrame = {
+      val t = df.localCheckpoint(false)
+      ScratchCache.defer(() => unpersistCheckpoint(t))
+      t
+    }
+    // sym is REPARTITIONED BY u before the checkpoint: the per-round
+    // join broadcasts the (tiny) label frame, broadcast-hash preserves
+    // the streamed side's partitioning, and HashPartitioning(u)
+    // satisfies ClusteredDistribution for BOTH downstream aggregations
+    // ((u, lab) counting and the per-u argmax) — so after this one
+    // shuffle every round is exchange-free. When labels outgrow the
+    // broadcast threshold (labels are |V|-sized; a 100 TB graph's
+    // vocabulary may not fit), Catalyst falls back to a shuffled join
+    // and the rounds pay their shuffles — plan degrades, never breaks.
+    val sym = trunc(ec.unionByName(
         ec.select(col("v").as("u"), col("u").as("v")))
-      .pipe(ScratchCache.cache)
+      .repartition(col("u")))
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to 4) {
-      lab = sym.join(lab, sym("v") === lab("node"))
+      lab = trunc(sym.join(lab, sym("v") === lab("node"))
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(max(struct(col("c").as("c"),
           (col("lab") * -1).as("nl"))).as("m"))
-        .select(col("u").as("node"), (col("m.nl") * -1).as("lab"))
+        .select(col("u").as("node"), (col("m.nl") * -1).as("lab")))
     }
     lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
