@@ -231,6 +231,64 @@ object DedupSim {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q_dedup_contain — asymmetric n-gram CONTAINMENT: directed pairs
+    * (a, b) where ≥ 80% of a's distinct word-5-grams appear in b —
+    * C(a→b) = |A∩B| / |A|. The partial-copy detector Jaccard cannot
+    * be: a short doc quoted inside a much longer one has tiny Jaccard
+    * (union is dominated by the long doc) but containment ≈ 1. The
+    * fourth member of the exact-dedup family (exact ↔ Jaccard ↔
+    * containment ↔ lines).
+    *
+    * Exactness with a one-sided prefix filter: if |A∩B| ≥ ⌈t·|A|⌉,
+    * then at most |A| − ⌈t·|A|⌉ of A's grams are unshared, so A's
+    * first |A| − ⌈t·|A|⌉ + 1 grams in the canonical (df ASC, gram)
+    * order contain at least one shared gram — candidates from
+    * prefix(A) ⋈ full(B) are complete, and the result is exact.
+    * Unlike Jaccard's prefix×prefix join, B must be FULLY indexed
+    * (B's needed overlap ⌈t·|A|⌉ depends on the unknown partner size),
+    * so candidate volume is Σ_g pdf(g)·df(g): prefixes hold each doc's
+    * RAREST grams, keeping pdf mass on low-df grams — the stop-gram
+    * C(df,2) blowup cannot enter through the prefix side. All equi
+    * joins + hash aggregates, never all-pairs. */
+  def dedupContain(s: SparkSession, d: String): DataFrame =
+    dedupContainOn(Tables.documents(s, d))
+
+  def dedupContainOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.8
+    graft.plans.GraftExtensions.registerFunctions(documents.sparkSession)
+    // same row-local shingles() gram build as dedupNgramOn; three
+    // consumers (prefix rank, full index side, intersection recount)
+    val grams = documents
+      .select(col("doc_id"), expr("shingles(text, 5)"))
+      .select(col("doc_id"), col("shingle").as("ng"))
+      .distinct()
+      .pipe(ScratchCache.cache)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = grams.groupBy(col("ng")).agg(count(lit(1)).as("gdf"))
+    val prefixA = grams.join(df, "ng")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("gdf"), col("ng"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("doc_id"), col("ng"))
+    val cands = prefixA.as("x").join(grams.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = cands
+      .join(grams.select(col("doc_id").as("a"), col("ng")), "a")
+      .join(grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
+        col("b") === col("b2") && col("ng") === col("ng2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / col("na"), 6).as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** q_dedup_cluster — near-dup CLUSTER collapse, the step after pair
     * finding that an actual dedup run needs: exact n-gram Jaccard pairs
     * ([[dedupNgramOn]]) become connected components

@@ -758,6 +758,25 @@ object OracleSql {
         |  FROM pr JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
+    // Directed containment — the oracle skips the (lossless) prefix
+    // filter and joins full gram sets; inter/|A| >= 0.8 both directions.
+    "q_dedup_contain" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS p FROM documents),
+        |e AS (SELECT doc_id, p, unnest(range(1, len(p) - 3)) AS i
+        |  FROM d WHERE len(p) >= 5),
+        |g AS (SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS ng
+        |  FROM e),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        |  FROM g x JOIN g y ON x.ng = y.ng AND x.doc_id <> y.doc_id
+        |  GROUP BY a, b),
+        |j AS (SELECT a, b,
+        |  ROUND(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+        |  FROM pr JOIN sz sa ON a = sa.doc_id)
+        |SELECT a, b, containment FROM j WHERE containment >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT x.vec_id AS a, y.vec_id AS b,

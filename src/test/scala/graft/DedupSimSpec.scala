@@ -144,6 +144,46 @@ class DedupSimSpec extends GraftSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("containment: planted quote pairs directionally, jaccard misses it") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve")
+    val quote = "lambda mu nu xi omicron pi rho sigma" // 8 words ⊂ long
+    val docs = Seq(
+      (1L, long),
+      (2L, quote),
+      (3L, "unrelated text about storage engines and columnar formats today")
+    ).toDF("doc_id", "text")
+    val out = DedupSim.dedupContainOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(out((2L, 1L)) == 1.0)        // the quote IS contained in long
+    assert(!out.contains((1L, 2L)))     // the long doc is not in the quote
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // jaccard at its own 0.5 threshold cannot see this pair
+    val j = DedupSim.dedupNgramOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+  }
+
+  test("containment prefix filter matches unfiltered brute force") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").sliding(5)
+          .filter(_.length == 5).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty).toSeq
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a != b
+      inter = (sa & sb).size
+      c = inter.toDouble / sa.size
+      if math.rint(c * 1e6) / 1e6 >= 0.8
+    } yield (a, b)).toSet
+    val got = DedupSim.dedupContain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val t = "spark hash join sort merge filter scan window group agg"
     val docs = Seq((1L, t), (2L, t),
