@@ -115,4 +115,61 @@ object StreamingOps {
         date_trunc("hour", col("ts")).as("hr"))
       .dropDuplicates("user_id", "event_type", "hr")
       .orderBy(col("user_id"), col("event_type"), col("hr"))
+
+  /** q_stream_late — watermark LATE-ARRIVAL accounting, the batch twin
+    * of the question every watermarked streaming job must answer before
+    * choosing its delay: "with watermark = max-event-time-seen − 10 min,
+    * how many events would arrive late, and by how much?" (Structured
+    * Streaming silently DROPS those rows in append mode — this op makes
+    * the loss measurable per event type.)
+    *
+    * Arrival order is SYNTHETIC and deterministic — md5(event_id) (the
+    * DuckDB-replayable permutation trick the sampling family pins) — so
+    * event-time order and arrival order genuinely diverge like a real
+    * out-of-order stream, and both engines replay the identical stream.
+    *
+    * Scale shape: the watermark is a GLOBAL running max over arrival
+    * order — inherently sequential, made distributed with the same
+    * two-phase prefix the ranged shard packer uses: range-partition by
+    * arrival key → per-partition running max (window, no shuffle) →
+    * exclusive prefix-max of the O(partitions) per-range maxima
+    * (constant-size single-task window) broadcast back. No task sees
+    * more than one range; nothing data-sized crosses the driver.
+    * DETERMINISM: all-integer µs arithmetic; the wire is exact counts
+    * and an exact µs lateness sum. */
+  def late(s: SparkSession, d: String): DataFrame =
+    lateOn(Tables.events(s, d),
+      s.sessionState.conf.numShufflePartitions)
+
+  /** Core of q_stream_late over any events-shaped frame. */
+  def lateOn(eventsDf: DataFrame, numRanges: Int): DataFrame = {
+    val delayUs = 600000000L // 10 min
+    val ranged = ScratchCache.cache(eventsDf
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        md5(col("event_id").cast("string")).as("ak"))
+      .repartitionByRange(numRanges, col("ak"), col("event_id"))
+      .sortWithinPartitions(col("ak"), col("event_id"))
+      .withColumn("pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("pid")).agg(max(col("t")).as("m"))
+      .withColumn("pmax",
+        max(col("m")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid").as("opid"), col("pmax"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("ak"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("lmax", max(col("t")).over(localW))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      // greatest skips nulls; both null ⇔ first arrival ⇒ never late
+      .withColumn("wm", greatest(col("lmax"), col("pmax")) - delayUs)
+      .withColumn("is_late", col("t") < col("wm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(sum(when(col("is_late"), col("wm") - col("t"))), lit(0L))
+          .as("late_us"))
+      .orderBy(col("event_type"))
+  }
 }

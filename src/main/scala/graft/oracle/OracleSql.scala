@@ -1203,6 +1203,22 @@ object OracleSql {
         |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
         |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
 
+    // Late-arrival accounting: same md5(event_id) synthetic arrival
+    // order; DuckDB computes the global running max directly (single
+    // node), Spark's two-phase ranged prefix must agree exactly.
+    "q_stream_late" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |  md5(CAST(event_id AS VARCHAR)) AS ak FROM events),
+        |w AS (SELECT event_type, t,
+        |  MAX(t) OVER (ORDER BY ak, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - 600000000 AS wm FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |CAST(COALESCE(SUM(CASE WHEN t < wm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
+        |CAST(COALESCE(SUM(CASE WHEN t < wm THEN wm - t END), 0) AS BIGINT) AS late_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_stream_join" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events
         |  WHERE event_type = 'click'),

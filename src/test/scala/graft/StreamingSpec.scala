@@ -200,6 +200,39 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream late: matches a sequential scala reference and is range-count invariant") {
+    val events = Tables.events(spark, sf)
+    // independent sequential reference: same md5 arrival permutation,
+    // plain running max in a driver loop
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = events.selectExpr("event_id", "event_type", "unix_micros(ts) AS t")
+      .collect()
+      .map(r => (md5hex(r.getLong(0).toString), r.getLong(0), r.getString(1),
+        r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    var runMax = Long.MinValue
+    val acc = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    for ((_, _, et, t) <- rows) {
+      val wm = runMax - 600000000L
+      val late = runMax != Long.MinValue && t < wm
+      val (n, nl, lu) = acc.getOrElse(et, (0L, 0L, 0L))
+      acc(et) = (n + 1, nl + (if (late) 1 else 0),
+        lu + (if (late) wm - t else 0L))
+      if (t > runMax) runMax = t
+    }
+    val gotSeq = StreamingOps.lateOn(events, 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(gotSeq == acc.toMap)
+    assert(gotSeq.values.map(_._2).sum > 0, "disorder must plant real lates")
+    // two-phase prefix must not depend on the range count
+    val one = StreamingOps.lateOn(events, 1).collect().map(_.toString).toSeq
+    val many = StreamingOps.lateOn(events, 32).collect().map(_.toString).toSeq
+    assert(one == many)
+  }
+
   test("foreachBatch sink: batch ids key idempotent exactly-once writes") {
     val ms = MemoryStream[Ev]
     // keyed by batchId: a replayed batch OVERWRITES its own slot
