@@ -10,13 +10,16 @@ import graft.Tables
   * resize / frame-sample as batched partition-level transforms).
   *
   * The testdata has no real media files, so payloads are synthesized:
-  * audio/video rows carry the UTF-8 encoding of documents.text (opaque
+  * video rows carry the UTF-8 encoding of documents.text (opaque
   * stand-in, decode STUBBED below), but image/png rows carry a REAL PNG
   * — deterministic grayscale pixels derived from doc_id, encoded with
   * the pure-JVM javax.imageio codec — and q_mm_decode REALLY decodes it
   * (PNG signature/IHDR parse, IDAT inflate, filter reconstruction →
-  * pixels) through a once-per-partition ImageReader. Everything around
-  * the remaining stub — the binary column type, the metadata struct
+  * pixels) through a once-per-partition ImageReader. audio/wav rows
+  * likewise carry a REAL RIFF/WAVE PCM file (hand-written canonical
+  * header + closed-form 16-bit samples) really decoded through the
+  * pure-JVM javax.sound.sampled codec. Everything around
+  * the remaining video stub — the binary column type, the metadata struct
   * schema, the mapPartitions batching shape (one decoder init per
   * partition, the Scala analogue of a Pandas-UDF batch), frame slicing
   * and sampling on binary columns — is real, tested Spark plumbing that
@@ -107,7 +110,58 @@ object Multimodal {
     def dispose(): Unit = reader.dispose()
   }
 
-  /** ===== STUB ===== The audio/video "decoder": a real implementation
+  /** Deterministic tiny RIFF/WAVE PCM file for a doc: mono 16-bit LE at
+    * 8 kHz, n = 64 + doc_id%64 samples, sample i = ((doc_id·131 + i·17)
+    * mod 65536) − 32768. The canonical 44-byte PCM header is written by
+    * hand (bit-stable); the sample function is closed-form INTEGER so
+    * the DuckDB oracle recomputes decoded sums without parsing RIFF. */
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 64).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 131 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL per-partition WAV decoder via the pure-JVM
+    * javax.sound.sampled codec: RIFF/fmt chunk parsing and PCM frame
+    * extraction actually run (AudioSystem needs no audio device to READ
+    * a stream — headless-safe). Returns (n_frames, sum of signed 16-bit
+    * samples) from the decoded frames. */
+  private[graft] final class WavDecoder {
+    def decode(bytes: Array[Byte]): (Long, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected WAV format $fmt")
+        val pcm = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          sum += ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+          i += 2
+        }
+        (pcm.length / 2L, sum)
+      } finally in.close()
+    }
+  }
+
+  /** ===== STUB ===== The video "decoder": a real implementation
     * would call a codec (ffmpeg/...) here, once-initialized per
     * partition like [[PngDecoder]]. This deterministic fake extracts
     * byte length, a "magic" prefix and an additive checksum — enough to
@@ -139,21 +193,27 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // ingestion stand-in (no media files in the container): image
-        // rows get their real encoded PNG payload; one encoder context
-        // per partition
+        // and audio rows get their real encoded payloads; one encoder
+        // context per partition
         rows.map { case (id, mt, bytes) =>
-          if (mt == "image/png") (id, mt, pngBytes(id)) else (id, mt, bytes)
+          if (mt == "image/png") (id, mt, pngBytes(id))
+          else if (mt == "audio/wav") (id, mt, wavBytes(id))
+          else (id, mt, bytes)
         }
       }
     val decoded = src.mapPartitions { rows =>
       val png = new PngDecoder() // one decoder init per partition
+      val wav = new WavDecoder()
       rows.map { case (id, mt, bytes) =>
+        val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
         if (mt == "image/png") {
-          val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
           val (w, h, pixSum) = png.decode(bytes)
           MediaMeta(id, mt, w.toLong * h, magic, pixSum)
+        } else if (mt == "audio/wav") {
+          val (nFrames, sampleSum) = wav.decode(bytes)
+          MediaMeta(id, mt, nFrames * 2, magic, sampleSum)
         } else {
-          val (magic, sum) = decodeStub(mt, bytes)
+          val (_, sum) = decodeStub(mt, bytes)
           MediaMeta(id, mt, bytes.length.toLong, magic, sum)
         }
       }

@@ -1638,7 +1638,8 @@ object OracleSql {
     // recomputed here from the closed-form pixel function
     // pixel(i) = (doc_id*31 + i*7) % 256 over w=8+doc_id%8, h=8+doc_id%5
     // — codec-independent, so the oracle never touches compressed bytes.
-    // audio/video rows keep the labeled stub (text-byte checksum).
+    // audio/wav rows decode REAL RIFF/PCM via javax.sound (closed-form
+    // sample sums); video rows keep the labeled stub (text-byte checksum).
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -1646,7 +1647,7 @@ object OracleSql {
         |       ELSE 'video/mp4' END AS media_type FROM documents),
         |h AS (SELECT doc_id, media_type, hex(encode(text)) AS hx,
         |  octet_length(encode(text)) AS n_bytes FROM d
-        |  WHERE media_type <> 'image/png'),
+        |  WHERE media_type = 'video/mp4'),
         |ch AS (SELECT doc_id, media_type, n_bytes, hx,
         |  unnest(range(0, n_bytes)) AS p FROM h),
         |cs AS (SELECT doc_id, media_type, any_value(n_bytes) AS n_bytes,
@@ -1658,8 +1659,15 @@ object OracleSql {
         |ics AS (SELECT doc_id, COUNT(*) AS n_bytes,
         |  SUM((doc_id * 31 + i * 7) % 256) AS checksum
         |  FROM px GROUP BY doc_id),
+        |ax AS (SELECT doc_id,
+        |  unnest(range(0, 64 + doc_id % 64)) AS i
+        |  FROM d WHERE media_type = 'audio/wav'),
+        |acs AS (SELECT doc_id, COUNT(*) * 2 AS n_bytes,
+        |  SUM((doc_id * 131 + i * 17) % 65536 - 32768) AS checksum
+        |  FROM ax GROUP BY doc_id),
         |allcs AS (SELECT media_type, n_bytes, checksum FROM cs
-        |  UNION ALL SELECT 'image/png', n_bytes, checksum FROM ics)
+        |  UNION ALL SELECT 'image/png', n_bytes, checksum FROM ics
+        |  UNION ALL SELECT 'audio/wav', n_bytes, checksum FROM acs)
         |SELECT media_type, COUNT(*) AS n,
         |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |CAST(SUM(checksum) AS BIGINT) AS total_checksum

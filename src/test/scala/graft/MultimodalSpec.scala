@@ -35,15 +35,30 @@ class MultimodalSpec extends GraftSuite {
     dec.dispose()
   }
 
+  test("wav decode: encode→javax.sound-decode roundtrip recovers exact planted samples") {
+    val dec = new Multimodal.WavDecoder()
+    for (d <- Seq(1L, 4L, 43L, 100L, 123457L)) {
+      val n = 64 + d % 64
+      val expSum = (0L until n).map(i => ((d * 131 + i * 17) % 65536) - 32768).sum
+      assert(dec.decode(Multimodal.wavBytes(d)) == ((n, expSum)), s"doc $d")
+    }
+  }
+
   test("decode aggregate: stub rows carry text bytes, image rows carry decoded pixels") {
     import org.apache.spark.sql.functions.{col, sum}
     val byType = Multimodal.decode(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-    // audio/video: total_bytes = total text chars of those docs (ASCII)
+    // video (the remaining stub): total_bytes = text chars of those docs
     val stubChars = Tables.documents(spark, sf)
-      .filter(col("doc_id") % 3 =!= 0)
+      .filter(col("doc_id") % 3 === 2)
       .agg(sum("n_chars")).first().getLong(0)
-    assert(byType("audio/wav")._1 + byType("video/mp4")._1 == stubChars)
+    assert(byType("video/mp4")._1 == stubChars)
+    // audio/wav: decoded PCM bytes = 2 × closed-form sample counts
+    val wavDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expWav = wavDocs.map(d => (64 + d % 64) * 2).sum
+    assert(byType("audio/wav")._1 == expWav)
     // image/png: decoded raster bytes + pixel sums match the closed form
     val imgDocs = Tables.documents(spark, sf)
       .filter(col("doc_id") % 3 === 0)
