@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import scala.util.chaining._
 
 /** Behavioral-analytics operators over the events table (SURVEY.md
   * §2.10 additions): ordered funnel conversion and cohort retention —
@@ -368,5 +369,58 @@ object EventOps {
       .withColumn("p",
         round(col("n").cast("double") / sum(col("n")).over(tw), 6))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** q_events_resample — time-series RESAMPLING with forward fill: per
+    * user, a dense hourly grid from the first to the last event hour;
+    * hours with events carry their latest event's value ((ts, event_id)
+    * argmax — deterministic under duplicate timestamps), empty hours
+    * carry the value FORWARD. The sparse→dense step every time-series
+    * feature pipeline needs (sensor grids, account balances, rate
+    * series) that plain SQL aggregation can't produce — missing hours
+    * simply don't exist in the data. Wire: per-user hour counts (total /
+    * observed) and the exact decimal sum of the filled series.
+    *
+    * Plan shape: per-(user, hour) hash agg → vocabulary-sized span agg
+    * → `sequence`+`explode` grid (bounded by span-hours per user, 720
+    * on this data) → left join back → ONE user-keyed forward-fill
+    * window (`last(v, ignoreNulls)`). Everything shuffles on user_id
+    * once each; the grid explode is the op's intrinsic output size, not
+    * amplification. DETERMINISM: values are DECIMAL(12,2) before any
+    * sum (order-independent), the argmax key is the same
+    * within-hour-µs·10⁹+event_id composite long both engines build. */
+  def resample(s: SparkSession, d: String): DataFrame =
+    resampleOn(Tables.events(s, d))
+
+  /** Core of q_events_resample over any events-shaped frame. */
+  def resampleOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val hr = date_trunc("hour", col("ts"))
+    val ord = (unix_micros(col("ts")) - unix_micros(hr)) * 1000000000L +
+      col("event_id")
+    val hourly = eventsDf
+      .select(col("user_id"), hr.as("hr"),
+        col("value").cast(DecimalType(12, 2)).as("v"), ord.as("ord"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n"), max_by(col("v"), col("ord")).as("v"))
+      .pipe(ScratchCache.cache)
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hr"))
+    val filled = grid
+      .join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"), count(col("n")).as("n_real"),
+        sum(col("fv")).cast(DecimalType(38, 2)).cast("double")
+          .as("sum_fill"))
+      .orderBy(col("user_id"))
   }
 }

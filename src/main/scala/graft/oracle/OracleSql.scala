@@ -1203,6 +1203,31 @@ object OracleSql {
         |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
         |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
 
+    // Hourly resample + forward fill: generate_series grid per user,
+    // last_value IGNORE NULLS; same composite argmax long both engines.
+    "q_events_resample" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |h AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+        |  COUNT(*) AS n,
+        |  arg_max(v, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+        |    * 1000000000 + event_id) AS v
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        |  FROM h GROUP BY 1),
+        |g AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM s),
+        |j AS (SELECT g.user_id, g.hr, h.n, h.v FROM g
+        |  LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr),
+        |f AS (SELECT user_id, hr, n,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS fv FROM j)
+        |SELECT user_id, COUNT(*) AS n_hours, COUNT(n) AS n_real,
+        |CAST(SUM(fv) AS DECIMAL(38,2))::DOUBLE AS sum_fill
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Late-arrival accounting: same md5(event_id) synthetic arrival
     // order; DuckDB computes the global running max directly (single
     // node), Spark's two-phase ranged prefix must agree exactly.

@@ -241,4 +241,30 @@ class EventOpsSpec extends GraftSuite {
     assert(out(("2024-01-01", 2)) == ((12.0, 22.0, 11.0)))
     assert(out.size == 2) // no cells for the purchase-free cohort
   }
+
+  test("resample forward-fills planted hour gaps with the latest hourly value") {
+    val log = Seq(
+      (1L, 101L, "2024-01-01 10:05:00", 1.0),
+      (1L, 102L, "2024-01-01 10:40:00", 2.0), // hr10 keeps the LATER value
+      (1L, 103L, "2024-01-01 13:30:00", 5.0), // hrs 11,12 are gaps
+      (2L, 201L, "2024-01-01 09:00:00", 7.0)  // single-hour user, no gaps
+    ).toDF("user_id", "event_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventOps.resampleOn(log).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("sum_fill"))).toMap
+    // user 1: hours 10..13 -> fv = 2.0, 2.0, 2.0, 5.0
+    assert(out(1L) == ((4L, 2L, 11.0)))
+    assert(out(2L) == ((1L, 1L, 7.0)))
+  }
+
+  test("resample: argmax tie-break on equal timestamps is the larger event_id") {
+    val log = Seq(
+      (1L, 5L, "2024-01-01 10:00:00", 1.0),
+      (1L, 9L, "2024-01-01 10:00:00", 3.0) // same ts: event_id 9 wins
+    ).toDF("user_id", "event_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventOps.resampleOn(log).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("sum_fill") == 3.0)
+  }
 }
