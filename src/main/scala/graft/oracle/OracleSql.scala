@@ -1203,6 +1203,47 @@ object OracleSql {
         |CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
         |FROM events ORDER BY user_id, event_type, hr""".stripMargin,
 
+    // Fuzzy entity-resolution join: identical planted-typo formulas,
+    // deletion-neighborhood blocking re-done in SQL (lossless for the
+    // <=1 threshold, so the DISTINCT candidate set + levenshtein verify
+    // equals the Spark result exactly).
+    "q_join_fuzzy" ->
+      """WITH t AS (SELECT c_custkey, c_name,
+        |  substring(c_name, 1, CAST(length(c_name) - ((c_custkey % 5) + 1) AS INT) - 1)
+        |    || 'x' ||
+        |    substring(c_name, CAST(length(c_name) - ((c_custkey % 5) + 1) AS INT) + 1, 64)
+        |    AS s1 FROM customer),
+        |q2 AS (SELECT c_custkey AS q_id,
+        |  CASE WHEN c_custkey % 13 = 0 THEN
+        |    substring(s1, 1, CAST(length(s1) - ((c_custkey % 5) + 4) AS INT) - 1)
+        |      || 'y' ||
+        |      substring(s1, CAST(length(s1) - ((c_custkey % 5) + 4) AS INT) + 1, 64)
+        |  WHEN c_custkey % 7 = 0 THEN s1
+        |  ELSE c_name END AS qname FROM t),
+        |qv AS (SELECT q_id, qname, unnest(list_prepend(qname,
+        |  list_transform(range(1, CAST(length(qname) AS INT) + 1), i ->
+        |    substring(qname, 1, CAST(i AS INT) - 1)
+        |      || substring(qname, CAST(i AS INT) + 1, 64)))) AS v FROM q2),
+        |cv AS (SELECT c_custkey, c_name, unnest(list_prepend(c_name,
+        |  list_transform(range(1, CAST(length(c_name) AS INT) + 1), i ->
+        |    substring(c_name, 1, CAST(i AS INT) - 1)
+        |      || substring(c_name, CAST(i AS INT) + 1, 64)))) AS v FROM customer),
+        |cands AS (SELECT DISTINCT q_id, qname, c_custkey, c_name
+        |  FROM qv JOIN cv USING (v)),
+        |ok AS (SELECT q_id, qname, levenshtein(qname, c_name) AS dist
+        |  FROM cands WHERE levenshtein(qname, c_name) <= 1),
+        |res AS (SELECT q_id, COUNT(*) AS n_cands, MIN(dist) AS best_dist
+        |  FROM ok GROUP BY 1),
+        |led AS (SELECT CASE WHEN res.q_id IS NULL THEN 'miss'
+        |    WHEN best_dist = 0 THEN 'exact'
+        |    WHEN n_cands = 1 THEN 'fuzzy_unique'
+        |    ELSE 'fuzzy_ambiguous' END AS outcome,
+        |  COALESCE(n_cands, 0) AS nc
+        |  FROM q2 LEFT JOIN res ON q2.q_id = res.q_id)
+        |SELECT outcome, COUNT(*) AS n_queries,
+        |CAST(SUM(nc) AS BIGINT) AS n_cands
+        |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Hourly resample + forward fill: generate_series grid per user,
     // last_value IGNORE NULLS; same composite argmax long both engines.
     "q_events_resample" ->

@@ -90,4 +90,44 @@ class JoinsSpec extends GraftSuite {
       .count()
     assert(bad == 0L)
   }
+
+  test("fuzzy join: brute-force levenshtein ledger matches at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    // independent reference: same planting in plain Scala, all-pairs
+    val names = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sub(s: String, fromEnd: Int, ch: Char): String = {
+      // Spark side uses 1-based position len - fromEnd -> 0-based -1
+      val pos = s.length - fromEnd - 1
+      s.updated(pos, ch)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val queries = names.map { case (k, n) =>
+      k -> (if (k % 13 == 0) sub(sub(n, (k % 5 + 1).toInt, 'x'), (k % 5 + 4).toInt, 'y')
+            else if (k % 7 == 0) sub(n, (k % 5 + 1).toInt, 'x')
+            else n)
+    }
+    val expected = queries.map { case (qid, qn) =>
+      val ds = names.map { case (ck, cn) => (ck, lev(qn, cn)) }
+        .filter(_._2 <= 1)
+      val outcome =
+        if (ds.isEmpty) "miss"
+        else if (ds.map(_._2).min == 0) "exact"
+        else if (ds.length == 1) "fuzzy_unique" else "fuzzy_ambiguous"
+      (outcome, ds.length.toLong)
+    }.groupBy(_._1).map { case (o, xs) => o -> (xs.length.toLong, xs.map(_._2).sum) }
+    val got = Joins.joinFuzzy(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.contains("fuzzy_unique") || got.contains("fuzzy_ambiguous"))
+    assert(got.contains("miss") && got.contains("exact"))
+  }
 }
