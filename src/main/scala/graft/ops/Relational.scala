@@ -36,6 +36,44 @@ object Relational {
   private def d4(c: Column): Column = c.cast(DecimalType(38, 4)).cast("double")
   private def d6(c: Column): Column = c.cast(DecimalType(38, 6)).cast("double")
 
+  /** q_sql_cte — SQL-DIALECT PARITY: one ANSI SQL text (CTE + dimension
+    * join + window rank + aggregate) executed VERBATIM by `spark.sql`
+    * over temp views of the tables — and, unchanged, by the DuckDB
+    * oracle over the same-named tables. The `queries` surface is
+    * DataFrame-first everywhere else; this key pins the other half of
+    * the user contract: a SQL-speaking consumer can hand this library
+    * the query text they run today. Kept to the dialect intersection
+    * both engines parse identically (explicit CASTs, no QUALIFY, no
+    * engine-specific functions); Catalyst plans it exactly like the
+    * equivalent DataFrame chain (same pushdown/broadcast/window
+    * physical ops). */
+  val sqlCteText: String =
+    """WITH bal AS (
+      |  SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_mktsegment <> 'FURNITURE'
+      |),
+      |per_nation AS (
+      |  SELECT n.n_regionkey, n.n_name,
+      |    COUNT(*) AS n_cust,
+      |    CAST(CAST(SUM(bal) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal
+      |  FROM bal JOIN nation n ON bal.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_regionkey, n.n_name
+      |)
+      |SELECT r_name, n_name, n_cust, sum_bal, rk FROM (
+      |  SELECT r.r_name, p.n_name, p.n_cust, p.sum_bal,
+      |    RANK() OVER (PARTITION BY p.n_regionkey
+      |      ORDER BY p.sum_bal DESC, p.n_name) AS rk
+      |  FROM per_nation p JOIN region r ON p.n_regionkey = r.r_regionkey
+      |) t WHERE rk <= 2
+      |ORDER BY r_name, rk, n_name""".stripMargin
+
+  def sqlCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(sqlCteText)
+  }
+
   /** §2.1 q_scan_project — pruned scan + rename + computed decimal col.
     * Catalyst pushes the projection into the parquet scan (ReadSchema
     * shows 5 of 11 cols); at 100 TB this is the difference between

@@ -23,6 +23,10 @@ object OracleSql {
         |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(38,4))::DOUBLE AS revenue
         |FROM lineitem ORDER BY okey, lnum, qty, revenue""".stripMargin,
 
+    // SQL-dialect parity: the ORACLE IS THE QUERY — the exact string
+    // Spark executes (Relational.sqlCteText), unchanged.
+    "q_sql_cte" -> graft.ops.Relational.sqlCteText,
+
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(l_quantity AS DECIMAL(38,2))::DOUBLE AS qty,

@@ -68,4 +68,20 @@ class RelationalSpec extends GraftSuite {
     assert(out("disc") == ((2L, 0.15, 0.075)))
     assert(out("tax") == ((2L, 0.06, 0.03)))
   }
+
+  test("q_sql_cte: the verbatim SQL text yields top-2 nations per region") {
+    val rows = Relational.sqlCte(spark, sf).collect()
+    val perRegion = rows.groupBy(_.getString(0))
+    assert(perRegion.size == 5)
+    perRegion.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).distinct.sorted.toSeq.forall(_ <= 2))
+      assert(rs.length >= 2) // rank<=2 keeps >=2 rows (more only on ties)
+    }
+    // descending sum within region, rank consistent
+    perRegion.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.sliding(2).forall(p => p.length < 2 ||
+        p(0).getAs[Double]("sum_bal") >= p(1).getAs[Double]("sum_bal")))
+    }
+  }
 }
