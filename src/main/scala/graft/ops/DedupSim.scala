@@ -966,4 +966,51 @@ object DedupSim {
         col("v_min"), col("v_max"))
       .orderBy(col("dim"))
   }
+
+  /** q_emb_gram — the full 64×64 covariance (upper triangle, 2 080
+    * pairs) of the embedding table in ONE pass through a typed
+    * [[GramAggregator]]: each vector is quantized to integers
+    * (`round(x·1000)` — the engine-identical rounding q_emb_quantize
+    * proved), the aggregator accumulates {n, Σqᵢ, Σqᵢqⱼ} per partition
+    * as a flat Array[Long], and partials merge by elementwise addition.
+    *
+    * The covariance/PCA feature-prep primitive at 100 TB: raw vectors
+    * never shuffle — the only bytes crossing the wire are one ~17 KB
+    * state per partition (the posexplode-self-join alternative shuffles
+    * N·d² rows). Integer accumulation makes the state exact and
+    * order-independent; the final covariance is one shared IEEE double
+    * expression over exact inputs, so DuckDB reproduces it bit-for-bit.
+    * The (i,j) wire rows come from a generated pair table cross-joined
+    * against the single state row — 2 080 rows, driver-free.
+    */
+  def embGram(s: SparkSession, d: String): DataFrame =
+    embGramOn(s, Tables.embeddings(s, d))
+
+  /** Core of q_emb_gram over any frame with an `embedding`
+    * Array[Float] column. */
+  def embGramOn(s: SparkSession, embDf: DataFrame): DataFrame = {
+    val dim = 64
+    val gram = udaf(new GramAggregator(dim))
+    val st = embDf
+      .select(expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000) as bigint))").as("q"))
+      .agg(gram(col("q")).as("st"))
+    val pairs = s.range(dim).select(col("id").cast("int").as("i"))
+      .withColumn("j", explode(sequence(col("i"), lit(dim - 1))))
+    // buffer layout: [1]=n, [2..dim+1]=Σq(i), then the upper triangle
+    // at 1-based offset dim+2 + i·dim − i(i−1)/2 + (j−i)
+    val n = element_at(col("st"), 1)
+    val si = element_at(col("st"), col("i") + 2)
+    val sj = element_at(col("st"), col("j") + 2)
+    val sij = element_at(col("st"),
+      expr(s"cast(${dim + 2} + i * $dim - (i * (i - 1)) div 2 + (j - i)" +
+        " as int)"))
+    pairs.withColumn("k", k0(col("i")))
+      .join(broadcast(st.withColumn("k", k0(size(col("st"))))), "k")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        sij.as("s_ij"),
+        round((sij.cast("double") - si.cast("double") * sj.cast("double")
+          / n) / (n - 1), 4).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 }

@@ -214,4 +214,49 @@ object Incremental {
     perOp.unionByName(result.select(col("op"), col("n"), col("sum_v")))
       .orderBy(col("op"))
   }
+
+  /** q_agg_statemerge — incremental rollup via ALGEBRAIC AGGREGATE
+    * STATE: phase 1 reduces raw rows to per-(shipdate, returnflag)
+    * states (n / sum / min / max — each a commutative monoid, so states
+    * re-merge in any order and any grouping), phase 2 consumes ONLY
+    * those state rows to produce the flag-level rollup plus a ledger of
+    * how many state rows (and how many from the post-1995-06-01 "new
+    * batch" slice) were merged.
+    *
+    * This is the daily-job contract at 100 TB: yesterday's stored daily
+    * states merge with today's micro-batch states without rescanning
+    * history — O(|new day|) work instead of O(|history|), and the state
+    * table (|days|×|flags| rows) is the only thing the merge shuffles.
+    * Everything is exact (counts + DECIMAL sums), so the two-phase
+    * result is bit-identical to a direct one-phase aggregate — which is
+    * precisely what the DuckDB oracle twin checks.
+    */
+  def stateMerge(s: SparkSession, d: String): DataFrame =
+    stateMergeOn(Tables.lineitem(s, d))
+
+  /** Core of q_agg_statemerge over any lineitem-shaped frame. */
+  def stateMergeOn(li: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast(DecimalType(12, 2))
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val daily = li
+      .groupBy(col("l_shipdate"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qty).as("sq"),
+        min(qty).as("mn"),
+        max(qty).as("mx"),
+        sum(price).as("sp"))
+    daily
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("n")).as("n"),
+        d2(sum(col("sq"))).as("sum_qty"),
+        d2(min(col("mn"))).as("min_qty"),
+        d2(max(col("mx"))).as("max_qty"),
+        d2(sum(col("sp"))).as("sum_price"),
+        count(lit(1)).as("n_states"),
+        sum(when(col("l_shipdate") >= lit("1995-06-01").cast("date"), 1L)
+          .otherwise(0L)).as("n_batch_states"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -1606,6 +1606,70 @@ object OracleSql {
         |SELECT op, n, sum_v FROM (SELECT * FROM perop
         |  UNION ALL SELECT * FROM res) ORDER BY op""".stripMargin,
 
+    // one-pass Gram state vs the naive pair self-join: the oracle
+    // recomputes every Σq(i)q(j) from scratch — integer-exact, so any
+    // buffer-layout or merge error in the Aggregator breaks the match;
+    // the covariance double expression is shared token-for-token
+    "q_emb_gram" ->
+      """WITH v AS (SELECT vec_id, unnest(range(1, 65)) AS dimn,
+        |  embedding FROM embeddings),
+        |q AS (SELECT vec_id, CAST(dimn - 1 AS BIGINT) AS i,
+        |  CAST(round(CAST(embedding[CAST(dimn AS INT)] AS DOUBLE) * 1000)
+        |    AS BIGINT) AS q FROM v),
+        |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+        |sums AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
+        |pair AS (SELECT a.i AS i, b.i AS j,
+        |  CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT p.i, p.j, p.s_ij,
+        |ROUND((CAST(p.s_ij AS DOUBLE)
+        |  - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / nn.n)
+        |  / (nn.n - 1), 4) AS cov
+        |FROM pair p JOIN sums sa ON p.i = sa.i
+        |JOIN sums sb ON p.j = sb.i CROSS JOIN nn
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    // the bin-grid equi-join is semantics-invisible: the oracle is the
+    // PLAIN non-equi overlap join — any duplicate or lost pair from the
+    // binning/dedup machinery breaks the value match
+    "q_join_interval" ->
+      """WITH promo AS (SELECT CAST(unnest(generate_series(
+        |    DATE '1992-01-01', DATE '1998-12-01', INTERVAL 60 DAY))
+        |    AS DATE) AS p_start),
+        |p2 AS (SELECT p_start, p_start + 13 AS p_end FROM promo),
+        |li AS (SELECT CAST(l_shipdate AS DATE) AS l_shipdate,
+        |  CAST(l_shipdate AS DATE)
+        |    + CAST(1 + (l_orderkey * 7 + l_linenumber) % 28
+        |      AS INT) AS l_receiptdate,
+        |  l_quantity FROM lineitem)
+        |SELECT p_start, COUNT(*) AS n_lines,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |  AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM p2 JOIN li
+        |  ON l_shipdate <= p_end AND l_receiptdate >= p_start
+        |GROUP BY p_start ORDER BY p_start""".stripMargin,
+
+    // two-phase state build + merge replayed verbatim: phase 1 daily
+    // algebraic states, phase 2 consumes only the state rows — exact
+    // decimals make the result bit-identical to a one-phase aggregate
+    "q_agg_statemerge" ->
+      """WITH st AS (SELECT l_shipdate, l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |  MIN(CAST(l_quantity AS DECIMAL(12,2))) AS mn,
+        |  MAX(CAST(l_quantity AS DECIMAL(12,2))) AS mx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp
+        |  FROM lineitem GROUP BY l_shipdate, l_returnflag)
+        |SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS n,
+        |CAST(CAST(SUM(sq) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(MIN(mn) AS DECIMAL(38,2)) AS DOUBLE) AS min_qty,
+        |CAST(CAST(MAX(mx) AS DECIMAL(38,2)) AS DOUBLE) AS max_qty,
+        |CAST(CAST(SUM(sp) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n_states,
+        |CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_states
+        |FROM st GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // salting is semantics-invisible for inner equi joins: the oracle
     // is the PLAIN join — any salt artifact breaks the value match
     "q_join_skew" ->

@@ -290,4 +290,33 @@ class DedupSimSpec extends GraftSuite {
     assert(out(2L) == ((2L, 0.0, 1.0, -1.0, 1.0)))
     assert(out.size == 2)
   }
+
+  test("emb gram: one-pass aggregator state == brute-force pair sums") {
+    val dim = 64
+    // mixed-sign fractions, no representable .5 ties at the 3rd place
+    val vecs = (0 until 5).map { v =>
+      (v.toLong,
+        Array.tabulate(dim)(i => (((v * 31 + i * 7) % 13) - 6) / 3.0f))
+    }
+    val q = vecs.map { case (_, a) =>
+      a.map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val n = vecs.length
+    def sI(i: Int) = q.map(_(i)).sum
+    def sIJ(i: Int, j: Int) = q.map(a => a(i) * a(j)).sum
+    val got = DedupSim.embGramOn(spark, vecs.toDF("vec_id", "embedding"))
+      .collect()
+    assert(got.length == dim * (dim + 1) / 2)
+    val gm = got.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+      ((r.getAs[Long]("s_ij"), r.getAs[Double]("cov")))).toMap
+    for (i <- 0 until dim; j <- i until dim) {
+      val (sij, cov) = gm((i.toLong, j.toLong))
+      assert(sij == sIJ(i, j), s"pair ($i,$j)")
+      val exp = BigDecimal(
+        (sij.toDouble - sI(i).toDouble * sI(j).toDouble / n) / (n - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov == exp, s"cov ($i,$j)")
+    }
+  }
 }

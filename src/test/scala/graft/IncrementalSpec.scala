@@ -93,4 +93,35 @@ class IncrementalSpec extends GraftSuite {
     assert(out("result") == ((3L, 95.0)))
     assert(out.size == 4)
   }
+
+  test("state merge: two-phase algebraic rollup == direct one-phase aggregate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.Tables.lineitem(spark, sf)
+    val merged = Incremental.stateMergeOn(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("sum_qty"),
+        min(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("min_qty"),
+        max(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("max_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).cast("double").as("sum_price"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    for ((f, m) <- merged; d = direct(f)) {
+      assert(m.getAs[Long]("n") == d.getAs[Long]("n"))
+      assert(m.getAs[Double]("sum_qty") == d.getAs[Double]("sum_qty"))
+      assert(m.getAs[Double]("min_qty") == d.getAs[Double]("min_qty"))
+      assert(m.getAs[Double]("max_qty") == d.getAs[Double]("max_qty"))
+      assert(m.getAs[Double]("sum_price") == d.getAs[Double]("sum_price"))
+      // state ledger: more than one state merged, batch slice non-empty
+      // and strictly smaller than the whole history
+      val (ns, nb) = (m.getAs[Long]("n_states"), m.getAs[Long]("n_batch_states"))
+      assert(ns > 1L && nb > 0L && nb < ns)
+    }
+  }
 }

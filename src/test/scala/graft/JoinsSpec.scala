@@ -130,4 +130,38 @@ class JoinsSpec extends GraftSuite {
     assert(got.contains("fuzzy_unique") || got.contains("fuzzy_ambiguous"))
     assert(got.contains("miss") && got.contains("exact"))
   }
+
+  test("interval join: bin-grid equi join == brute-force overlap, boundaries exact") {
+    import java.time.LocalDate
+    // planted shapes: exact-boundary overlaps (a1 == p_start, a0 == p_end),
+    // a long interval spanning several promos/bins, a bin-sharing
+    // non-overlap, and intervals fully outside every promo
+    val rows = Seq(
+      ("1992-01-14", "1992-01-14", 1.0), // a1 == p_end of promo 1
+      ("1992-01-01", "1992-01-01", 2.0), // a0 == p_start of promo 1
+      ("1992-01-15", "1992-01-20", 4.0), // after promo 1, same 30-day bin
+      ("1992-02-25", "1992-03-10", 8.0), // crosses into promo 2 (03-01)
+      ("1992-01-10", "1992-05-20", 16.0), // long span: promos 1..3
+      ("1991-11-01", "1991-12-31", 32.0)) // before the calendar entirely
+      .map { case (a, b, q) =>
+        (java.sql.Date.valueOf(a), java.sql.Date.valueOf(b), new java.math.BigDecimal(q)) }
+      .toDF("l_shipdate", "l_receiptdate", "l_quantity")
+    val promos = Iterator.iterate(LocalDate.parse("1992-01-01"))(_.plusDays(60))
+      .takeWhile(!_.isAfter(LocalDate.parse("1998-12-01")))
+      .map(s => (s, s.plusDays(13))).toSeq
+    val expected = promos.flatMap { case (p0, p1) =>
+      val hits = rows.collect().filter { r =>
+        val a0 = r.getDate(0).toLocalDate; val a1 = r.getDate(1).toLocalDate
+        !a0.isAfter(p1) && !a1.isBefore(p0)
+      }
+      if (hits.isEmpty) None
+      else Some(p0.toString ->
+        ((hits.length.toLong, hits.map(_.getDecimal(2).doubleValue).sum)))
+    }.toMap
+    val got = Joins.joinIntervalOn(spark, rows).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // the long span must have matched 3 distinct promos exactly once each
+    assert(expected.size == 3)
+  }
 }
