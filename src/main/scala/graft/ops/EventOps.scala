@@ -423,4 +423,80 @@ object EventOps {
           .as("sum_fill"))
       .orderBy(col("user_id"))
   }
+
+  /** q_events_sliding_uniques — EXACT distinct users per 3-hour window
+    * sliding hourly. Distinct-over-sliding-windows is the one windowed
+    * metric that is NOT sum-decomposable (hourly distinct counts don't
+    * add — the same user spans hours), so the naive plan dedups the
+    * raw event stream once per window it touches.
+    *
+    * Two-phase shape instead: first reduce events to (hour, user)
+    * partial counts — map-side combinable, bounded by |hours|×|active
+    * users| regardless of event volume — THEN explode only those
+    * reduced rows into the 3 window-starts each hour serves, and let
+    * one distinct aggregate per window finish the job. At 100 TB the
+    * ×3 replication applies to the reduced key table, never the raw
+    * stream, and every stage is a plain hash aggregate. Event counts
+    * (sum-decomposable) ride along for free.
+    */
+  def slidingUniques(s: SparkSession, d: String): DataFrame =
+    slidingUniquesOn(Tables.events(s, d))
+
+  /** Core of q_events_sliding_uniques over any events-shaped frame. */
+  def slidingUniquesOn(eventsDf: DataFrame): DataFrame = {
+    val hu = eventsDf
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .groupBy(col("h"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    hu
+      .select(explode(expr(
+        "array(h, h - interval 1 hour, h - interval 2 hours)"))
+        .as("wstart"), col("user_id"), col("n"))
+      .groupBy(col("wstart"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("wstart"))
+  }
+
+  /** q_encode_delta — delta+varint STORAGE ADVISOR for the event-time
+    * column: per user, sort events by time, take successive gaps in µs,
+    * and price each gap at its LEB128 varint width (1 byte per started
+    * 7-bit group) against the flat 8-byte raw encoding — the
+    * sortedness/compressibility probe a columnar layout optimizer runs
+    * before choosing an encoding at 100 TB.
+    *
+    * Integer-exact everywhere: widths come from a 10-arm threshold CASE
+    * on the gap (shared verbatim with the oracle), not from float
+    * log₂ — so the byte totals are engine-identical. One shuffle by
+    * user_id feeding a window lag; the rollup reuses the same
+    * partitioning.
+    */
+  def encodeDelta(s: SparkSession, d: String): DataFrame =
+    encodeDeltaOn(Tables.events(s, d))
+
+  /** Core of q_encode_delta over any events-shaped frame. */
+  def encodeDeltaOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    // LEB128 width: smallest b with gap < 128^b (gap 0 → 1 byte);
+    // explicit literals — 128^9 would saturate a Long
+    val pow128 = Seq(128L, 16384L, 2097152L, 268435456L, 34359738368L,
+      4398046511104L, 562949953421312L, 72057594037927936L)
+    val width = pow128.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (t, i)) => acc.when(col("gap") < t, i + 1)
+    }.otherwise(9)
+    eventsDf
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("vbytes",
+        when(col("gap").isNull, 8L).otherwise(width.cast("long")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(col("vbytes")).as("delta_bytes"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1606,6 +1606,40 @@ object OracleSql {
         |SELECT op, n, sum_v FROM (SELECT * FROM perop
         |  UNION ALL SELECT * FROM res) ORDER BY op""".stripMargin,
 
+    // the (hour,user) pre-reduction is semantics-invisible: the oracle
+    // replays the same two-phase shape — any window-start arithmetic or
+    // dedup slip breaks both the distinct and the ride-along counts
+    "q_events_sliding_uniques" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  user_id FROM events),
+        |hu AS (SELECT h, user_id, COUNT(*) AS n FROM e GROUP BY h, user_id),
+        |x AS (SELECT h - i.i * (INTERVAL '1 hour') AS wstart, user_id, n
+        |      FROM hu, (SELECT unnest(range(0, 3)) AS i) i)
+        |SELECT wstart, COUNT(DISTINCT user_id) AS n_users,
+        |CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM x GROUP BY wstart ORDER BY wstart""".stripMargin,
+
+    // LEB128 widths from the SAME 10-arm threshold CASE — integer-exact
+    "q_encode_delta" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  event_id FROM events),
+        |l AS (SELECT user_id, us - LAG(us) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id) AS gap FROM e),
+        |v AS (SELECT user_id, gap,
+        |  CASE WHEN gap IS NULL THEN 8
+        |       WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |       WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |       WHEN gap < 34359738368 THEN 5
+        |       WHEN gap < 4398046511104 THEN 6
+        |       WHEN gap < 562949953421312 THEN 7
+        |       WHEN gap < 72057594037927936 THEN 8 ELSE 9 END AS vbytes
+        |  FROM l)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+        |CAST(SUM(vbytes) AS BIGINT) AS delta_bytes,
+        |CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // one-pass Gram state vs the naive pair self-join: the oracle
     // recomputes every Σq(i)q(j) from scratch — integer-exact, so any
     // buffer-layout or merge error in the Aggregator breaks the match;

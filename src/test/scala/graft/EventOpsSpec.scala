@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.EventOps
-import org.apache.spark.sql.functions.{col, to_timestamp}
+import org.apache.spark.sql.functions.{col, timestamp_micros, to_timestamp}
 
 /** Planted-case tests for the behavioral-analytics operators
   * (q_events_funnel, q_events_retention). The oracle gate value-checks
@@ -266,5 +266,43 @@ class EventOpsSpec extends GraftSuite {
       .withColumn("ts", to_timestamp(col("t"))).drop("t")
     val out = EventOps.resampleOn(log).collect()
     assert(out.length == 1 && out.head.getAs[Double]("sum_fill") == 3.0)
+  }
+
+  test("sliding uniques: user spanning two hours counted once per shared window") {
+    val log = Seq(
+      (1L, 1L, "2024-01-01 10:10:00"), // u1 in hour 10
+      (1L, 2L, "2024-01-01 11:10:00"), // u1 again in hour 11
+      (2L, 3L, "2024-01-01 11:20:00")) // u2 in hour 11
+      .toDF("user_id", "event_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventOps.slidingUniquesOn(log).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_events")))).toMap
+    // a window [w, w+3h) covers hours {w, w+1h, w+2h}; u1 appears in
+    // hours 10 and 11 but counts once per shared window
+    assert(out("2024-01-01 08:00:00.0") == ((1L, 1L))) // covers h10 only
+    assert(out("2024-01-01 09:00:00.0") == ((2L, 3L))) // h09..h11: all 3
+    assert(out("2024-01-01 10:00:00.0") == ((2L, 3L))) // h10..h12: all 3
+    assert(out("2024-01-01 11:00:00.0") == ((2L, 2L))) // h11 only
+    assert(out.size == 4)
+  }
+
+  test("encode delta: varint widths follow the 128^b thresholds exactly") {
+    val base = 1700000000000000L // µs
+    // gaps: 0 (1B), 127 (1B), 128 (2B), 16384 (3B), 2_097_152 (4B)
+    val gaps = Seq(0L, 127L, 128L, 16384L, 2097152L)
+    val times = gaps.scanLeft(base)(_ + _)
+    val log = times.zipWithIndex.map { case (us, i) =>
+      (7L, i.toLong, us)
+    }.toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = EventOps.encodeDeltaOn(log).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("raw_bytes") == 48L)
+    // first event 8B + 1+1+2+3+4
+    assert(r.getAs[Long]("delta_bytes") == 19L)
+    assert(r.getAs[Long]("max_gap_us") == 2097152L)
   }
 }
