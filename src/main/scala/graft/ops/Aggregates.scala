@@ -365,4 +365,44 @@ object Aggregates {
         col("n_mode"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q_agg_bitmap — RE-MERGEABLE exact-distinct state: daily per-type
+    * user bitmaps (typed [[BitmapBuildAggregator]]), OR-merged across
+    * days per type ([[BitmapMergeAggregator]]), finished with a bitset
+    * popcount — against the per-day distinct sum that (wrongly) adds.
+    *
+    * This is the exact-distinct sibling of q_agg_statemerge: plain
+    * COUNT(DISTINCT) results are a dead end for incremental pipelines
+    * (distincts don't add), but bitmap states OR together — commutative
+    * AND idempotent, so overlapping inputs never double-count — which
+    * is how a 100 TB warehouse answers "uniques over any date range"
+    * from daily states without rescanning raw events. The wire between
+    * the two levels carries |days|×|types| bitmaps (≤ id-space/8
+    * bytes each; roaring-compressed in a production id space), never
+    * raw ids. popcount rides `bit_count` inside codegen.
+    */
+  def aggBitmap(s: SparkSession, d: String): DataFrame =
+    aggBitmapOn(Tables.events(s, d))
+
+  /** Core of q_agg_bitmap over any events-shaped frame. */
+  def aggBitmapOn(ev: DataFrame): DataFrame = {
+    val build = udaf(new BitmapBuildAggregator())
+    val orAgg = udaf(new BitmapMergeAggregator())
+    val pop = (c: String) => expr(
+      s"aggregate(transform($c, w -> bit_count(w)), 0, (a, x) -> a + x)")
+    val daily = ev
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(build(col("user_id")).as("bm"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(pop("bm")).as("sum_daily_uniques"),
+        orAgg(col("bm")).as("merged"))
+      .select(col("event_type"), col("n_days"),
+        col("sum_daily_uniques").cast("long").as("sum_daily_uniques"),
+        pop("merged").cast("long").as("n_uniques"))
+      .orderBy(col("event_type"))
+  }
 }

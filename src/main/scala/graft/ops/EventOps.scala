@@ -424,6 +424,60 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** q_events_interp — LINEAR interpolation over the per-user hourly
+    * series, summed WITHOUT materializing the dense grid: for a gap of
+    * m hours between observations a and b, the interior interpolated
+    * values sum to the closed form (m−1)(a+b)/2 — so the dense-series
+    * total is Σ observed + Σ per-gap closed forms, computed in ONE
+    * window-lag pass over the (user, hour) reduction.
+    *
+    * The plan contrast to q_events_resample (which must materialize the
+    * grid because forward-fill has no closed form): at 100 TB a sparse
+    * series with year-long gaps explodes a sequence() grid to
+    * |span-hours| rows per user, while this stays at |observations|
+    * rows end to end. Exactness: (m−1)(a+b) is integer×DECIMAL(12,2)
+    * and halving adds at most one decimal digit, so the whole sum rides
+    * DECIMAL(38,3) — engine-identical, no float accumulation.
+    */
+  def interp(s: SparkSession, d: String): DataFrame =
+    interpOn(Tables.events(s, d))
+
+  /** Core of q_events_interp over any events-shaped frame. */
+  def interpOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val hr = date_trunc("hour", col("ts"))
+    val ord = (unix_micros(col("ts")) - unix_micros(hr)) * 1000000000L +
+      col("event_id")
+    val hourly = eventsDf
+      .select(col("user_id"), hr.as("hr"),
+        col("value").cast(DecimalType(12, 2)).as("v"), ord.as("ord"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(max_by(col("v"), col("ord")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val paired = hourly
+      .withColumn("phr", lag(col("hr"), 1).over(w))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      // exact integer gap length (observations sit on exact hours)
+      .withColumn("m",
+        expr("(unix_micros(hr) - unix_micros(phr)) div 3600000000"))
+    // ×2 trick: accumulate 2·Σobs + Σ(m−1)(a+b) as exact DECIMAL and
+    // halve only after the double cast — /2 is exact in binary, so no
+    // decimal-division scale rules enter on either engine
+    paired
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        expr("(max(unix_micros(hr)) - min(unix_micros(hr)))" +
+          " div 3600000000 + 1").as("n_hours"),
+        ((sum(col("v")) * 2 +
+          sum(when(col("phr").isNotNull,
+            (col("m") - 1) * (col("pv") + col("v"))).otherwise(lit(0))
+            .cast(DecimalType(38, 2))))
+          .cast(DecimalType(38, 2)).cast("double") / 2).as("sum_dense"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_events_sliding_uniques — EXACT distinct users per 3-hour window
     * sliding hourly. Distinct-over-sliding-windows is the one windowed
     * metric that is NOT sum-decomposable (hourly distinct counts don't

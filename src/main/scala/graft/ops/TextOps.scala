@@ -1023,4 +1023,37 @@ object TextOps {
           / 100000000.0, 6).as("mean_score"))
       .orderBy(col("source"))
   }
+
+  /** q_text_chunk_dedup — CONTENT-DEFINED CHUNKING + chunk-level dedup
+    * ledger per source: documents split at rolling-hash-gated
+    * boundaries (`cdc_split(text, 8, 64)` — the native codegen
+    * expression in functions/CdcSplit.scala), chunks fingerprinted and
+    * counted distinct.
+    *
+    * Why content-defined: fixed-width chunks shift every boundary on a
+    * one-byte edit so near-identical docs share nothing; hash-gated
+    * boundaries re-synchronise right after the edit — the property
+    * chunk-level dedup (FastCDC/LBFS lineage) depends on. At 100 TB
+    * the split is row-local inside whole-stage codegen (one O(n)
+    * rolling pass per doc, no UDF boundary), and the only shuffle
+    * carries fixed-width md5 fingerprints, not chunk text.
+    */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedupOn(Tables.documents(s, d))
+
+  /** Core of q_text_chunk_dedup over any documents-shaped frame. */
+  def chunkDedupOn(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("cdc_split(text, 8, 64)")).as("chunk"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(md5(col("chunk"))).as("n_uniq_chunks"),
+        sum(length(col("chunk"))).as("sum_chars"),
+        round(sum(length(col("chunk"))).cast("double") / count(lit(1)), 4)
+          .as("avg_len"))
+      .orderBy(col("source"))
+  }
 }

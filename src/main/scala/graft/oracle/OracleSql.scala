@@ -1606,6 +1606,85 @@ object OracleSql {
         |SELECT op, n, sum_v FROM (SELECT * FROM perop
         |  UNION ALL SELECT * FROM res) ORDER BY op""".stripMargin,
 
+    // the bitmap machinery is semantics-invisible: the oracle computes
+    // both the per-day distinct sum and the true range distinct
+    // directly — any bit-indexing or OR-merge error shows as a count
+    "q_agg_bitmap" ->
+      """WITH d AS (SELECT event_type,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        |  FROM events),
+        |du AS (SELECT event_type, day, COUNT(DISTINCT user_id) AS u
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(u) AS BIGINT) AS sum_daily_uniques
+        |  FROM du GROUP BY 1),
+        |m AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_uniques
+        |  FROM d GROUP BY 1)
+        |SELECT t.event_type, n_days, sum_daily_uniques, n_uniques
+        |FROM t JOIN m ON t.event_type = m.event_type
+        |ORDER BY t.event_type""".stripMargin,
+
+    // the oracle recomputes the rolling hash WINDOWED (explicit 31^k
+    // literals, newest char at 31^0 — same polynomial the O(n) rolling
+    // evaluator maintains) — any drift in the boundary rule or chunk
+    // slicing breaks the per-source fingerprint counts
+    "q_text_chunk_dedup" ->
+      """WITH c AS (SELECT doc_id, source, text AS s, length(text) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, s, n,
+        |  list_filter(range(8, n + 1), i ->
+        |    (CAST(unicode(s[i]) AS BIGINT) * 1 +
+        |     CAST(unicode(s[i-1]) AS BIGINT) * 31 +
+        |     CAST(unicode(s[i-2]) AS BIGINT) * 961 +
+        |     CAST(unicode(s[i-3]) AS BIGINT) * 29791 +
+        |     CAST(unicode(s[i-4]) AS BIGINT) * 923521 +
+        |     CAST(unicode(s[i-5]) AS BIGINT) * 28629151 +
+        |     CAST(unicode(s[i-6]) AS BIGINT) * 887503681 +
+        |     CAST(unicode(s[i-7]) AS BIGINT) * 27512614111) % 64 = 0)
+        |    AS bs
+        |  FROM c),
+        |e AS (SELECT doc_id, source, s, n,
+        |  CASE WHEN n < 8 THEN [CAST(0 AS BIGINT), CAST(n AS BIGINT)]
+        |       ELSE [CAST(0 AS BIGINT)] || bs ||
+        |            CASE WHEN len(bs) > 0 AND bs[-1] = n
+        |                 THEN CAST([] AS BIGINT[])
+        |                 ELSE [CAST(n AS BIGINT)] END END AS cuts
+        |  FROM b),
+        |ch AS (SELECT source, doc_id,
+        |  unnest(list_transform(range(1, len(cuts)), i ->
+        |    s[cuts[i] + 1 : cuts[i + 1]])) AS chunk FROM e)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+        |COUNT(*) AS n_chunks,
+        |COUNT(DISTINCT md5(chunk)) AS n_uniq_chunks,
+        |CAST(SUM(length(chunk)) AS BIGINT) AS sum_chars,
+        |ROUND(CAST(SUM(length(chunk)) AS DOUBLE) / COUNT(*), 4)
+        |  AS avg_len
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // closed-form gap sums — the oracle replays lag + (m−1)(a+b) and
+    // the ×2-then-halve-after-double trick; any off-by-one in the gap
+    // arithmetic or a missed observation breaks the exact total
+    "q_events_interp" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |h AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+        |  arg_max(v, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+        |    * 1000000000 + event_id) AS v
+        |  FROM e GROUP BY 1, 2),
+        |l AS (SELECT user_id, hr, v,
+        |  LAG(hr) OVER (PARTITION BY user_id ORDER BY hr) AS phr,
+        |  LAG(v) OVER (PARTITION BY user_id ORDER BY hr) AS pv FROM h)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |CAST((epoch_us(MAX(hr)) - epoch_us(MIN(hr))) // 3600000000 + 1
+        |  AS BIGINT) AS n_hours,
+        |CAST(CAST(SUM(v) * 2 + SUM(CASE WHEN phr IS NOT NULL
+        |    THEN ((epoch_us(hr) - epoch_us(phr)) // 3600000000 - 1)
+        |         * (pv + v)
+        |    ELSE CAST(0 AS DECIMAL(38,2)) END)
+        |  AS DECIMAL(38,2)) AS DOUBLE) / 2 AS sum_dense
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // the (hour,user) pre-reduction is semantics-invisible: the oracle
     // replays the same two-phase shape — any window-start arithmetic or
     // dedup slip breaks both the distinct and the ride-along counts

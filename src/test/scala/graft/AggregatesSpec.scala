@@ -217,4 +217,26 @@ class AggregatesSpec extends GraftSuite {
       assert(out(flag) == ((expectQty, maxN)), s"flag $flag")
     }
   }
+
+  test("bitmap distinct: daily states OR-merge without double counting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // user 1 active both days (overlap), users 2/3 one day each; user
+    // 130 forces a bitmap grow across word boundaries
+    val log = Seq(
+      ("click", "2024-01-01 10:00:00", 1L),
+      ("click", "2024-01-01 11:00:00", 2L),
+      ("click", "2024-01-02 10:00:00", 1L), // same user, next day
+      ("click", "2024-01-02 11:00:00", 130L),
+      ("view", "2024-01-01 10:00:00", 3L))
+      .toDF("event_type", "t", "user_id")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Aggregates.aggBitmapOn(log).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("sum_daily_uniques"), r.getAs[Long]("n_uniques"))))
+      .toMap
+    // daily sum counts user 1 twice; the merged bitmap doesn't
+    assert(out("click") == ((2L, 4L, 3L)))
+    assert(out("view") == ((1L, 1L, 1L)))
+  }
 }

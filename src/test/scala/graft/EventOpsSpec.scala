@@ -268,6 +268,24 @@ class EventOpsSpec extends GraftSuite {
     assert(out.length == 1 && out.head.getAs[Double]("sum_fill") == 3.0)
   }
 
+  test("interp: closed-form gap sums equal the explicit dense series") {
+    val log = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),
+      (1L, 2L, "2024-01-01 13:00:00", 4.0), // gap 3h: interior 2,3
+      (2L, 3L, "2024-01-01 10:00:00", 1.0),
+      (2L, 4L, "2024-01-01 12:00:00", 2.0), // gap 2h: interior 1.5
+      (3L, 5L, "2024-01-01 09:00:00", 7.0)) // single obs, no gaps
+      .toDF("user_id", "event_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventOps.interpOn(log).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_obs"),
+        r.getAs[Long]("n_hours"), r.getAs[Double]("sum_dense")))).toMap
+    assert(out(1L) == ((2L, 4L, 10.0))) // 1+2+3+4
+    assert(out(2L) == ((2L, 3L, 4.5)))  // 1+1.5+2
+    assert(out(3L) == ((1L, 1L, 7.0)))
+    assert(out.size == 3)
+  }
+
   test("sliding uniques: user spanning two hours counted once per shared window") {
     val log = Seq(
       (1L, 1L, "2024-01-01 10:10:00"), // u1 in hour 10
