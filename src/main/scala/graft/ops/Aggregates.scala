@@ -386,13 +386,24 @@ object Aggregates {
 
   /** Core of q_agg_bitmap over any events-shaped frame. */
   def aggBitmapOn(ev: DataFrame): DataFrame = {
-    val build = udaf(new BitmapBuildAggregator())
+    val cap = 1L << 26
+    val build = udaf(new BitmapBuildAggregator(cap))
     val orAgg = udaf(new BitmapMergeAggregator())
     val pop = (c: String) => expr(
       s"aggregate(transform($c, w -> bit_count(w)), 0, (a, x) -> a + x)")
+    // DOCUMENTED LIMITATION (SURVEY §2.4): the dense bitset covers ids in
+    // [0, 2^26) — 8 MiB per group at the cap. An id outside that range is
+    // a sparse id space that needs a compressed (roaring) bitmap, so fail
+    // with a named, actionable error in-plan rather than an opaque
+    // executor require() deep inside the aggregator.
+    val guarded = when(col("user_id").between(0, cap - 1), col("user_id"))
+      .otherwise(raise_error(concat(
+        lit("q_agg_bitmap: user_id "), col("user_id").cast("string"),
+        lit(s" outside dense-bitmap id range [0, $cap); use a compressed" +
+          " (roaring) bitmap for sparse id spaces"))).cast("long"))
     val daily = ev
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        col("user_id"))
+        guarded.as("user_id"))
       .groupBy(col("event_type"), col("day"))
       .agg(build(col("user_id")).as("bm"))
     daily

@@ -1009,8 +1009,13 @@ object DedupSim {
       .join(broadcast(st.withColumn("k", k0(size(col("st"))))), "k")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         sij.as("s_ij"),
-        round((sij.cast("double") - si.cast("double") * sj.cast("double")
-          / n) / (n - 1), 4).as("cov"))
+        // n is the aggregator's ROW count (state[0]); the oracle's nn
+        // matches with COUNT(*), not COUNT(DISTINCT vec_id). Guard the
+        // n=1 degenerate input on both engines identically (NULL cov).
+        when(n > 1,
+          round((sij.cast("double") - si.cast("double") * sj.cast("double")
+            / n) / (n - 1), 4)).otherwise(lit(null).cast("double"))
+          .as("cov"))
       .orderBy(col("i"), col("j"))
   }
 }

@@ -435,9 +435,11 @@ object EventOps {
     * grid because forward-fill has no closed form): at 100 TB a sparse
     * series with year-long gaps explodes a sequence() grid to
     * |span-hours| rows per user, while this stays at |observations|
-    * rows end to end. Exactness: (m−1)(a+b) is integer×DECIMAL(12,2)
-    * and halving adds at most one decimal digit, so the whole sum rides
-    * DECIMAL(38,3) — engine-identical, no float accumulation.
+    * rows end to end. Exactness: the DOUBLED total 2·Σobs +
+    * Σ(m−1)(a+b) is integer×DECIMAL(12,2) arithmetic and stays at
+    * DECIMAL(38,2) throughout; the exact /2 happens in binary only
+    * after the final double cast (halving a binary float is exact), so
+    * no decimal-division scale rules enter on either engine.
     */
   def interp(s: SparkSession, d: String): DataFrame =
     interpOn(Tables.events(s, d))

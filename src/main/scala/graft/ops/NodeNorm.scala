@@ -143,6 +143,87 @@ object NodeNorm {
       }.mkString("{", ",", "}")
   }
 
+  /** Deterministic in-JVM service whose equivalence sets OVERLAP across
+    * keys — the structure that makes transitive merge real: key k
+    * answers equivalents {EQ:k} ∪ {EQ:k+1 unless k ≡ 7 (mod 8)}, so
+    * CUST:k and CUST:k+1 share EQ:k+1 and chain into blocks of 8 —
+    * while CUST:k and CUST:k+2 share NOTHING directly and merge only
+    * through the chain. Keys divisible by 7 return `null` (unknown
+    * CURIE), which BREAKS the chain at that key — the
+    * failure/partial-outage interplay a real normalization run has.
+    * Pure arithmetic on the id suffix, so DuckDB replicates it. */
+  class EquivNormService extends NormTransport {
+    def post(ids: Seq[String]): String =
+      ids.map { id =>
+        val k = id.substring(id.indexOf(':') + 1).toLong
+        val v =
+          if (k % 7 != 0) {
+            val eqs = Seq(s"EQ:$k") ++
+              (if (k % 8 != 7) Seq(s"EQ:${k + 1}") else Seq.empty)
+            s"""{"id":{"identifier":"EQ:$k","label":"cust $k"},""" +
+              eqs.map(e => s"""{"identifier":"$e"}""")
+                .mkString(""""equivalent_identifiers":[""", ",", "],") +
+              s""""type":["biolink:Agent"]}"""
+          } else "null"
+        s""""$id":$v"""
+      }.mkString("{", ",", "}")
+  }
+
+  /** q_norm_equiv — equivalent-identifier COLLAPSE through the
+    * equivalence GRAPH, the reference's actual kgx_file_normalizer
+    * merge semantic (SURVEY §3.1 EP2 step 3): two raw ids must land in
+    * one merged node when their `equivalent_identifiers` sets overlap
+    * TRANSITIVELY (A≡B, B≡C ⇒ {A,B,C} even though A∩C = ∅) — direct
+    * canonical-id equality (q_graph_node_merge) under-merges exactly
+    * those chains. Raw ids and equivalent ids form a bipartite graph
+    * (raw k → node 2k, equivalent n → node 2n+1 — disjoint long
+    * encodings DuckDB mirrors with arithmetic); connected components
+    * over it ARE the merge groups. Per merged node: canonical
+    * `NORM:<min raw key>`, raw-member count, distinct equivalent-id
+    * count, and the sorted member list (the merge ledger).
+    *
+    * Scale shape: the service fetch is the batched EP2 transport
+    * (partition-local batches), pairs are |ids|×(≤2) rows, CC runs on
+    * the pair graph via the alternating-star [[GraphOps.ccLabels]]
+    * (O(log n) rounds, hash aggs + equi joins only), and the ledger is
+    * one hash agg per component. Components are bounded by the
+    * equivalence structure (a CURIE's synonym set), never corpus-sized,
+    * so the collect_list member roster stays task-safe at 100 TB. */
+  def normEquiv(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.customer(s, d)
+      .select(concat(lit("CUST:"), col("c_custkey")).as("raw_id"))
+    val failDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_equivfail_${d.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    normEquivOn(
+      normalizeBatched(ids, "raw_id", 500, new EquivNormService, failDir))
+  }
+
+  /** Core of q_norm_equiv over any parsed mapping table with string
+    * `raw_id` (`PREFIX:<long>`) and `equivalent_ids` columns. */
+  def normEquivOn(parsed: DataFrame): DataFrame = {
+    val key = (c: Column) => split(c, ":").getItem(1).cast("long")
+    val pairs = parsed
+      .filter(col("canonical_id").isNotNull)
+      .select((key(col("raw_id")) * 2).as("a"),
+        explode(col("equivalent_ids")).as("eq"))
+      .select(col("a"), (key(col("eq")) * 2 + 1).as("b"))
+    val labels = ScratchCache.cache(GraphOps.ccLabels(pairs))
+    val raw = labels.filter(col("node") % 2 === 0)
+      .select(col("comp"), expr("node div 2").as("k"))
+    val eqn = labels.filter(col("node") % 2 === 1)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_equiv"))
+    raw.groupBy(col("comp"))
+      .agg(concat(lit("NORM:"), min(col("k"))).as("merged_id"),
+        count(lit(1)).as("n_raw"),
+        array_join(transform(array_sort(collect_list(col("k"))),
+          (k: Column) => concat(lit("CUST:"), k)), ",").as("members"))
+      .join(eqn, "comp")
+      .select(col("merged_id"), col("n_raw"), col("n_equiv"),
+        col("members"))
+      .orderBy(col("merged_id"))
+  }
+
   /** q_norm_batch — the batched transport run end-to-end on customer
     * CURIEs (batch size 400) against [[CustNormService]], returning
     * the per-id normalization outcome (retained AND failed rows, the

@@ -781,6 +781,54 @@ object OracleSql {
         |SELECT a, b, containment FROM j WHERE containment >= 0.8
         |ORDER BY a, b""".stripMargin,
 
+    // The full dedup RUN, oracle-chained from two proven twins: the
+    // q_dedup_ngram exact inverted-index pair join feeds the
+    // q_graph_cc pointer-doubling CC rounds (min-propagate over the
+    // undirected pair set, then one pointer jump per round — 8 rounds
+    // covers component diameter 2^8, far past any near-clique dup
+    // cluster), then min-doc_id survivor classification and the
+    // per-source ledger. Counts CAST to BIGINT (DuckDB SUM is HUGEINT
+    // → float64 on the wire otherwise).
+    "q_dedup_cluster" -> {
+      val rounds = 8
+      val base =
+        """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS p FROM documents),
+          |e AS (SELECT doc_id, p, unnest(range(1, len(p) - 3)) AS i
+          |  FROM d WHERE len(p) >= 5),
+          |g AS (SELECT DISTINCT doc_id,
+          |  array_to_string(list_slice(p, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS ng
+          |  FROM e),
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+          |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+          |  FROM g x JOIN g y ON x.ng = y.ng AND x.doc_id < y.doc_id
+          |  GROUP BY a, b),
+          |pairs AS MATERIALIZED (SELECT a, b FROM pr
+          |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+          |    >= 0.5),
+          |ue AS MATERIALIZED (SELECT a, b FROM pairs
+          |  UNION ALL SELECT b AS a, a AS b FROM pairs),
+          |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue GROUP BY a)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
+           |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
+           |  JOIN l${k - 1} la ON ue.a = la.node
+           |  JOIN l${k - 1} lb ON ue.b = lb.node GROUP BY ue.a),
+           |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp) AS comp
+           |  FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", "\n") +
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |CAST(SUM(CASE WHEN l.comp IS NOT NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS n_in_dup_clusters,
+           |CAST(SUM(CASE WHEN l.comp IS NOT NULL AND l.comp <> doc_id
+           |  THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |CAST(COUNT(*) - SUM(CASE WHEN l.comp IS NOT NULL
+           |  AND l.comp <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents LEFT JOIN l$rounds l ON documents.doc_id = l.node
+           |GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT x.vec_id AS a, y.vec_id AS b,
@@ -1088,6 +1136,44 @@ object OracleSql {
         |  UNION ALL SELECT 'merged_edges', c.n + nn.n FROM c, nn
         |  UNION ALL SELECT 'written_edges', c.n + nn.n FROM c, nn)
         |SELECT stage, CAST(n AS BIGINT) AS n FROM l ORDER BY stage""".stripMargin,
+
+    // Equivalence-graph collapse: the oracle rebuilds the
+    // EquivNormService arithmetic (k%7 failures, EQ:k / EQ:k+1 overlap
+    // chains broken at k%8==7), mirrors the bipartite long encoding
+    // (raw k → 2k, equivalent n → 2n+1), and runs the same
+    // pointer-doubling CC rounds as q_graph_cc — transitive merges
+    // (A≡B, B≡C, A∩C=∅) must come out identical on both engines.
+    "q_norm_equiv" -> {
+      val rounds = 8
+      val base =
+        """WITH c AS (SELECT c_custkey AS k FROM customer
+          |  WHERE c_custkey % 7 <> 0),
+          |pe AS MATERIALIZED (SELECT 2 * k AS a, 2 * k + 1 AS b FROM c
+          |  UNION ALL
+          |  SELECT 2 * k AS a, 2 * (k + 1) + 1 AS b FROM c WHERE k % 8 <> 7),
+          |ue AS MATERIALIZED (SELECT a, b FROM pe
+          |  UNION ALL SELECT b AS a, a AS b FROM pe),
+          |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue GROUP BY a)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
+           |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
+           |  JOIN l${k - 1} la ON ue.a = la.node
+           |  JOIN l${k - 1} lb ON ue.b = lb.node GROUP BY ue.a),
+           |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp) AS comp
+           |  FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", ",\n") +
+        s"""rw AS (SELECT comp, node // 2 AS k FROM l$rounds
+           |  WHERE node % 2 = 0),
+           |eqn AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_equiv
+           |  FROM l$rounds WHERE node % 2 = 1 GROUP BY comp)
+           |SELECT 'NORM:' || CAST(MIN(rw.k) AS VARCHAR) AS merged_id,
+           |CAST(COUNT(*) AS BIGINT) AS n_raw, eqn.n_equiv,
+           |string_agg('CUST:' || CAST(rw.k AS VARCHAR), ',' ORDER BY rw.k)
+           |  AS members
+           |FROM rw JOIN eqn USING (comp) GROUP BY rw.comp, eqn.n_equiv
+           |ORDER BY merged_id""".stripMargin
+    },
 
     "q_norm_batch" ->
       """SELECT 'CUST:' || c_custkey AS raw_id,
@@ -1729,16 +1815,16 @@ object OracleSql {
         |q AS (SELECT vec_id, CAST(dimn - 1 AS BIGINT) AS i,
         |  CAST(round(CAST(embedding[CAST(dimn AS INT)] AS DOUBLE) * 1000)
         |    AS BIGINT) AS q FROM v),
-        |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
         |sums AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
         |pair AS (SELECT a.i AS i, b.i AS j,
         |  CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij
         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY a.i, b.i)
         |SELECT p.i, p.j, p.s_ij,
-        |ROUND((CAST(p.s_ij AS DOUBLE)
+        |CASE WHEN nn.n > 1 THEN ROUND((CAST(p.s_ij AS DOUBLE)
         |  - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / nn.n)
-        |  / (nn.n - 1), 4) AS cov
+        |  / (nn.n - 1), 4) ELSE NULL END AS cov
         |FROM pair p JOIN sums sa ON p.i = sa.i
         |JOIN sums sb ON p.j = sb.i CROSS JOIN nn
         |ORDER BY p.i, p.j""".stripMargin,

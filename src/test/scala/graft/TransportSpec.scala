@@ -197,4 +197,43 @@ class TransportSpec extends GraftSuite {
       assert(hits.get() == before) // /nope never reaches the context counter
     } finally server.stop(0)
   }
+
+  test("normEquiv: transitive merge through overlapping equivalence " +
+      "sets — A~B, B~C share nothing directly yet land in one node") {
+    // planted fixture: CUST:1 {EQ:10,EQ:11}, CUST:2 {EQ:11,EQ:12},
+    // CUST:3 {EQ:12} — 1 and 3 share NO equivalent id, only the chain;
+    // CUST:9 isolated; CUST:5 failed normalization (dropped)
+    val parsed = Seq(
+      ("CUST:1", "EQ:10", Seq("EQ:10", "EQ:11")),
+      ("CUST:2", "EQ:11", Seq("EQ:11", "EQ:12")),
+      ("CUST:3", "EQ:12", Seq("EQ:12")),
+      ("CUST:9", "EQ:99", Seq("EQ:99")),
+      ("CUST:5", null, null)
+    ).toDF("raw_id", "canonical_id", "equivalent_ids")
+    val out = NodeNorm.normEquivOn(parsed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq(
+      ("NORM:1", 3L, 3L, "CUST:1,CUST:2,CUST:3"),
+      ("NORM:9", 1L, 1L, "CUST:9")))
+  }
+
+  test("normEquiv end-to-end: EquivNormService chains break at " +
+      "failures (k%7) and block boundaries (k%8==7)") {
+    val ids = (1 to 20).map(k => s"CUST:$k").toDF("raw_id")
+    val failDir = java.nio.file.Files
+      .createTempDirectory("graft_equivspec").toString + "/out"
+    val parsed = NodeNorm.normalizeBatched(
+      ids, "raw_id", 6, new NodeNorm.EquivNormService, failDir)
+    val out = NodeNorm.normEquivOn(parsed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ScratchCache.releaseAll()
+    // 7 and 14 fail; 15%8==7 has no forward link; 20 links to EQ:21
+    assert(out.toSeq == Seq(
+      ("NORM:1", 6L, 7L),   // 1..6 + EQ:1..7 (6's set names EQ:7)
+      ("NORM:15", 1L, 1L),  // isolated: 14 failed, no forward link
+      ("NORM:16", 5L, 6L),  // 16..20 + EQ:16..21
+      ("NORM:8", 6L, 7L)))  // 8..13 + EQ:8..14 (14 failed)
+  }
 }
