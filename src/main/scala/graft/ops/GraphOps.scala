@@ -380,6 +380,61 @@ object GraphOps {
       .orderBy(col("hop"))
   }
 
+  /** q_onto_closure — bounded is_a ANCESTOR CLOSURE over an ontology
+    * term DAG (the [[Obo.readEdges]] subject/object shape): for every
+    * term, the set of ancestors reachable through ≤ 4 is_a hops, each
+    * with its MINIMUM depth — the Biolink category-LINEAGE expansion
+    * the reference's normalization attaches to every node (a category
+    * filter is a lineage filter: asking for biolink:Disease must match
+    * every descendant class). Diamonds (two is_a paths to one
+    * ancestor) collapse to one row at the shorter depth.
+    *
+    * The term DAG derives deterministically from `part`: term T:k
+    * is_a T:(k div 2), plus a second parent T:(k div 3) when 3 | k —
+    * a diamond-rich DAG (k=6 reaches T:1 through both T:3 and T:2)
+    * whose arithmetic DuckDB replays exactly.
+    *
+    * Scale shape: ontologies are DIMENSION data (MBs against a 100 TB
+    * node table), so the edge set is broadcast and each hop of the
+    * unrolled frontier expansion is a BROADCAST equi join + distinct —
+    * no shuffle grows with depth; min-depth resolution is one hash
+    * aggregate over the ≤ 4 unioned hop frames, and the closure table
+    * itself (|terms| × avg-lineage rows) is the broadcastable artifact
+    * downstream category filters join against. Unbounded-depth
+    * closures become the ccLabels checkpoint loop; at fixed small
+    * depth the unrolled lazy plan is strictly better. */
+  def ontoClosure(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val t = (c: Column) => concat(lit("T:"), c)
+    val e1 = part.filter(col("p_partkey") >= 1)
+      .select(t(col("p_partkey")).as("subject"),
+        t(expr("p_partkey div 2")).as("object"))
+    val e2 = part.filter(col("p_partkey") % 3 === 0 && col("p_partkey") >= 3)
+      .select(t(col("p_partkey")).as("subject"),
+        t(expr("p_partkey div 3")).as("object"))
+    ontoClosureOn(e1.unionByName(e2), 4)
+  }
+
+  /** Core of q_onto_closure over any (subject, object) is_a edge
+    * frame: (term, anc, depth) rows, depth = min hops, depth ≤ maxDepth. */
+  def ontoClosureOn(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = ScratchCache.cache(
+      edges.select(col("subject").as("es"), col("object").as("eo"))
+        .distinct())
+    val hops = Iterator.iterate(
+      e.select(col("es").as("term"), col("eo").as("anc"))
+        .pipe(ScratchCache.cache), maxDepth) { f =>
+      f.join(broadcast(e), col("anc") === col("es"))
+        .select(col("term"), col("eo").as("anc")).distinct()
+        .pipe(ScratchCache.cache)
+    }.toSeq
+    hops.zipWithIndex
+      .map { case (f, h) => f.withColumn("depth", lit((h + 1).toLong)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("term"), col("anc")).agg(min(col("depth")).as("depth"))
+      .orderBy(col("term"), col("anc"))
+  }
+
   /** q_graph_kcore — bounded k-core peeling over the undirected
     * (sliced) co-purchase graph: iteratively drop nodes of degree < k
     * (4 rounds), reporting the surviving-node count per round — the

@@ -451,6 +451,30 @@ object OracleSql {
     // min-hop BFS histogram via a bounded recursive CTE (the Spark
     // side runs the unrolled cached-frontier plan; same sets by
     // construction — UNION dedups (node, hop), MIN picks the first)
+    // Bounded ancestor closure: the oracle rebuilds the part-derived
+    // is_a DAG (k -> k div 2, plus k -> k div 3 when 3 | k) and walks
+    // it with a depth-guarded WITH RECURSIVE; MIN(hop) collapses
+    // diamond paths to the shortest depth exactly like the Spark-side
+    // hash aggregate over the unrolled hop frames.
+    "q_onto_closure" ->
+      """WITH RECURSIVE
+        |e AS (SELECT 'T:' || CAST(p_partkey AS VARCHAR) AS s,
+        |    'T:' || CAST(p_partkey // 2 AS VARCHAR) AS o
+        |  FROM part WHERE p_partkey >= 1
+        |  UNION ALL
+        |  SELECT 'T:' || CAST(p_partkey AS VARCHAR) AS s,
+        |    'T:' || CAST(p_partkey // 3 AS VARCHAR) AS o
+        |  FROM part WHERE p_partkey % 3 = 0 AND p_partkey >= 3),
+        |a AS (
+        |  SELECT s AS term, o AS anc, 1 AS hop FROM e
+        |  UNION
+        |  SELECT a.term, e.o AS anc, a.hop + 1 AS hop
+        |  FROM a JOIN e ON a.anc = e.s WHERE a.hop < 4
+        |),
+        |m AS (SELECT term, anc, MIN(hop) AS hop FROM a GROUP BY 1, 2)
+        |SELECT term, anc, CAST(hop AS BIGINT) AS depth FROM m
+        |ORDER BY term, anc""".stripMargin,
+
     "q_graph_paths" ->
       """WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -346,6 +346,29 @@ class GraphOpsSpec extends GraftSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("onto closure: diamond collapses to min depth, bound cuts at 4") {
+    import spark.implicits._
+    // diamond D->B->A, D->C->A (A reached twice, depth must be 2 once)
+    // plus a 5-deep chain x5->x4->x3->x2->x1->x0: x0 is beyond the bound
+    val edges = Seq(
+      ("D", "B"), ("D", "C"), ("B", "A"), ("C", "A"),
+      ("x5", "x4"), ("x4", "x3"), ("x3", "x2"), ("x2", "x1"),
+      ("x1", "x0")).toDF("subject", "object")
+    val out = GraphOps.ontoClosureOn(edges, 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    ScratchCache.releaseAll()
+    assert(out == Set(
+      ("D", "B", 1L), ("D", "C", 1L), ("D", "A", 2L),
+      ("B", "A", 1L), ("C", "A", 1L),
+      ("x5", "x4", 1L), ("x5", "x3", 2L), ("x5", "x2", 3L),
+      ("x5", "x1", 4L), // x0 at depth 5: excluded by the bound
+      ("x4", "x3", 1L), ("x4", "x2", 2L), ("x4", "x1", 3L),
+      ("x4", "x0", 4L),
+      ("x3", "x2", 1L), ("x3", "x1", 2L), ("x3", "x0", 3L),
+      ("x2", "x1", 1L), ("x2", "x0", 2L),
+      ("x1", "x0", 1L)))
+  }
+
   test("coPairs: planted hub takes the grid path and matches the naive pair build") {
     import spark.implicits._
     // 40 TPC-H-shaped orders (2-7 parts, with cross-order repeats) plus
