@@ -27,6 +27,20 @@ object GraphSpec {
   def parse(text: String): GraphSpec = {
     val lines = text.linesIterator.map(_.stripTrailing)
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).toList
+    // FAIL LOUDLY on anything outside the declared subset: a quoted
+    // value, nested mapping, or inline list from a fuller YAML would
+    // otherwise silently mis-parse into a wrong-but-plausible spec
+    lines.foreach { l =>
+      val t = l.trim
+      val ok = t.startsWith("graph_id:") || t == "sources:" ||
+        (t.startsWith("- ") || t == "-" || (t.startsWith("-") &&
+          !t.startsWith("--"))) && !t.contains(":")
+      require(ok, s"graph_spec line not in the supported subset " +
+        s"(graph_id:, sources:, '- <id>'): '$t' — quoted values, " +
+        "nested mappings and inline lists are not supported")
+      require(!t.contains("\"") && !t.contains("'"),
+        s"graph_spec quoting is not supported: '$t'")
+    }
     val graphId = lines.collectFirst {
       case l if l.trim.startsWith("graph_id:") =>
         l.trim.stripPrefix("graph_id:").trim

@@ -138,6 +138,64 @@ object Sources {
       .orderBy(col("o_year"))
   }
 
+  /** q_layout_zorder — Z-ORDER (Morton-curve) clustering advisor, the
+    * second half of the 100 TB layout discipline next to
+    * [[sinkPartitioned]]'s directory pruning: partition pruning cuts
+    * whole directories, but WITHIN a partition a scan prunes files by
+    * their min/max column statistics — and those stats are only tight
+    * when the layout CO-CLUSTERS the filter columns. Sorting by one key
+    * makes the other key's per-file range span everything; interleaving
+    * the bits of both keys (the Morton/Z curve) keeps every file's
+    * (o, p) ranges simultaneously narrow, which is exactly what Delta/
+    * Iceberg `ZORDER BY` does. This advisor simulates that layout for
+    * lineitem's (l_orderkey, l_partkey): z = interleave(bits(o),
+    * bits(p)), 16 data-driven equal-z-width files, and per file the
+    * row count plus the min/max of BOTH keys — the column-stat ledger a
+    * pruning decision would read.
+    *
+    * Exactness: the bit interleave is the classic 5-step shift-mask
+    * spread on BIGINTs — identical integer arithmetic in both engines
+    * (Spark `shiftleft`/`&`/`|`, DuckDB `<<`/`&`/`|`), no floats
+    * anywhere; file assignment is the data-driven-histogram pattern
+    * ((z·16) div (zmax+1), 1-row max broadcast back on the
+    * non-foldable all-zeros key — BNLJ-free). One fact-table pass +
+    * one 16-group hash agg; nothing shuffles but the 16 stat rows. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame =
+    layoutZorderOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Spread the low 32 bits of x to the even bit positions of a long
+    * (the classic 5-step shift-mask Morton spread). */
+  private[graft] def mortonSpread(cIn: Column): Column = {
+    var x = cIn
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(281470681808895L))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(71777214294589695L))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(1085102592571150095L))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(3689348814741910323L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(6148914691236517205L))
+  }
+
+  /** z(a, b): a's bits at even positions, b's at odd. */
+  private[graft] def mortonZ(a: Column, b: Column): Column =
+    mortonSpread(a).bitwiseOR(shiftleft(mortonSpread(b), 1))
+
+  /** Core of q_layout_zorder over any (o, p) long key frame. */
+  def layoutZorderOn(keys: DataFrame): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val zed = keys.withColumn("z", mortonZ(col("o"), col("p")))
+    val zmax = zed.agg(max(col("z")).as("zmax"))
+      .withColumn("k", k0(col("zmax")))
+    zed.withColumn("k", k0(col("z")))
+      .join(broadcast(zmax), "k")
+      .select(expr("(z * 16) div (zmax + 1)").as("file_id"),
+        col("o"), col("p"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o")).as("o_min"), max(col("o")).as("o_max"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"))
+      .orderBy(col("file_id"))
+  }
+
   /** The pruned read-back half of [[sinkPartitioned]], split out so the
     * spec can assert `PartitionFilters` on exactly this plan. */
   private[graft] def readPartitionedYears(s: SparkSession, dir: String,

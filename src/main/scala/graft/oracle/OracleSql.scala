@@ -1905,6 +1905,34 @@ object OracleSql {
 
     // the partitioned-layout roundtrip preserves values exactly, so the
     // oracle recomputes the two pruned years straight from the table
+    // Z-order advisor: the 5-step shift-mask bit spread is replayed
+    // with DuckDB's << & | on the same BIGINT masks — any deviation in
+    // the interleave or the data-driven file split breaks every
+    // min/max stat row
+    "q_layout_zorder" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |s1 AS (SELECT o, p,
+        |  ((o | (o << 16)) & 281470681808895) AS xo,
+        |  ((p | (p << 16)) & 281470681808895) AS xp FROM li),
+        |s2 AS (SELECT o, p,
+        |  ((xo | (xo << 8)) & 71777214294589695) AS xo,
+        |  ((xp | (xp << 8)) & 71777214294589695) AS xp FROM s1),
+        |s3 AS (SELECT o, p,
+        |  ((xo | (xo << 4)) & 1085102592571150095) AS xo,
+        |  ((xp | (xp << 4)) & 1085102592571150095) AS xp FROM s2),
+        |s4 AS (SELECT o, p,
+        |  ((xo | (xo << 2)) & 3689348814741910323) AS xo,
+        |  ((xp | (xp << 2)) & 3689348814741910323) AS xp FROM s3),
+        |s5 AS (SELECT o, p,
+        |  ((xo | (xo << 1)) & 6148914691236517205) AS xo,
+        |  ((xp | (xp << 1)) & 6148914691236517205) AS xp FROM s4),
+        |zt AS (SELECT o, p, (xo | (xp << 1)) AS z FROM s5),
+        |zm AS (SELECT MAX(z) AS zmax FROM zt)
+        |SELECT (z * 16) // (zmax + 1) AS file_id, COUNT(*) AS n_rows,
+        |MIN(o) AS o_min, MAX(o) AS o_max,
+        |MIN(p) AS p_min, MAX(p) AS p_max
+        |FROM zt, zm GROUP BY 1 ORDER BY file_id""".stripMargin,
+
     "q_sink_partitioned" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |COUNT(*) AS n,

@@ -36,6 +36,26 @@ class GraphSpecSpec extends GraftSuite {
     assert(x1.getAs[Long]("n_srcs") == 2L)
   }
 
+  test("lines outside the supported subset fail loudly, not silently") {
+    // nested mapping under sources — a fuller YAML shape the minimal
+    // parser must reject rather than mis-parse
+    intercept[IllegalArgumentException] {
+      GraphSpec.parse(
+        """graph_id: g
+          |sources:
+          |  - id: src_a
+          |""".stripMargin)
+    }
+    // quoted value
+    intercept[IllegalArgumentException] {
+      GraphSpec.parse("graph_id: \"g\"\nsources:\n  - a\n")
+    }
+    // unknown top-level key
+    intercept[IllegalArgumentException] {
+      GraphSpec.parse("graph_id: g\nedges:\n  - a\n")
+    }
+  }
+
   test("unknown source id in spec fails loudly") {
     val spec = GraphSpec("g", Seq(GraphSource("missing")))
     intercept[IllegalArgumentException] {

@@ -47,4 +47,35 @@ class PartitionedSinkSpec extends GraftSuite {
     val nYears = all.select(col("o_year")).distinct().count()
     assert(nYears > 2)
   }
+
+  test("morton z interleaves bits exactly (known codes)") {
+    import spark.implicits._
+    // morton(a, b): a at even bit positions, b at odd.
+    // morton(3,1)=0b0111=7; morton(5,2)=0b11001=25; morton(0,7)=0b101010=42
+    val out = Seq((3L, 1L), (5L, 2L), (0L, 7L), (65535L, 0L))
+      .toDF("o", "p")
+      .select(Sources.mortonZ(col("o"), col("p")).as("z"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(7L, 25L, 42L, 0x55555555L))
+  }
+
+  test("zorder files keep BOTH key ranges narrow on a planted grid") {
+    import spark.implicits._
+    // 64x64 grid: a z-split into 16 files must bound each file's o and
+    // p spans near sqrt(cells/16) = 16, where a linear sort by o gives
+    // p-span 63 in every file — the pruning win the advisor surfaces
+    val grid = (0 until 64).flatMap(o => (0 until 64).map(p =>
+      (o.toLong, p.toLong))).toDF("o", "p")
+    val files = Sources.layoutZorderOn(grid).collect()
+    assert(files.map(_.getAs[Long]("n_rows")).sum == 4096L)
+    files.foreach { r =>
+      val oSpan = r.getAs[Long]("o_max") - r.getAs[Long]("o_min")
+      val pSpan = r.getAs[Long]("p_max") - r.getAs[Long]("p_min")
+      // 4096 codes / 16 files = 256 consecutive z codes per file = one
+      // exact 16x16 Morton tile: BOTH spans are 15, where a linear
+      // o-sort leaves p-span 63 in every file
+      assert(oSpan == 15 && pSpan == 15,
+        s"file ${r.getAs[Long]("file_id")}: oSpan=$oSpan pSpan=$pSpan")
+    }
+  }
 }

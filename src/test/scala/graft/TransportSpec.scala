@@ -198,6 +198,65 @@ class TransportSpec extends GraftSuite {
     } finally server.stop(0)
   }
 
+  test("SourceFetch: version gate skips unchanged artifacts, refetches " +
+      "on version change, retries 5xx, fails 4xx fast") {
+    val heads = new java.util.concurrent.atomic.AtomicInteger
+    val gets = new java.util.concurrent.atomic.AtomicInteger
+    val etag = new java.util.concurrent.atomic.AtomicReference("\"v1\"")
+    val fail = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        if (fail.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(500, -1); ex.close()
+        } else {
+          ex.getResponseHeaders.set("ETag", etag.get())
+          if (ex.getRequestMethod == "HEAD") {
+            heads.incrementAndGet()
+            ex.sendResponseHeaders(200, -1)
+          } else {
+            gets.incrementAndGet()
+            val body = s"payload-${etag.get()}".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body)
+          }
+          ex.close()
+        }
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_fetch").resolve("data.csv")
+      val sf = new graft.ops.SourceFetch(maxRetries = 3, backoffMs = 0)
+      // first run: probe + fetch, artifact + version sidecar written
+      assert(sf.fetchIfChanged(url, dest) == ("\"v1\"", true))
+      assert(new String(java.nio.file.Files.readAllBytes(dest), "UTF-8")
+        == "payload-\"v1\"")
+      assert(heads.get() == 1 && gets.get() == 1)
+      // second run, unchanged version: HEAD only, no GET — the skip path
+      assert(sf.fetchIfChanged(url, dest) == ("\"v1\"", false))
+      assert(heads.get() == 2 && gets.get() == 1)
+      // published version changes: refetch and re-record
+      etag.set("\"v2\"")
+      assert(sf.fetchIfChanged(url, dest) == ("\"v2\"", true))
+      assert(gets.get() == 2)
+      assert(new String(java.nio.file.Files.readAllBytes(dest), "UTF-8")
+        == "payload-\"v2\"")
+      // two 500s then success: inside the retry budget
+      fail.set(2)
+      assert(sf.probeVersion(url) == "\"v2\"")
+      // 404 (wrong path): fail fast with a single request
+      val sfBad = new graft.ops.SourceFetch(maxRetries = 3, backoffMs = 0)
+      val e = intercept[java.io.IOException] {
+        sfBad.fetch(
+          s"http://127.0.0.1:${server.getAddress.getPort}/nope")
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("normEquiv: transitive merge through overlapping equivalence " +
       "sets — A~B, B~C share nothing directly yet land in one node") {
     // planted fixture: CUST:1 {EQ:10,EQ:11}, CUST:2 {EQ:11,EQ:12},
