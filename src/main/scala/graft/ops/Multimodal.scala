@@ -142,7 +142,9 @@ object Multimodal {
     * a stream — headless-safe). Returns (n_frames, sum of signed 16-bit
     * samples) from the decoded frames. */
   private[graft] final class WavDecoder {
-    def decode(bytes: Array[Byte]): (Long, Long) = {
+    /** The decoded signed 16-bit sample stream (RIFF parse + PCM frame
+      * extraction through javax.sound — the real codec path). */
+    def decodeSamples(bytes: Array[Byte]): Array[Int] = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -150,14 +152,22 @@ object Multimodal {
         require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
           s"unexpected WAV format $fmt")
         val pcm = in.readAllBytes()
-        var sum = 0L
+        val out = new Array[Int](pcm.length / 2)
         var i = 0
         while (i + 1 < pcm.length) {
-          sum += ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+          out(i / 2) = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
           i += 2
         }
-        (pcm.length / 2L, sum)
+        out
       } finally in.close()
+    }
+
+    def decode(bytes: Array[Byte]): (Long, Long) = {
+      val s = decodeSamples(bytes)
+      var sum = 0L
+      var i = 0
+      while (i < s.length) { sum += s(i); i += 1 }
+      (s.length.toLong, sum)
     }
   }
 
@@ -224,6 +234,51 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("checksum")).as("total_checksum"))
       .orderBy(col("media_type"))
+  }
+
+  /** q_mm_audio_window — WINDOWED feature extraction over the REALLY
+    * decoded audio stream: each audio/wav payload is decoded through
+    * the javax.sound codec ([[WavDecoder.decodeSamples]] — RIFF parse
+    * + PCM frame extraction actually run), the signed 16-bit sample
+    * stream is split into 16-frame windows, and each window reports
+    * frame count, ENERGY (Σ s² — the integer-exact form of windowed
+    * RMS) and PEAK (max |s|) — the silence-trim / loudness-normalize
+    * primitives an audio training-data pipeline runs per clip. All
+    * features are integer-exact, and the synthetic samples are
+    * closed-form, so DuckDB recomputes every window without parsing
+    * RIFF — the decode path is verified against arithmetic it never
+    * executes.
+    *
+    * Scale shape: decode is partition-local (one codec context per
+    * partition, zero shuffle); windowing is a row-local flatMap on the
+    * decoded array, so the only shuffle is the final detail-row sort.
+    * A real corpus swaps wavBytes for the stored payload column;
+    * nothing else changes. */
+  def audioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = mediaTable(s, d)
+      .filter(col("media_type") === "audio/wav")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      val wav = new WavDecoder() // one codec context per partition
+      it.flatMap { id =>
+        val samples = wav.decodeSamples(wavBytes(id))
+        samples.grouped(16).zipWithIndex.map { case (w, wi) =>
+          var energy = 0L
+          var peak = 0L
+          var j = 0
+          while (j < w.length) {
+            val v = w(j).toLong
+            energy += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            j += 1
+          }
+          (id, wi.toLong, w.length.toLong, energy, peak)
+        }
+      }
+    }.toDF("doc_id", "win", "n_frames", "energy", "peak")
+      .orderBy(col("doc_id"), col("win"))
   }
 
   /** q_mm_meta — metadata-only query: typed metadata (length, declared

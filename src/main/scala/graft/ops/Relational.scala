@@ -74,6 +74,33 @@ object Relational {
     s.sql(sqlCteText)
   }
 
+  /** q_sql_lateral — LATERAL correlated-subquery parity, the second
+    * dialect-parity key next to [[sqlCteText]]: ONE SQL text with a
+    * per-row dependent subquery (top-3 customers by balance PER
+    * nation, ordered + limited INSIDE the lateral) runs verbatim on
+    * both engines. LATERAL is the SQL surface for "for each outer row,
+    * run this parameterized query" — the row-dependent top-k that a
+    * plain join cannot express and the window-rank rewrite obscures.
+    * Catalyst DECORRELATES it (DecorrelateInnerQuery): the planned
+    * shape is a partitioned window-rank over one shuffle, not a
+    * per-row re-execution — the 100 TB-safe plan for a construct that
+    * reads like a nested loop. Exact-decimal balance on the wire. */
+  val sqlLateralText: String =
+    """SELECT n_name, c_name, bal FROM nation n,
+      |LATERAL (
+      |  SELECT c_name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal DESC, c_name LIMIT 3
+      |) t
+      |ORDER BY n_name, bal DESC, c_name""".stripMargin
+
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(sqlLateralText)
+  }
+
   /** §2.1 q_scan_project — pruned scan + rename + computed decimal col.
     * Catalyst pushes the projection into the parquet scan (ReadSchema
     * shows 5 of 11 cols); at 100 TB this is the difference between

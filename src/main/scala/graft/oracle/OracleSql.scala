@@ -26,6 +26,7 @@ object OracleSql {
     // SQL-dialect parity: the ORACLE IS THE QUERY — the exact string
     // Spark executes (Relational.sqlCteText), unchanged.
     "q_sql_cte" -> graft.ops.Relational.sqlCteText,
+    "q_sql_lateral" -> graft.ops.Relational.sqlLateralText,
 
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber,
@@ -2025,6 +2026,22 @@ object OracleSql {
     // — codec-independent, so the oracle never touches compressed bytes.
     // audio/wav rows decode REAL RIFF/PCM via javax.sound (closed-form
     // sample sums); video rows keep the labeled stub (text-byte checksum).
+    // Windowed audio features: the oracle replays the closed-form
+    // sample function ((doc_id*131 + i*17) % 65536 − 32768) and the
+    // 16-frame windowing in pure integer arithmetic — the Spark side
+    // must produce the SAME windows from frames that actually came
+    // through the javax.sound RIFF/PCM decode
+    "q_mm_audio_window" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |ix AS (SELECT doc_id, unnest(range(0, 64 + doc_id % 64)) AS i
+        |  FROM a),
+        |sm AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS win,
+        |  ((doc_id * 131 + i * 17) % 65536) - 32768 AS smp FROM ix)
+        |SELECT doc_id, win, COUNT(*) AS n_frames,
+        |CAST(SUM(smp * smp) AS BIGINT) AS energy,
+        |CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
+
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

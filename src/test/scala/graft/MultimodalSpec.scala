@@ -79,6 +79,25 @@ class MultimodalSpec extends GraftSuite {
     assert(histTotal == byteTotal)
   }
 
+  test("audio windows: decoded 16-frame windows match the closed form") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 (audio: 1 % 3 == 1): n = 64 + 1 = 65 samples -> windows of
+    // 16,16,16,16 and a 1-frame tail; recompute energy/peak directly
+    // from the sample formula and compare against the decoded path
+    val rows = Multimodal.audioWindows(spark, sf)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def smp(i: Int): Long = ((1L * 131 + i * 17) % 65536) - 32768
+    val expected = (0 until 65).map(i => (i / 16, smp(i)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (w, ss) =>
+        (w.toLong, ss.size.toLong,
+          ss.map(t => t._2 * t._2).sum, ss.map(t => math.abs(t._2)).max)
+      }
+    assert(rows.toSeq.sortBy(_._1) == expected)
+    assert(rows.map(_._2).sum == 65L)
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)

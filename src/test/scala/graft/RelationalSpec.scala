@@ -84,4 +84,24 @@ class RelationalSpec extends GraftSuite {
         p(0).getAs[Double]("sum_bal") >= p(1).getAs[Double]("sum_bal")))
     }
   }
+
+  test("q_sql_lateral: decorrelated to a window-group-limit plan, " +
+      "top-3 per nation, never a nested loop") {
+    val df = Relational.sqlLateral(spark, sf)
+    // Catalyst must DECORRELATE the lateral: the physical plan is a
+    // rank-pushdown (WindowGroupLimit) + equi join — a per-row
+    // re-execution or BroadcastNestedLoopJoin would be the 100 TB
+    // scale-killer this key guards against
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    val rows = df.collect()
+    val perNation = rows.groupBy(_.getString(0))
+    perNation.values.foreach { rs =>
+      assert(rs.length <= 3)
+      // descending balance within each nation's top-3
+      val bals = rs.map(_.getAs[Double]("bal")).toSeq
+      assert(bals == bals.sorted.reverse)
+    }
+  }
 }
