@@ -283,6 +283,80 @@ object Aggregates {
       .orderBy(col("bucket"))
   }
 
+  /** q_agg_percentile_exact — EXACT order statistics (p50/p90/p99 of
+    * order price) WITHOUT a total sort, the 100 TB selection shape:
+    * the naive exact percentile globally sorts the fact table (the one
+    * operation a warehouse avoids at all costs) and the usual swap is
+    * approximate (percentile_approx). This key shows exact is
+    * affordable when the domain is bounded integers (money cents): the
+    * classic two-pass BUCKET SELECTION —
+    *   pass 1: one hash aggregate into 2¹⁶-cent-wide buckets (a
+    *     DIMENSION-sized histogram, ≤ a few thousand rows), cumulative
+    *     counts locate each percentile's target bucket and its offset
+    *     within it (in-plan window over the tiny histogram, no driver
+    *     collect);
+    *   pass 2: the fact table filtered to the ≤3 target buckets
+    *     (broadcast semi join — each bucket holds ~n/|buckets| rows),
+    *     row_number within bucket picks the exact k-th value.
+    * Total cost: two fact passes + a histogram shuffle, independent of
+    * n·log n; deeper domains recurse the same split (radix selection).
+    * k = ⌈p·n⌉ in pure integer arithmetic ((n·num + den − 1) div den),
+    * so both engines select the identical order statistic; ties are
+    * value-identical by construction (equal cents ⇒ equal output). */
+  def aggPercentileExact(s: SparkSession, d: String): DataFrame =
+    aggPercentileExactOn(Tables.orders(s, d)
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("cents")))
+
+  /** Core of q_agg_percentile_exact over any single-column `cents`
+    * long frame. */
+  def aggPercentileExactOn(centsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val o = centsDf
+    val hist = o.groupBy(expr("cents div 65536").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // dimension-sized cumulative: the single-partition window runs over
+    // ≤ |domain|/2^16 histogram rows, never the fact table
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = o.agg(count(lit(1)).as("n")).withColumn("k", k0(col("n")))
+    // percentiles ride each histogram row as a ROW-LOCAL generator
+    // (explode of a literal struct array) + the 1-row n broadcast on
+    // the all-zeros key — an equi join, deliberately NOT a cum>=k
+    // theta join, which would plan as the fleet's only nested loop
+    val cumP = cum.withColumn("k", k0(col("b")))
+      .join(broadcast(n), "k")
+      .select(col("b"), col("cnt"), col("cum"),
+        explode(array(
+          struct(lit("p50").as("pct"), lit(1L).as("num"), lit(2L).as("den")),
+          struct(lit("p90").as("pct"), lit(9L).as("num"), lit(10L).as("den")),
+          struct(lit("p99").as("pct"), lit(99L).as("num"), lit(100L).as("den"))
+        )).as("p"), col("n"))
+      .select(col("b"), col("cnt"), col("cum"), col("p.pct").as("pct"),
+        expr("(n * p.num + p.den - 1) div p.den").as("kth"))
+    // target bucket per percentile: the minimum bucket whose cumulative
+    // count reaches k; offset = kth − (cum − cnt) is the rank INSIDE it
+    val tb = cumP.filter(col("cum") >= col("kth"))
+      .groupBy(col("pct"), col("kth"))
+      .agg(min_by(struct(col("b"), col("cum"), col("cnt")), col("b"))
+        .as("t"))
+      .select(col("pct"), col("kth"), col("t.b").as("b"),
+        (col("kth") - (col("t.cum") - col("t.cnt"))).as("off"))
+    val inTarget = o.withColumn("b", expr("cents div 65536"))
+      .join(broadcast(tb.select(col("b")).distinct()), "b")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("cents"))))
+    inTarget.join(broadcast(tb),
+        inTarget("b") === tb("b") && col("rn") === col("off"))
+      // exact cents → dollars on the wire via ONE shared IEEE division
+      // (cents are integers; the same op on the same input is
+      // bit-identical on both engines)
+      .select(col("pct"), col("kth"),
+        (col("cents").cast("double") / 100).as("value"))
+      .orderBy(col("pct"))
+  }
+
   /** q_agg_corr — Pearson correlation + sample covariance of quantity
     * vs discount per return flag, derived from EXACT decimal power
     * sums (Σx, Σy, Σxy, Σx², Σy²) so the result is identical under any

@@ -1641,6 +1641,24 @@ object OracleSql {
 
     // integer-exact equi-width histogram: exact cents, integral DIV
     // bucketing (operands non-negative, so DuckDB // == Spark div)
+    // Exact order statistics: the oracle takes the k-th smallest via a
+    // full ROW_NUMBER (DuckDB can afford the total sort; the Spark
+    // side must reach the identical value through bucket selection).
+    // Ties are value-identical (equal cents), so tie order is moot.
+    "q_agg_percentile_exact" ->
+      """WITH c AS (SELECT
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |p AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |  ('p99', 99, 100)) AS t(pct, num, den)),
+        |k AS (SELECT pct, (n.n * num + den - 1) // den AS kth FROM p, n),
+        |o AS (SELECT cents,
+        |  ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c)
+        |SELECT pct, CAST(kth AS BIGINT) AS kth,
+        |CAST(cents AS DOUBLE) / 100 AS value
+        |FROM k JOIN o ON o.rn = k.kth ORDER BY pct""".stripMargin,
+
     "q_agg_histogram" ->
       """WITH o AS (SELECT
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)

@@ -239,4 +239,27 @@ class AggregatesSpec extends GraftSuite {
     assert(out("click") == ((2L, 4L, 3L)))
     assert(out("view") == ((1L, 1L, 1L)))
   }
+
+  test("exact percentiles: bucket selection equals the sorted k-th, " +
+      "spanning buckets, without a nested loop") {
+    import org.apache.spark.sql.functions.col
+    // values straddle several 2^16 buckets; shuffled input order
+    val vals = (1 to 997).map(i => (i.toLong * 1009L) % 300000L)
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(vals).map(Tuple1(_))).toDF("cents")
+    val out = Aggregates.aggPercentileExactOn(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val got = out.collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("kth"),
+        r.getAs[Double]("value")))).toMap
+    val sorted = vals.sorted
+    def kth(num: Long, den: Long): (Long, Double) = {
+      val k = (vals.size * num + den - 1) / den
+      (k, sorted(k.toInt - 1).toDouble / 100)
+    }
+    assert(got("p50") == kth(1, 2))
+    assert(got("p90") == kth(9, 10))
+    assert(got("p99") == kth(99, 100))
+  }
 }
