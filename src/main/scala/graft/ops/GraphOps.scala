@@ -380,6 +380,66 @@ object GraphOps {
       .orderBy(col("hop"))
   }
 
+  /** q_graph_diff — VERSION-TO-VERSION graph reconciliation, the QC a
+    * regenerate-per-source-version pipeline runs before promoting a new
+    * merged graph (the reference rebuilds its graph whenever a source
+    * version bumps — "what changed since the last build" is the release
+    * gate): nodes classified added / removed / category_changed /
+    * unchanged, edges added / removed / unchanged, as one ledger.
+    * [[graft.ops.Incremental]]'s snapshot-diff shape applied to a
+    * GRAPH: one full-outer equi join on node id + one on the (subject,
+    * object) edge key — at 100 TB both are plain shuffle SMJs on the
+    * natural keys, no new machinery.
+    *
+    * Versions derive deterministically (the q_text_pii planting
+    * pattern): v1 lacks customers ≡ 0 (mod 19) (additions), v2 drops
+    * ≡ 0 (mod 23) (removals) and reclassifies ≡ 0 (mod 13); v1 edges
+    * are pre-1996 order→part pairs, v2 extends to pre-1997 but retires
+    * parts ≡ 0 (mod 31) — so every change class is populated and
+    * DuckDB replays the arithmetic exactly. */
+  def graphDiff(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val nodesV1 = cust.filter(col("c_custkey") % 19 =!= 0)
+      .select(concat(lit("CUST:"), col("c_custkey")).as("id"),
+        col("c_mktsegment").as("category"))
+    val nodesV2 = cust.filter(col("c_custkey") % 23 =!= 0)
+      .select(concat(lit("CUST:"), col("c_custkey")).as("id"),
+        when(col("c_custkey") % 13 === 0, lit("reclassified"))
+          .otherwise(col("c_mktsegment")).as("category"))
+    val ep = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("s"), col("l_partkey").as("o"),
+        col("o_orderdate"))
+    val edgesV1 = ep.filter(col("o_orderdate") < lit("1996-01-01"))
+      .select(col("s"), col("o")).distinct()
+    val edgesV2 = ep.filter(col("o_orderdate") < lit("1997-01-01") &&
+        col("o") % 31 =!= 0)
+      .select(col("s"), col("o")).distinct()
+    graphDiffOn(nodesV1, nodesV2, edgesV1, edgesV2)
+  }
+
+  /** Core of q_graph_diff over two (id, category) node frames and two
+    * (s, o) edge frames. */
+  def graphDiffOn(nodesV1: DataFrame, nodesV2: DataFrame,
+      edgesV1: DataFrame, edgesV2: DataFrame): DataFrame = {
+    val n1 = nodesV1.select(col("id"), col("category").as("cat1"))
+    val n2 = nodesV2.select(col("id"), col("category").as("cat2"))
+    val nodeDiff = n1.join(n2, Seq("id"), "full")
+      .select(when(col("cat1").isNull, "node_added")
+        .when(col("cat2").isNull, "node_removed")
+        .when(col("cat1") =!= col("cat2"), "node_category_changed")
+        .otherwise("node_unchanged").as("change"))
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+    val e1 = edgesV1.select(col("s"), col("o"), lit(1).as("in1"))
+    val e2 = edgesV2.select(col("s"), col("o"), lit(1).as("in2"))
+    val edgeDiff = e1.join(e2, Seq("s", "o"), "full")
+      .select(when(col("in1").isNull, "edge_added")
+        .when(col("in2").isNull, "edge_removed")
+        .otherwise("edge_unchanged").as("change"))
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+    nodeDiff.unionByName(edgeDiff).orderBy(col("change"))
+  }
+
   /** q_onto_closure — bounded is_a ANCESTOR CLOSURE over an ontology
     * term DAG (the [[Obo.readEdges]] subject/object shape): for every
     * term, the set of ancestors reachable through ≤ 4 is_a hops, each

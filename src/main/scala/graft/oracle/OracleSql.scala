@@ -452,6 +452,34 @@ object OracleSql {
     // min-hop BFS histogram via a bounded recursive CTE (the Spark
     // side runs the unrolled cached-frontier plan; same sets by
     // construction — UNION dedups (node, hop), MIN picks the first)
+    // Graph version diff: both node and edge classifications replay
+    // the planted version arithmetic through full-outer joins
+    "q_graph_diff" ->
+      """WITH n1 AS (SELECT 'CUST:' || c_custkey AS id,
+        |  c_mktsegment AS cat1 FROM customer WHERE c_custkey % 19 <> 0),
+        |n2 AS (SELECT 'CUST:' || c_custkey AS id,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'reclassified'
+        |    ELSE c_mktsegment END AS cat2
+        |  FROM customer WHERE c_custkey % 23 <> 0),
+        |nd AS (SELECT CASE WHEN cat1 IS NULL THEN 'node_added'
+        |    WHEN cat2 IS NULL THEN 'node_removed'
+        |    WHEN cat1 <> cat2 THEN 'node_category_changed'
+        |    ELSE 'node_unchanged' END AS change
+        |  FROM n1 FULL JOIN n2 USING (id)),
+        |ep AS (SELECT o_custkey AS s, l_partkey AS o, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e1 AS (SELECT DISTINCT s, o FROM ep
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |e2 AS (SELECT DISTINCT s, o FROM ep
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o % 31 <> 0),
+        |ed AS (SELECT CASE WHEN e1.s IS NULL THEN 'edge_added'
+        |    WHEN e2.s IS NULL THEN 'edge_removed'
+        |    ELSE 'edge_unchanged' END AS change
+        |  FROM e1 FULL JOIN e2 ON e1.s = e2.s AND e1.o = e2.o),
+        |u AS (SELECT change FROM nd UNION ALL SELECT change FROM ed)
+        |SELECT change, COUNT(*) AS n FROM u GROUP BY change
+        |ORDER BY change""".stripMargin,
+
     // Bounded ancestor closure: the oracle rebuilds the part-derived
     // is_a DAG (k -> k div 2, plus k -> k div 3 when 3 | k) and walks
     // it with a depth-guarded WITH RECURSIVE; MIN(hop) collapses

@@ -346,6 +346,20 @@ class GraphOpsSpec extends GraftSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("graph diff: every change class lands exactly once on a fixture") {
+    import spark.implicits._
+    val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
+    val n2 = Seq(("B", "x"), ("C", "y"), ("D", "x")).toDF("id", "category")
+    val e1 = Seq((1L, 2L), (1L, 3L)).toDF("s", "o")
+    val e2 = Seq((1L, 2L), (2L, 3L)).toDF("s", "o")
+    val out = GraphOps.graphDiffOn(n1, n2, e1, e2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "node_added" -> 1L, "node_removed" -> 1L,
+      "node_category_changed" -> 1L, "node_unchanged" -> 1L,
+      "edge_added" -> 1L, "edge_removed" -> 1L, "edge_unchanged" -> 1L))
+  }
+
   test("onto closure: diamond collapses to min depth, bound cuts at 4") {
     import spark.implicits._
     // diamond D->B->A, D->C->A (A reached twice, depth must be 2 once)
