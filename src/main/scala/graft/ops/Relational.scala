@@ -283,6 +283,36 @@ object Relational {
     a.except(b).orderBy(col("custkey"))
   }
 
+  /** q_set_ops_bag — BAG (multiset) set operations, the ALL-variant
+    * surface [[exceptYears]]'s set semantics miss: `EXCEPT ALL` /
+    * `INTERSECT ALL` respect MULTIPLICITY (a part ordered 5× in A and
+    * 2× in B survives exceptAll 3×, where set EXCEPT drops it
+    * entirely) — the semantics reconciliation and inventory-delta
+    * queries actually need. Inputs: the (partkey, int quantity) bag of
+    * 'A'-flag lines vs 'R'-flag lines; wire: per-op row and
+    * distinct-key counts (op, n_rows, n_keys).
+    *
+    * Plan shape: Spark compiles exceptAll/intersectAll to a count-
+    * per-key aggregate + replicate (generate) — one hash agg per side
+    * on the natural key, no sort, no nested loop; same shape DuckDB
+    * uses. Scale-safe: multiplicity arithmetic shuffles (key, count)
+    * rows, never the raw bags. */
+  def setOpsBag(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def side(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select(col("l_partkey").as("pk"),
+        col("l_quantity").cast("int").as("qty"))
+    val a = side("A")
+    val b = side("R")
+    def ledger(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("pk"), col("qty")).as("n_keys"))
+        .select(lit(name).as("op"), col("n_rows"), col("n_keys"))
+    ledger("except_all", a.exceptAll(b))
+      .unionByName(ledger("intersect_all", a.intersectAll(b)))
+      .orderBy(col("op"))
+  }
+
   /** q_pivot — long→wide reshape: per user-bucket event-type counts as
     * columns. Pivot values are EXPLICIT (the five known types) — the
     * values-less overload runs an extra distinct pass over the corpus

@@ -102,6 +102,22 @@ object OracleSql {
         |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
         |ORDER BY custkey""".stripMargin,
 
+    // Multiset semantics: EXCEPT ALL / INTERSECT ALL must respect
+    // multiplicity identically on both engines
+    "q_set_ops_bag" ->
+      """WITH a AS (SELECT l_partkey AS pk, CAST(l_quantity AS INT) AS qty
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |b AS (SELECT l_partkey AS pk, CAST(l_quantity AS INT) AS qty
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |u AS (SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT (pk, qty)) AS n_keys FROM ea
+        |  UNION ALL SELECT 'intersect_all', COUNT(*),
+        |    COUNT(DISTINCT (pk, qty)) FROM ia)
+        |SELECT op, CAST(n_rows AS BIGINT) AS n_rows,
+        |CAST(n_keys AS BIGINT) AS n_keys FROM u ORDER BY op""".stripMargin,
+
     // ---- §2.3 joins ----
     "q_join_inner" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,

@@ -40,6 +40,17 @@ class RelationalSpec extends GraftSuite {
     assert(inter + diff == a)
   }
 
+  test("bag set ops respect multiplicity: |A except_all B| + " +
+      "|A intersect_all B| = |A|") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val nA = li.filter(col("l_returnflag") === "A").count()
+    val out = Relational.setOpsBag(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    // the multiset identity that SET except/intersect break on dups
+    assert(out("except_all") + out("intersect_all") == nA)
+  }
+
   test("q_sort_multi puts injected nulls last") {
     val segs = Relational.sortMulti(spark, sf).collect().map(r => Option(r.getString(1)))
     val firstNull = segs.indexWhere(_.isEmpty)
