@@ -35,19 +35,47 @@ object Incremental {
     Paths.get(outDir, "data").toString
 
   // fixed-format sidecar; keys sorted, no timestamps → byte-stable for
-  // unchanged (source, version, rows)
+  // unchanged (source, version, rows). Strings are JSON-ESCAPED: real
+  // version tokens contain quotes (an RFC-7232 ETag is `"abc"`), and an
+  // unescaped embed used to produce invalid JSON the parser rejected —
+  // which silently disabled skip-if-fresh for every quoted version
+  // (caught by the r10 SourceFetch→loadIfStale EP1 integration test).
+  private def jesc(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
+  private def junesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => b.append(e); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   private def render(source: String, version: String, rows: Long): String =
-    s"""{"rows":$rows,"source":"$source","version":"$version"}"""
+    s"""{"rows":$rows,"source":"${jesc(source)}","version":"${jesc(version)}"}"""
 
   private val MetaRe =
-    """\{"rows":(\d+),"source":"([^"]*)","version":"([^"]*)"\}""".r
+    """\{"rows":(\d+),"source":"((?:[^"\\]|\\.)*)","version":"((?:[^"\\]|\\.)*)"\}""".r
 
   /** The recorded (version, rows) for a materialized source, if any. */
   def recordedVersion(outDir: String): Option[(String, Long)] = {
     val p = metaPath(outDir)
     if (!Files.exists(p)) None
     else Files.readString(p) match {
-      case MetaRe(rows, _, version) => Some((version, rows.toLong))
+      case MetaRe(rows, _, version) => Some((junesc(version), rows.toLong))
       case _ => None
     }
   }

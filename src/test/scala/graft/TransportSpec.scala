@@ -257,6 +257,58 @@ class TransportSpec extends GraftSuite {
     } finally server.stop(0)
   }
 
+  test("EP1 end-to-end: SourceFetch version gate drives loadIfStale — " +
+      "unchanged source skips BOTH the download and the rebuild") {
+    val heads = new java.util.concurrent.atomic.AtomicInteger
+    val gets = new java.util.concurrent.atomic.AtomicInteger
+    val etag = new java.util.concurrent.atomic.AtomicReference("\"r1\"")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/genes.tsv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getResponseHeaders.set("ETag", etag.get())
+        if (ex.getRequestMethod == "HEAD") {
+          heads.incrementAndGet(); ex.sendResponseHeaders(200, -1)
+        } else {
+          gets.incrementAndGet()
+          // payload varies with the version, like a re-released source
+          val body = s"g1\t${etag.get().length}\ng2\t7\n".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/genes.tsv"
+      val work = java.nio.file.Files.createTempDirectory("graft_ep1")
+      val landed = work.resolve("genes.tsv")
+      val outDir = work.resolve("parsed").toString
+      val sfx = new graft.ops.SourceFetch(maxRetries = 2, backoffMs = 0)
+      def runOnce(): graft.ops.Incremental.LoadStatus = {
+        // the reference's EP1 shape: acquire (version-gated), then
+        // parse/land (version-gated again) — both skips independent
+        val (version, _) = sfx.fetchIfChanged(url, landed)
+        graft.ops.Incremental.loadIfStale(spark, "genes", version, outDir) {
+          spark.read.option("sep", "\t")
+            .schema("gene STRING, score INT").csv(landed.toString)
+        }
+      }
+      val first = runOnce()
+      assert(!first.skipped && first.rows == 2L)
+      // unchanged source: HEAD only — no download, no rebuild
+      val second = runOnce()
+      assert(second.skipped && gets.get() == 1)
+      // version bump: refetch AND rebuild, new payload visible
+      etag.set("\"r2-longer\"")
+      val third = runOnce()
+      assert(!third.skipped && gets.get() == 2)
+      val scores = spark.read.parquet(third.dataPath)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(scores == Map("g1" -> 11, "g2" -> 7)) // "r2-longer" + quotes
+    } finally server.stop(0)
+  }
+
   test("normEquiv: transitive merge through overlapping equivalence " +
       "sets — A~B, B~C share nothing directly yet land in one node") {
     // planted fixture: CUST:1 {EQ:10,EQ:11}, CUST:2 {EQ:11,EQ:12},
