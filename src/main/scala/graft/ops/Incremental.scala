@@ -75,7 +75,10 @@ object Incremental {
     val p = metaPath(outDir)
     if (!Files.exists(p)) None
     else Files.readString(p) match {
-      case MetaRe(rows, _, version) => Some((junesc(version), rows.toLong))
+      case MetaRe(rows, _, version) =>
+        // a corrupt escape (e.g. \uZZZZ) must mean REBUILD, not crash —
+        // same contract as any other unreadable sidecar
+        scala.util.Try((junesc(version), rows.toLong)).toOption
       case _ => None
     }
   }

@@ -41,6 +41,21 @@ class IncrementalSpec extends GraftSuite {
     }
     assert(!st.skipped && builds == 1 && st.rows == 1L)
     assert(Incremental.recordedVersion(dir).contains(("v1", 1L)))
+    // a quoted (RFC-7232 ETag) version survives the sidecar roundtrip
+    val dir2 = Files.createTempDirectory("graft_inc2q").toString
+    val s1 = Incremental.loadIfStale(spark, "src2", "\"e\\tag\"", dir2) {
+      Seq(1L).toDF("id")
+    }
+    assert(!s1.skipped)
+    val s2 = Incremental.loadIfStale(spark, "src2", "\"e\\tag\"", dir2) {
+      Seq(1L).toDF("id")
+    }
+    assert(s2.skipped)
+    // a corrupt ESCAPE inside otherwise-valid JSON also rebuilds
+    Files.writeString(Paths.get(dir2, "_graft_source_meta.json"),
+      "{\"rows\":1,\"source\":\"src2\",\"version\":\"" +
+        "\\" + "uZZZZ\"}")
+    assert(Incremental.recordedVersion(dir2).isEmpty)
   }
 
   test("snapshot diff classifies added/deleted/changed/unchanged exactly") {
