@@ -32,12 +32,16 @@ object GraphSpec {
     // otherwise silently mis-parse into a wrong-but-plausible spec
     lines.foreach { l =>
       val t = l.trim
+      // A list item may contain ':' (CURIE ids like CHEBI:1234, URLs)
+      // but not the ': ' key-value shape of a nested mapping; a bare
+      // '-' (empty id) is rejected too
+      val isItem = t.startsWith("-") && !t.startsWith("--")
       val ok = t.startsWith("graph_id:") || t == "sources:" ||
-        (t.startsWith("- ") || t == "-" || (t.startsWith("-") &&
-          !t.startsWith("--"))) && !t.contains(":")
+        (isItem && !t.contains(": ") &&
+          t.stripPrefix("-").trim.nonEmpty)
       require(ok, s"graph_spec line not in the supported subset " +
         s"(graph_id:, sources:, '- <id>'): '$t' — quoted values, " +
-        "nested mappings and inline lists are not supported")
+        "nested mappings, inline lists and empty ids are not supported")
       require(!t.contains("\"") && !t.contains("'"),
         s"graph_spec quoting is not supported: '$t'")
     }

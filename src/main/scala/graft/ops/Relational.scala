@@ -299,9 +299,12 @@ object Relational {
     * rows, never the raw bags. */
   def setOpsBag(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // floor-then-cast: Spark's decimal→int cast truncates while
+    // DuckDB's rounds, so the rounding rule must be made explicit for
+    // parity to survive non-integral quantities
     def side(flag: String) = li.filter(col("l_returnflag") === flag)
       .select(col("l_partkey").as("pk"),
-        col("l_quantity").cast("int").as("qty"))
+        floor(col("l_quantity")).cast("int").as("qty"))
     val a = side("A")
     val b = side("R")
     def ledger(name: String, df: DataFrame): DataFrame =

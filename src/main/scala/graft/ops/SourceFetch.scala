@@ -73,13 +73,18 @@ final class SourceFetch(
   }
 
   /** GET the artifact bytes (bounded retry, fail-fast 4xx). */
-  def fetch(url: String): Array[Byte] = {
+  def fetch(url: String): Array[Byte] = fetchResponse(url).body()
+
+  /** GET, keeping the full response so the caller can read the version
+    * headers of the SAME exchange that produced the body. */
+  private def fetchResponse(url: String)
+      : java.net.http.HttpResponse[Array[Byte]] = {
     val req = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
       .GET().build()
     send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray(),
-      s"fetch $url").body()
+      s"fetch $url")
   }
 
   /** The version gate: probe; if `<dest>.version` records the same
@@ -100,13 +105,22 @@ final class SourceFetch(
       recorded.contains(version) && java.nio.file.Files.exists(dest)
     if (upToDate) (version, false)
     else {
-      val bytes = fetch(url)
+      // Record the version of the SAME exchange that produced the
+      // body: if the source re-publishes between the HEAD probe and
+      // the GET, pairing the new bytes with the stale probed version
+      // would wrongly skip the next refresh. The GET's own
+      // ETag/Last-Modified wins; the probe is only the fallback for
+      // servers that version HEAD but not GET.
+      val resp = fetchResponse(url)
+      val gotVersion = resp.headers().firstValue("ETag")
+        .or(() => resp.headers().firstValue("Last-Modified"))
+        .orElse(version)
       Option(dest.getParent)
         .foreach(p => java.nio.file.Files.createDirectories(p))
-      java.nio.file.Files.write(dest, bytes)
-      java.nio.file.Files.write(sidecar, version.getBytes(
+      java.nio.file.Files.write(dest, resp.body())
+      java.nio.file.Files.write(sidecar, gotVersion.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-      (version, true)
+      (gotVersion, true)
     }
   }
 }

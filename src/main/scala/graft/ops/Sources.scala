@@ -153,6 +153,13 @@ object Sources {
     * row count plus the min/max of BOTH keys — the column-stat ledger a
     * pruning decision would read.
     *
+    * Overflow discipline: the split is `z div ((zmax div 16) + 1)` —
+    * divide-only, so it never leaves the value range z itself occupies.
+    * The earlier `(z*16) div (zmax+1)` form multiplies first and wraps
+    * signed 64-bit once a key reaches ~2^30 (TPC-H orderkey at
+    * SF≳100) — Spark wraps silently where DuckDB errors, so engine
+    * parity would break exactly at the scale this advisor targets.
+    *
     * Exactness: the bit interleave is the classic 5-step shift-mask
     * spread on BIGINTs — identical integer arithmetic in both engines
     * (Spark `shiftleft`/`&`/`|`, DuckDB `<<`/`&`/`|`), no floats
@@ -187,7 +194,7 @@ object Sources {
       .withColumn("k", k0(col("zmax")))
     zed.withColumn("k", k0(col("z")))
       .join(broadcast(zmax), "k")
-      .select(expr("(z * 16) div (zmax + 1)").as("file_id"),
+      .select(expr("z div ((zmax div 16) + 1)").as("file_id"),
         col("o"), col("p"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),

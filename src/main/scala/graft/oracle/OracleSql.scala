@@ -105,9 +105,9 @@ object OracleSql {
     // Multiset semantics: EXCEPT ALL / INTERSECT ALL must respect
     // multiplicity identically on both engines
     "q_set_ops_bag" ->
-      """WITH a AS (SELECT l_partkey AS pk, CAST(l_quantity AS INT) AS qty
+      """WITH a AS (SELECT l_partkey AS pk, CAST(FLOOR(l_quantity) AS INT) AS qty
         |  FROM lineitem WHERE l_returnflag = 'A'),
-        |b AS (SELECT l_partkey AS pk, CAST(l_quantity AS INT) AS qty
+        |b AS (SELECT l_partkey AS pk, CAST(FLOOR(l_quantity) AS INT) AS qty
         |  FROM lineitem WHERE l_returnflag = 'R'),
         |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
         |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
@@ -1991,7 +1991,7 @@ object OracleSql {
         |  ((xp | (xp << 1)) & 6148914691236517205) AS xp FROM s4),
         |zt AS (SELECT o, p, (xo | (xp << 1)) AS z FROM s5),
         |zm AS (SELECT MAX(z) AS zmax FROM zt)
-        |SELECT (z * 16) // (zmax + 1) AS file_id, COUNT(*) AS n_rows,
+        |SELECT z // ((zmax // 16) + 1) AS file_id, COUNT(*) AS n_rows,
         |MIN(o) AS o_min, MAX(o) AS o_max,
         |MIN(p) AS p_min, MAX(p) AS p_max
         |FROM zt, zm GROUP BY 1 ORDER BY file_id""".stripMargin,

@@ -56,6 +56,22 @@ class GraphSpecSpec extends GraftSuite {
     }
   }
 
+  test("CURIE / URL source ids pass; bare '-' (empty id) is rejected") {
+    // ids with ':' but no ': ' are data, not key-value structure
+    val spec = GraphSpec.parse(
+      """graph_id: g
+        |sources:
+        |  - CHEBI:1234
+        |  - https://example.org/nodes.tsv
+        |""".stripMargin)
+    assert(spec.sources.map(_.sourceId) ==
+      Seq("CHEBI:1234", "https://example.org/nodes.tsv"))
+    // a bare '-' would parse to an empty source id — reject at validation
+    intercept[IllegalArgumentException] {
+      GraphSpec.parse("graph_id: g\nsources:\n  -\n")
+    }
+  }
+
   test("unknown source id in spec fails loudly") {
     val spec = GraphSpec("g", Seq(GraphSource("missing")))
     intercept[IllegalArgumentException] {

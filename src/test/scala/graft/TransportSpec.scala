@@ -257,6 +257,67 @@ class TransportSpec extends GraftSuite {
     } finally server.stop(0)
   }
 
+  test("SourceFetch: re-publish between HEAD probe and GET records the " +
+      "GET's version, not the stale probe") {
+    // HEAD says v1, but by the time the GET lands the source has
+    // re-published v2: the sidecar must pair the v2 BYTES with the v2
+    // version (same-exchange headers win), or the next run would
+    // wrongly skip the refresh
+    val headEtag = new java.util.concurrent.atomic.AtomicReference("\"v1\"")
+    val getEtag = new java.util.concurrent.atomic.AtomicReference("\"v2\"")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.set("ETag", headEtag.get())
+          ex.sendResponseHeaders(200, -1)
+        } else {
+          ex.getResponseHeaders.set("ETag", getEtag.get())
+          val body = s"payload-${getEtag.get()}".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_fetch_race").resolve("data.csv")
+      val sf = new graft.ops.SourceFetch(maxRetries = 1, backoffMs = 0)
+      // probe sees v1, GET delivers v2 bytes + v2 header → record v2
+      assert(sf.fetchIfChanged(url, dest) == ("\"v2\"", true))
+      val sidecar = dest.resolveSibling("data.csv.version")
+      assert(new String(java.nio.file.Files.readAllBytes(sidecar),
+        "UTF-8") == "\"v2\"")
+      // publication settles at v2: next run is a pure skip (no GET)
+      headEtag.set("\"v2\"")
+      assert(sf.fetchIfChanged(url, dest) == ("\"v2\"", false))
+      // a GET with NO version headers falls back to the probed version
+      val bare = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      bare.createContext("/b.csv",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          if (ex.getRequestMethod == "HEAD") {
+            ex.getResponseHeaders.set("Last-Modified", "lm1")
+            ex.sendResponseHeaders(200, -1)
+          } else {
+            val body = "b".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body)
+          }
+          ex.close()
+        })
+      bare.start()
+      try {
+        val bUrl = s"http://127.0.0.1:${bare.getAddress.getPort}/b.csv"
+        val bDest = dest.resolveSibling("b.csv")
+        assert(sf.fetchIfChanged(bUrl, bDest) == ("lm1", true))
+      } finally bare.stop(0)
+    } finally server.stop(0)
+  }
+
   test("EP1 end-to-end: SourceFetch version gate drives loadIfStale — " +
       "unchanged source skips BOTH the download and the rebuild") {
     val heads = new java.util.concurrent.atomic.AtomicInteger
