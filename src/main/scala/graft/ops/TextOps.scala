@@ -968,6 +968,75 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** q_text_bpe_train — the FULL byte-pair-encoding TRAINING loop that
+    * [[bpePairs]] is one round of: k=5 greedy merges over the corpus
+    * word-frequency table (classic Sennrich-style BPE), emitting the
+    * LEARNED MERGE TABLE (round, l, r, n) — round r merged symbol pair
+    * (l, r), which co-occurred adjacently n times (weighted by word
+    * frequency). Ties break to the lexicographically lowest (l, r).
+    *
+    * Scale shape — the distributed-BPE decomposition every large
+    * tokenizer build uses: the corpus collapses ONCE into the
+    * (distinct word, frequency) table, and all k rounds iterate over
+    * that vocabulary (millions of rows at 100 TB, not the corpus);
+    * pair expansion is row-local higher-order-array codegen, the count
+    * is one hash agg over the vocabulary-bounded pair space, and the
+    * per-round argmax is a TakeOrdered(1) — the ONLY driver-visible
+    * data is one 3-field row per round (same O(1)-per-iteration
+    * collect discipline as pagerank's dangling probe). Re-segmentation
+    * is a codegen `replace` on a `;sym;;sym;` separator string: both
+    * engines' replace() scans left-to-right non-overlapping, which IS
+    * BPE's greedy within-word merge order, and the double-separator
+    * keeps symbol boundaries exact (`;a;;b;` never matches inside
+    * `;a;;bc;`). Tokens are restricted to ^[a-z]+$ so the separator
+    * char cannot collide with data.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOn(s, Tables.documents(s, d), 5)
+
+  /** Core of q_text_bpe_train: k greedy merge rounds over any
+    * documents-shaped frame; returns the merge table. */
+  def bpeTrainOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
+    val vocab0 = ScratchCache.cache(docsDf
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("tok"), "(.)", "$1;;"), ";").as("seg"),
+        col("freq")))
+    var cur = vocab0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      // argmax pair of this round: vocabulary-bounded agg, 1-row take
+      val best = cur
+        .select(col("freq"), split(col("seg"), ";;").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // corpus fully merged before k
+      else {
+        val bl = best(0).getString(0)
+        val br = best(0).getString(1)
+        merges += ((r, bl, br, best(0).getLong(2)))
+        // greedy within-word apply of THIS round's single pair type:
+        // replace() is left-to-right non-overlapping in both engines
+        cur = cur.withColumn("seg",
+          trim(replace(concat(lit(";"), col("seg"), lit(";")),
+            lit(s";$bl;;$br;"), lit(s";$bl$br;")), ";"))
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "l", "r", "n").orderBy(col("round"))
+  }
+
   /** q_text_classifier — fastText-style LINEAR quality classifier: a
     * fixed-weight linear model over row-local engineered features
     * (stopword ratio, digit ratio, saturated length, mean token

@@ -1613,6 +1613,47 @@ object OracleSql {
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    // Full BPE training loop, k=5 greedy merges unrolled as CTE
+    // rounds: per round the freq-weighted pair count over the vocab
+    // segments, the argmax (ties to lexicographically lowest pair),
+    // and the `;l;;r;` separator-string replace — both engines'
+    // replace() is left-to-right non-overlapping, which IS BPE's
+    // greedy within-word merge order
+    "q_text_bpe_train" -> {
+      val rounds = 5
+      val base =
+        """WITH v0 AS MATERIALIZED (
+          |  SELECT rtrim(regexp_replace(tok, '(.)', '\1;;', 'g'), ';')
+          |    AS seg, CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+          |    FROM documents) t
+          |  WHERE regexp_full_match(tok, '[a-z]+') AND length(tok) >= 2
+          |  GROUP BY tok)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        val apply =
+          if (k == rounds) "" // last round learns only, no re-segment
+          else s""",
+             |v$k AS MATERIALIZED (SELECT trim(replace(';' || seg || ';',
+             |  ';' || (SELECT l FROM b$k) || ';;'
+             |    || (SELECT r FROM b$k) || ';',
+             |  ';' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ';'),
+             |  ';') AS seg, freq FROM v${k - 1})""".stripMargin
+        s"""x$k AS (SELECT string_split(seg, ';;') AS syms, freq
+           |  FROM v${k - 1}),
+           |p$k AS (SELECT syms[CAST(i.i AS INT)] AS l,
+           |  syms[CAST(i.i AS INT) + 1] AS r,
+           |  CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM x$k, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k
+           |  ORDER BY n DESC, l, r LIMIT 1)""".stripMargin + apply
+      }
+      val sel = (1 to rounds).map { k =>
+        s"SELECT CAST($k AS INT) AS round, l, r, n FROM b$k"
+      }.mkString("", "\nUNION ALL ", "")
+      (base +: ctes).mkString("", ",\n", "\n") + sel + "\nORDER BY round"
+    },
+
     // linear quality classifier: all-integer model (micro-unit features
     // via //, integer hundredth weights, BIGINT 1e-8 score) — the only
     // float op is the final mean wire division

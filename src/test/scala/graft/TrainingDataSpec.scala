@@ -24,6 +24,35 @@ class TrainingDataSpec extends GraftSuite {
     assert(out.toSeq == Seq("aa" -> 2L, "ab" -> 1L))
   }
 
+  test("bpe train: k=5 greedy merges reproduce the hand-computed " +
+      "Sennrich-style merge table") {
+    // classic BPE fixture — vocab {low:5, lower:2, newest:6, widest:3}:
+    //  r1: es:9 ties st:9 -> (e,s) wins (lowest pair); newest/widest
+    //      re-segment to [n,e,w,es,t]/[w,i,d,es,t]
+    //  r2: (es,t):9 -> est
+    //  r3: lo:7 ties ow:7 -> (l,o) wins; low -> [lo,w]
+    //  r4: (lo,w):7 -> low
+    //  r5: (e,w):6 ties (n,e):6, (w,est):6 -> (e,w) wins
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = docs((1L, text, "en", "s1"))
+    val out = TextOps.bpeTrainOn(spark, corpus, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n")))
+    assert(out.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+    // greedy left-to-right within a word: "aaa" + pair (a,a) merges
+    // the FIRST two only, and non-[a-z] tokens never train
+    val out2 = TextOps.bpeTrainOn(spark,
+      docs((1L, "aaa aaa x9y x9y x9y", "en", "s1")), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n")))
+    // r1: (a,a):4 (two per "aaa"); after: [aa,a]; r2: (a,aa)? no —
+    // pairs are (aa,a):2 -> merge (aa,a)
+    assert(out2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
   test("classifier scores are integer-exact and threshold deterministically") {
     val corpus = docs(
       // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
