@@ -60,7 +60,13 @@ object Multimodal {
     * Encoded with javax.imageio's pure-JVM PNG writer (no native
     * codec). The pixel function is closed-form so the DuckDB oracle can
     * recompute decoded sums without ever seeing the compressed bytes. */
-  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+  private[graft] def pngBytes(docId: Long): Array[Byte] =
+    pngBytes(docId, bumpFirst = false)
+
+  /** As [[pngBytes]], optionally with pixel 0 bumped by +128 mod 256 —
+    * the deterministic "noisy twin" [[phash]] plants to exercise
+    * near-duplicate (not byte-identical) image pairs. */
+  private[graft] def pngBytes(docId: Long, bumpFirst: Boolean): Array[Byte] = {
     val w = (8 + docId % 8).toInt
     val h = (8 + docId % 5).toInt
     val img = new java.awt.image.BufferedImage(
@@ -71,7 +77,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((docId * 31 + i * 7) % 256).toInt)
+        val bump = if (bumpFirst && i == 0) 128 else 0
+        raster.setSample(x, y, 0,
+          (((docId * 31 + i * 7) % 256 + bump) % 256).toInt)
         i += 1; x += 1
       }
       y += 1
@@ -89,23 +97,29 @@ object Multimodal {
   private[graft] final class PngDecoder {
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+    /** The fully decoded image (signature parse, IDAT inflate, filter
+      * reconstruction) — the raster consumers like [[phash]] sample. */
+    def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         reader.setInput(in, true, true)
-        val img = reader.read(0)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        (w, h, sum)
+        reader.read(0)
       } finally in.close()
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val img = decodeImage(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
     }
     def dispose(): Unit = reader.dispose()
   }
@@ -346,5 +360,87 @@ object Multimodal {
       .agg(count(lit(1)).as("n_sampled_frames"),
         sum(length(col("frame"))).cast("long").as("sampled_bytes"))
       .orderBy(col("media_type"))
+  }
+
+  /** q_mm_phash — perceptual-hash IMAGE dedup, the first cross-modal
+    * member of the §2.9 dedup family: every image/png payload is REALLY
+    * decoded (PNG signature parse, IDAT inflate, filter reconstruction
+    * through [[PngDecoder]]), 8×8 nearest-sampled into an average-hash
+    * (bit = sample > integer mean — the classic aHash), and pairs
+    * within Hamming ≤ thr are found by the SAME banded-LSH shape as
+    * [[DedupSim]]'s SimHash: the 64 bits split into four 16-bit bands,
+    * candidates = images sharing ANY band value (pigeonhole: distance
+    * ≤ 3 is guaranteed a shared band; larger distances are LSH-
+    * recalled), then an exact popcount(XOR) verify. Near-duplicate
+    * pairs are PLANTED: every doc_id%30==0 image gets a one-pixel-
+    * bumped twin at id+10,000,000 — near-identical but not
+    * byte-identical, exactly what byte-level exact dedup cannot catch.
+    *
+    * Oracle discipline: the synthetic pixel function is closed-form,
+    * so DuckDB recomputes sample grid → mean → bits → bands → band
+    * join → Hamming from pure arithmetic — the REAL codec path is
+    * verified against arithmetic the oracle never decodes (same
+    * pattern as q_mm_decode/q_mm_audio_window).
+    *
+    * Scale shape: decode + hashing are partition-local (one codec
+    * context per partition, zero shuffle; only 4 band rows per image
+    * ever shuffle — payload bytes never do). The band self-join is the
+    * banded candidate join (never all-pairs); the verify joins carry
+    * (id, band, value) longs only. At 100 TB of images the hash table
+    * is ~fifty bytes a row — the standard phash-dedup decomposition. */
+  def phash(s: SparkSession, d: String): DataFrame =
+    phashOn(s, Tables.documents(s, d), thr = 6)
+
+  /** Core of q_mm_phash over any documents-shaped frame: returns the
+    * (a, b, hamming) near-duplicate image pair ledger. */
+  def phashOn(s: SparkSession, docsDf: DataFrame, thr: Int): DataFrame = {
+    import s.implicits._
+    val baseIds = docsDf.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+    val bandRows = baseIds.mapPartitions { it =>
+      val png = new PngDecoder() // one codec context per partition
+      it.flatMap { base =>
+        val variants =
+          if (base % 30 == 0) Seq((base, false), (base + 10000000L, true))
+          else Seq((base, false))
+        variants.flatMap { case (imgId, bumped) =>
+          val img = png.decodeImage(pngBytes(base, bumped))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val sampled = new Array[Int](64)
+          var idx = 0
+          var sum = 0
+          while (idx < 64) {
+            val cx = idx % 8
+            val cy = idx / 8
+            sampled(idx) = raster.getSample(cx * w / 8, cy * h / 8, 0)
+            sum += sampled(idx)
+            idx += 1
+          }
+          val mean = sum / 64
+          val bv = new Array[Long](4)
+          idx = 0
+          while (idx < 64) {
+            if (sampled(idx) > mean) bv(idx / 16) |= 1L << (idx % 16)
+            idx += 1
+          }
+          (0 until 4).map(k => (imgId, k, bv(k)))
+        }
+      }
+    }.toDF("img_id", "band", "bv")
+    val b = ScratchCache.cache(bandRows)
+    val cand = b.as("x").join(b.as("y"),
+      col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
+      .distinct()
+    cand
+      .join(b.as("ba"), col("a") === col("ba.img_id"))
+      .join(b.as("bb"), col("b") === col("bb.img_id") &&
+        col("ba.band") === col("bb.band"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(expr("bit_count(ba.bv ^ bb.bv)")).as("hamming"))
+      .filter(col("hamming") <= thr)
+      .orderBy(col("a"), col("b"))
   }
 }

@@ -2145,6 +2145,50 @@ object OracleSql {
         |CAST(MAX(ABS(smp)) AS BIGINT) AS peak
         |FROM sm GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
 
+    // Perceptual-hash image dedup: the closed-form pixel function lets
+    // the oracle recompute sample grid -> integer mean -> aHash bits ->
+    // 16-bit bands -> band-join candidates -> exact popcount(XOR)
+    // verify, all without ever decoding a PNG — the Spark side's real
+    // codec path must land on identical arithmetic
+    "q_mm_phash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS base, 0 AS tw
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1 FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 30 = 0),
+        |dims AS (SELECT img_id, base, tw,
+        |  CAST(8 + base % 8 AS BIGINT) AS w,
+        |  CAST(8 + base % 5 AS BIGINT) AS h FROM imgs),
+        |cells AS (SELECT img_id, base, tw, w, h,
+        |  CAST(ci // 8 AS BIGINT) AS cy, CAST(ci % 8 AS BIGINT) AS cx
+        |  FROM (SELECT *, unnest(range(0, 64)) AS ci FROM dims) t),
+        |sv AS (SELECT img_id, cy * 8 + cx AS idx,
+        |  ((cy * h) // 8) * w + ((cx * w) // 8) AS i, base, tw
+        |  FROM cells),
+        |vals AS (SELECT img_id, idx,
+        |  CASE WHEN tw = 1 AND i = 0
+        |    THEN ((base * 31 + i * 7) % 256 + 128) % 256
+        |    ELSE (base * 31 + i * 7) % 256 END AS v FROM sv),
+        |means AS (SELECT img_id, SUM(v) // 64 AS m FROM vals
+        |  GROUP BY img_id),
+        |bandt AS (SELECT v.img_id, CAST(idx // 16 AS INT) AS band,
+        |  CAST(SUM(CASE WHEN v > m
+        |    THEN (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS bv
+        |  FROM vals v JOIN means USING (img_id)
+        |  GROUP BY v.img_id, idx // 16),
+        |cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
+        |  FROM bandt x JOIN bandt y
+        |  ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
+        |ham AS (SELECT a, b,
+        |  CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+        |  FROM cand JOIN bandt ba ON ba.img_id = a
+        |  JOIN bandt bb ON bb.img_id = b AND bb.band = ba.band
+        |  GROUP BY a, b)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY a, b""".stripMargin,
+
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

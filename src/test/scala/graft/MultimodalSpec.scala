@@ -98,6 +98,25 @@ class MultimodalSpec extends GraftSuite {
     assert(rows.map(_._2).sum == 65L)
   }
 
+  test("phash: planted identical + noisy-twin images pair up with " +
+      "hand-computed Hamming distances") {
+    import spark.implicits._
+    // doc 0 and doc 3840 render IDENTICAL images (3840·31 ≡ 0 mod 256,
+    // same dims mod 8/mod 5); both are %30==0 so both get one-pixel
+    // bumped twins. doc 6 is an unrelated image. Hand computation for
+    // base pattern 7i mod 256 (w=h=8, so the 8×8 sample grid IS the
+    // pixel grid): mean=112; the bump lifts pixel0 0→128 and the mean
+    // to 114; no other value lands in (112,114], so exactly ONE bit
+    // flips → Hamming(base, twin)=1.
+    val docs = Seq(0L, 3840L, 6L).toDF("doc_id")
+    val out = Multimodal.phashOn(spark, docs, thr = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(out.toSeq == Seq(
+      (0L, 3840L, 0L), (0L, 10000000L, 1L), (0L, 10003840L, 1L),
+      (3840L, 10000000L, 1L), (3840L, 10003840L, 1L),
+      (10000000L, 10003840L, 0L)))
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)
