@@ -277,7 +277,23 @@ object StreamingTwins {
     * one-pass caveat as [[funnelStages]]. The attribution REPORT is the
     * downstream per-touch-type aggregate of these credits —
     * StreamingSpec asserts it equals the batch
-    * [[graft.ops.EventOps.attributionOn]] report row-for-row. */
+    * [[graft.ops.EventOps.attributionOn]] report row-for-row.
+    *
+    * MEMORY CONTRACT (the whole-trigger buffering decision): this
+    * low-latency twin sorts each user's per-trigger rows on the task
+    * heap (`rows.toSeq.sortBy`), which is O(user's rows in the
+    * trigger). That is deliberate, not an oversight: resolving "latest
+    * touch before each purchase" over an UNORDERED group iterator is
+    * information-theoretically O(touches) — any touch may be the
+    * predecessor of a purchase that arrives later in the iterator, so
+    * no exact one-pass bounded-state algorithm exists, and
+    * flatMapGroupsWithState offers no engine-side ordering. Use this
+    * twin when per-user per-trigger volume is bounded (interactive
+    * attribution over keyed sessions). For hot-user / firehose
+    * triggers use [[attributionCreditsBatched]], which moves the
+    * (us, event_id) ordering into a batch WINDOW — Tungsten external
+    * sort, spill-capable, zero user-code buffering — and carries the
+    * same one-row-per-user state across triggers idempotently. */
   def attributionCredits(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
@@ -304,6 +320,92 @@ object StreamingTwins {
         Encoders.product[(Long, String, Long, Long)])
       .toDF("user_id", "touch_type", "purchase_us", "gap_us")
   }
+
+  /** Hot-user-safe attribution twin: the same last-touch credit
+    * semantics as [[attributionCredits]], restructured so NO user code
+    * ever buffers a user's trigger rows. Each micro-batch is processed
+    * as a BATCH plan inside foreachBatch: the (us, event_id) ordering
+    * that the state-op twin does on the task heap becomes a window
+    * (`last(touch) IGNORE NULLS OVER (PARTITION BY user ORDER BY us,
+    * event_id ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`) — Tungsten's
+    * external sort, which SPILLS, so one user with millions of rows in
+    * a trigger degrades to disk, never to OOM. Purchases with no
+    * in-batch predecessor fall back to the carried per-user state (ONE
+    * row per user: the max-(us, event_id) touch), persisted to
+    * `stateDir/batch_<id>` and read back as `batch_<id-1>` — slot
+    * keyed by micro-batch id, so a REPLAYED batch overwrites itself:
+    * the same idempotent exactly-once recipe as [[normalizeStream]].
+    * Credits land in `outDir/batch_<id>` (read the whole dir for the
+    * stream-to-date ledger). Cross-trigger event-time order is assumed
+    * exactly as in the state-op twin.
+    *
+    * Scale shape: per trigger this is one windowed pass over the batch
+    * plus two bounded-size joins against the O(users) state frame —
+    * shuffle on user_id only, broadcast-eligible when the active-user
+    * set is small. State growth is O(distinct users), not O(events). */
+  def attributionCreditsBatched(events: DataFrame, stateDir: String,
+      outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val typed = batch
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .persist()
+        try {
+          val prevDir = new java.io.File(s"$stateDir/batch_${id - 1}")
+          val prev =
+            if (prevDir.exists)
+              s.read.parquet(prevDir.getPath)
+                .select(col("user_id"), col("touch_type").as("p_type"),
+                  col("touch_us").as("p_us"))
+            else Seq.empty[(Long, String, Long)]
+              .toDF("user_id", "p_type", "p_us")
+          // engine-side ordering: the window sort replaces the state
+          // op's rows.toSeq.sortBy — external sort, spill-capable
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("us"), col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)
+          val credits = typed
+            .withColumn("prev_touch",
+              last(when(col("event_type") =!= "purchase",
+                struct(col("event_type").as("t"), col("us").as("u"))),
+                ignoreNulls = true).over(w))
+            .filter(col("event_type") === "purchase")
+            .join(prev, Seq("user_id"), "left")
+            .select(col("user_id"),
+              coalesce(col("prev_touch.t"), col("p_type"), lit("(none)"))
+                .as("touch_type"),
+              col("us").as("purchase_us"),
+              when(col("prev_touch.u").isNotNull,
+                  col("us") - col("prev_touch.u"))
+                .when(col("p_us").isNotNull && col("p_us") >= 0,
+                  col("us") - col("p_us"))
+                .otherwise(lit(Long.MinValue)).as("gap_us"))
+          credits.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+          // new state: the batch's max-(us, event_id) touch per user
+          // overrides the carried one (cross-trigger order assumption)
+          val lastTouch = typed
+            .filter(col("event_type") =!= "purchase")
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("us"), col("event_id"),
+              col("event_type"))).as("m"))
+            .select(col("user_id"), col("m.event_type").as("b_type"),
+              col("m.us").as("b_us"))
+          prev.join(lastTouch, Seq("user_id"), "full")
+            .select(col("user_id"),
+              coalesce(col("b_type"), col("p_type")).as("touch_type"),
+              coalesce(col("b_us"), col("p_us")).as("touch_us"))
+            .write.mode("overwrite").parquet(s"$stateDir/batch_$id")
+        } finally typed.unpersist()
+        ()
+    }
 
   /** Continuous-ingest EP2: raw CURIEs arrive on a stream and every
     * micro-batch runs the SAME batched transport the batch path uses

@@ -388,6 +388,57 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("attribution batched twin: hot user (10k events in one trigger) " +
+      "rides the window sort, credits match the batch report") {
+    // ONE user floods a single trigger with 10k events — the case the
+    // state-op twin would whole-trigger-buffer on one task heap; here
+    // the ordering is an engine window (external sort) and user code
+    // never materializes the trigger. Trigger 2 exercises the carried
+    // one-row state (purchase before any trigger-2 touch).
+    val base = ts("2024-01-01 10:00:00").getTime
+    def at(i: Int) = new Timestamp(base + i * 1000L)
+    val hot = (1 to 10000).map { i =>
+      val et =
+        if (i == 5000 || i == 10000) "purchase"
+        else if (i % 3 == 0) "click" else "view"
+      Ev(i.toLong, at(i), 1L, et, 0.0)
+    }
+    val late = Seq(
+      Ev(10001L, at(10001), 1L, "purchase", 0.0), // carried-state credit
+      Ev(10002L, at(10002), 2L, "purchase", 0.0), // (none) first event
+      Ev(10003L, at(10003), 1L, "error", 0.0),
+      Ev(10004L, at(10004), 1L, "purchase", 0.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_att_batched").toString
+    val ms = MemoryStream[Ev]
+    val q = StreamingTwins.attributionCreditsBatched(ms.toDF(),
+        s"$dir/state", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      ms.addData(hot: _*); q.processAllAvailable()
+      ms.addData(late: _*); q.processAllAvailable()
+      import org.apache.spark.sql.functions.{count, countDistinct, lit, round, sum, when, col}
+      import org.apache.spark.sql.types.DecimalType
+      val streamed = spark.read.parquet(s"$dir/out/batch_*")
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct($"user_id").as("n_users"),
+          when(count(when($"gap_us" >= 0, 1)) > 0,
+            round(sum(when($"gap_us" >= 0, $"gap_us")
+                .cast(DecimalType(38, 0))).cast("double")
+              / (count(when($"gap_us" >= 0, 1)).cast(DecimalType(38, 0))
+                * 1000000L).cast("double"), 6)).as("avg_gap_sec"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)))).toSet
+      val batch = graft.ops.EventOps
+        .attributionOn((hot ++ late).toDF()).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_users"), Option(r.get(3)))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("retention twin: streamed cells equal the batch matrix") {
     val log = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
