@@ -272,12 +272,67 @@ object Joins {
     * exact). Per-name fanout is |s|+1 ≈ 19; variant-key skew is the
     * digit-neighborhood size, not corpus size. Wire: per-outcome
     * ledger (exact / fuzzy_unique / fuzzy_ambiguous / miss) with query
-    * and total-candidate counts. */
+    * and total-candidate counts, PLUS the bucket-density rows below.
+    *
+    * DENSITY GUARDRAIL (r10 verdict): deletion-neighborhood blocking
+    * is exact but its cost is Σ_bucket |q-side|·|c-side| — an
+    * adversarially dense keyspace (a hot token pattern, sequential
+    * ids) concentrates candidates in few buckets and the operator
+    * would silently pay a superlinear bill. The wire now REPORTS that
+    * density instead: `density_hot_buckets` (n_queries = number of
+    * variant buckets whose pair product exceeds 256, n_cands = the
+    * candidate pairs those buckets contribute) and
+    * `density_max_bucket` (n_cands = the largest single bucket's pair
+    * product) — both oracle-checked, so a density regression is a
+    * visible diff, not a silent slowdown. [[joinFuzzyGuarded]] turns
+    * the report into a hard cap that fails loudly before paying the
+    * join. The probe costs two long-keyed hash aggs over the already-
+    * cached variant streams — no extra pass over the corpus. */
   def joinFuzzy(s: SparkSession, d: String): DataFrame =
     joinFuzzyOn(Tables.customer(s, d))
 
+  /** Variant buckets with a pair product above this are "hot" on the
+    * density wire. */
+  private[graft] val hotBucketPairs = 256L
+
   /** Core of q_join_fuzzy over any customer-shaped frame. */
   def joinFuzzyOn(customer: DataFrame): DataFrame = {
+    val (outcomes, density) = fuzzyLedgers(customer)
+    val densityRows = density.select(explode(array(
+      struct(lit("density_hot_buckets").as("outcome"),
+        col("hot_buckets").as("n_queries"),
+        col("hot_pairs").as("n_cands")),
+      struct(lit("density_max_bucket").as("outcome"),
+        lit(1L).as("n_queries"),
+        col("max_pairs").as("n_cands")))).as("r"))
+      .select(col("r.outcome"), col("r.n_queries"), col("r.n_cands"))
+    outcomes.unionByName(densityRows).orderBy(col("outcome"))
+  }
+
+  /** The hard-cap form of the density guardrail: evaluates the bucket
+    * probe FIRST (two long-keyed aggs, one 1-row collect) and refuses
+    * to run the candidate join if any variant bucket would contribute
+    * more than `failAbovePairs` candidate pairs — degrade loudly, not
+    * quadratically. */
+  def joinFuzzyGuarded(customer: DataFrame,
+      failAbovePairs: Long): DataFrame = {
+    val (_, density) = fuzzyLedgers(customer)
+    val d = density.head()
+    val maxPairs = d.getAs[Long]("max_pairs")
+    if (maxPairs > failAbovePairs)
+      throw new IllegalStateException(
+        "fuzzy-join variant-bucket density exceeds the cap: hottest " +
+        s"bucket would contribute $maxPairs candidate pairs (cap " +
+        s"$failAbovePairs); ${d.getAs[Long]("hot_buckets")} buckets " +
+        s"above $hotBucketPairs contribute a combined " +
+        s"${d.getAs[Long]("hot_pairs")} pairs — this keyspace is " +
+        "adversarially dense for deletion-neighborhood blocking")
+    joinFuzzyOn(customer)
+  }
+
+  /** The shared fuzzy pipeline: (un-ordered outcome ledger, 1-row
+    * bucket-density aggregate). */
+  private def fuzzyLedgers(customer: DataFrame): (DataFrame, DataFrame) = {
     val canon = customer.select(col("c_custkey"), col("c_name"))
     // planted dirt: substitute the digit at a key-dependent offset from
     // the END of the name with 'x' (and a second one, 'y', for misses)
@@ -314,12 +369,29 @@ object Joins {
     // dimension joins (broadcast here; at 100 TB the canon side is
     // corpus-sized and these become plain shuffle equi joins — linear
     // either way).
-    val qv = q.select(col("q_id"),
+    // cached: the exploded streams feed BOTH the candidate join and
+    // the density probe (two longs per row either way)
+    val qv = ScratchCache.cache(q.select(col("q_id"),
       explode(variants(col("qname"))).as("vs"))
-      .select(col("q_id"), xxhash64(col("vs")).as("v"))
-    val cv = canon.select(col("c_custkey"),
+      .select(col("q_id"), xxhash64(col("vs")).as("v")))
+    val cv = ScratchCache.cache(canon.select(col("c_custkey"),
       explode(variants(col("c_name"))).as("vs"))
-      .select(col("c_custkey"), xxhash64(col("vs")).as("v"))
+      .select(col("c_custkey"), xxhash64(col("vs")).as("v")))
+    // bucket-density probe: per-variant q×c pair products. Buckets are
+    // the hashed keys; the oracle twin buckets the raw variant strings
+    // — identical absent a 64-bit collision (collisions could only
+    // merge buckets, and the oracle gate at every swept SF confirms
+    // none occur; candidates themselves are collision-immune because
+    // the exact verify kills impostors)
+    val density = qv.groupBy(col("v")).agg(count(lit(1)).as("nq"))
+      .join(cv.groupBy(col("v")).agg(count(lit(1)).as("nc")), "v")
+      .select((col("nq") * col("nc")).as("pairs"))
+      .agg(
+        coalesce(sum(when(col("pairs") > hotBucketPairs, 1L)
+          .otherwise(0L)), lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(col("pairs") > hotBucketPairs, col("pairs"))),
+          lit(0L)).as("hot_pairs"),
+        coalesce(max(col("pairs")), lit(0L)).as("max_pairs"))
     val cands = qv.join(cv, "v")
       .select(col("q_id"), col("c_custkey")).distinct()
       .join(broadcast(q), "q_id")
@@ -329,7 +401,7 @@ object Joins {
     val resolved = cands
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_cands"), min(col("dist")).as("best_dist"))
-    q.join(resolved, Seq("q_id"), "left")
+    val outcomes = q.join(resolved, Seq("q_id"), "left")
       .select(when(col("n_cands").isNull, "miss")
         .when(col("best_dist") === 0, "exact")
         .when(col("n_cands") === 1, "fuzzy_unique")
@@ -337,7 +409,7 @@ object Joins {
         coalesce(col("n_cands"), lit(0L)).as("nc"))
       .groupBy(col("outcome"))
       .agg(count(lit(1)).as("n_queries"), sum(col("nc")).as("n_cands"))
-      .orderBy(col("outcome"))
+    (outcomes, density)
   }
 
   /** q_join_interval — INTERVAL×INTERVAL OVERLAP join as a pure equi

@@ -1379,14 +1379,14 @@ object OracleSql {
         |      substring(s1, CAST(length(s1) - ((c_custkey % 5) + 4) AS INT) + 1, 64)
         |  WHEN c_custkey % 7 = 0 THEN s1
         |  ELSE c_name END AS qname FROM t),
-        |qv AS (SELECT q_id, qname, unnest(list_prepend(qname,
+        |qv AS (SELECT q_id, qname, unnest(list_distinct(list_prepend(qname,
         |  list_transform(range(1, CAST(length(qname) AS INT) + 1), i ->
         |    substring(qname, 1, CAST(i AS INT) - 1)
-        |      || substring(qname, CAST(i AS INT) + 1, 64)))) AS v FROM q2),
-        |cv AS (SELECT c_custkey, c_name, unnest(list_prepend(c_name,
+        |      || substring(qname, CAST(i AS INT) + 1, 64))))) AS v FROM q2),
+        |cv AS (SELECT c_custkey, c_name, unnest(list_distinct(list_prepend(c_name,
         |  list_transform(range(1, CAST(length(c_name) AS INT) + 1), i ->
         |    substring(c_name, 1, CAST(i AS INT) - 1)
-        |      || substring(c_name, CAST(i AS INT) + 1, 64)))) AS v FROM customer),
+        |      || substring(c_name, CAST(i AS INT) + 1, 64))))) AS v FROM customer),
         |cands AS (SELECT DISTINCT q_id, qname, c_custkey, c_name
         |  FROM qv JOIN cv USING (v)),
         |ok AS (SELECT q_id, qname, levenshtein(qname, c_name) AS dist
@@ -1398,10 +1398,24 @@ object OracleSql {
         |    WHEN n_cands = 1 THEN 'fuzzy_unique'
         |    ELSE 'fuzzy_ambiguous' END AS outcome,
         |  COALESCE(n_cands, 0) AS nc
-        |  FROM q2 LEFT JOIN res ON q2.q_id = res.q_id)
-        |SELECT outcome, COUNT(*) AS n_queries,
-        |CAST(SUM(nc) AS BIGINT) AS n_cands
-        |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM q2 LEFT JOIN res ON q2.q_id = res.q_id),
+        |qs AS (SELECT v, COUNT(*) AS nq FROM qv GROUP BY v),
+        |cs AS (SELECT v, COUNT(*) AS nc2 FROM cv GROUP BY v),
+        |bk AS (SELECT qs.nq * cs.nc2 AS pairs FROM qs JOIN cs USING (v)),
+        |dens AS (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN pairs > 256 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS hot_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN pairs > 256 THEN pairs END), 0)
+        |    AS BIGINT) AS hot_pairs,
+        |  CAST(COALESCE(MAX(pairs), 0) AS BIGINT) AS max_pairs FROM bk)
+        |SELECT outcome, n_queries, n_cands FROM (
+        |  SELECT outcome, COUNT(*) AS n_queries,
+        |    CAST(SUM(nc) AS BIGINT) AS n_cands FROM led GROUP BY 1
+        |  UNION ALL SELECT 'density_hot_buckets', hot_buckets, hot_pairs
+        |    FROM dens
+        |  UNION ALL SELECT 'density_max_bucket', CAST(1 AS BIGINT),
+        |    max_pairs FROM dens)
+        |ORDER BY outcome""".stripMargin,
 
     // Hourly resample + forward fill: generate_series grid per user,
     // last_value IGNORE NULLS; same composite argmax long both engines.

@@ -124,11 +124,59 @@ class JoinsSpec extends GraftSuite {
         else if (ds.length == 1) "fuzzy_unique" else "fuzzy_ambiguous"
       (outcome, ds.length.toLong)
     }.groupBy(_._1).map { case (o, xs) => o -> (xs.length.toLong, xs.map(_._2).sum) }
-    val got = Joins.joinFuzzy(spark, sf).collect()
+    val all = Joins.joinFuzzy(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = all.filter(!_._1.startsWith("density_"))
     assert(got == expected, s"got=$got expected=$expected")
     assert(got.contains("fuzzy_unique") || got.contains("fuzzy_ambiguous"))
     assert(got.contains("miss") && got.contains("exact"))
+    // density wire rows vs an independent all-pairs bucket count:
+    // per-name DEDUPED variant multiset (array_union semantics),
+    // bucket product = q-side count × c-side count (q = c here up to
+    // the planted dirt)
+    def vset(n: String): Seq[String] =
+      (n +: n.indices.map(i => n.take(i) + n.drop(i + 1))).distinct
+    val cCounts = names.toSeq.flatMap(x => vset(x._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val qCounts = queries.toSeq.flatMap(x => vset(x._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val products = qCounts.collect { case (v, nq) if cCounts.contains(v) =>
+      nq * cCounts(v) }.toSeq
+    val hot = products.filter(_ > 256L)
+    assert(all("density_hot_buckets") ==
+      (hot.length.toLong, hot.sum))
+    assert(all("density_max_bucket") ==
+      (1L, if (products.isEmpty) 0L else products.max))
+  }
+
+  test("fuzzy join: planted hot bucket surfaces on the density wire " +
+      "and trips the guarded cap") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 20 same-length names differing ONLY in the last char: deleting
+    // that char lands ALL of them in one variant bucket -> pair
+    // product 20*20 = 400 (> the 256 hot threshold). Keys 91i+1 are
+    // never %7==0 or %13==0, so no dirt is planted and q == canon.
+    val hotDf = (0 until 20)
+      .map(i => (91L * i + 1, f"bucket_test_${('a' + i).toChar}"))
+      .toDF("c_custkey", "c_name")
+    val out = Joins.joinFuzzyOn(hotDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every query matches itself (dist 0) -> exact, plus 19 dist-1
+    // neighbors -> 20 candidates each
+    assert(out("exact") == (20L, 400L))
+    assert(out("density_hot_buckets") == (1L, 400L))
+    assert(out("density_max_bucket") == (1L, 400L))
+    // the hard cap refuses the join BEFORE paying it...
+    val e = intercept[IllegalStateException] {
+      Joins.joinFuzzyGuarded(hotDf, failAbovePairs = 256L)
+    }
+    assert(e.getMessage.contains("400"))
+    // ...and a cap above the density lets it through unchanged
+    val ok = Joins.joinFuzzyGuarded(hotDf, failAbovePairs = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(ok == out)
   }
 
   test("interval join: bin-grid equi join == brute-force overlap, boundaries exact") {
