@@ -54,6 +54,36 @@ object GraphSpec {
       .map(l => GraphSource(l.trim.stripPrefix("-").trim))
     GraphSpec(graphId, sources)
   }
+
+  /** Parse a MULTI-graph spec file: sequential `graph_id:` blocks,
+    * each in the [[parse]] subset — the flat form of the reference's
+    * graph_specs listing several named graphs built in one run over
+    * shared sources:
+    * {{{
+    * graph_id: graph_a
+    * sources:
+    *   - src_1
+    *   - src_2
+    * graph_id: graph_b
+    * sources:
+    *   - src_2
+    * }}}
+    * Graph ids must be unique; every block revalidates through
+    * [[parse]], so the loud-failure contract is identical. */
+  def parseMulti(text: String): Seq[GraphSpec] = {
+    val lines = text.linesIterator.toList
+    val starts = lines.zipWithIndex
+      .collect { case (l, i) if l.trim.startsWith("graph_id:") => i }
+    require(starts.nonEmpty, "multi-graph spec: no graph_id blocks")
+    val blocks = starts.zipAll(starts.drop(1), -1, lines.length)
+      .map { case (a, b) => lines.slice(a, b).mkString("\n") }
+    val specs = blocks.map(parse)
+    val dup = specs.groupBy(_.graphId).collect {
+      case (id, xs) if xs.length > 1 => id }
+    require(dup.isEmpty,
+      s"multi-graph spec: duplicate graph_id(s) ${dup.mkString(", ")}")
+    specs
+  }
 }
 
 /** EP3 composition: given a spec and a node frame per source id, build

@@ -1186,6 +1186,38 @@ object OracleSql {
         |SELECT label, CAST(n AS BIGINT) AS n
         |FROM c ORDER BY label""".stripMargin,
 
+    // Multi-graph orchestration ledger: per-graph merge counts are
+    // recomputed from customer/nation; the sharing proof rows are the
+    // spec constants (2 distinct sources loaded, 3 references)
+    "q_pipeline_multigraph" ->
+      """WITH cn AS (SELECT COUNT(*) AS n_cust,
+        |  COUNT(DISTINCT c_nationkey) AS dn FROM customer),
+        |nn AS (SELECT COUNT(*) AS n_nation FROM nation),
+        |nb AS (SELECT COUNT(DISTINCT c_nationkey) AS nb FROM customer
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation)),
+        |un AS (SELECT COUNT(*) AS un FROM (
+        |  SELECT DISTINCT c_nationkey AS k FROM customer
+        |  UNION SELECT n_nationkey FROM nation) t)
+        |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'commerce_graph:parsed_nodes' AS stage,
+        |    n_cust + dn + n_nation AS n FROM cn, nn
+        |  UNION ALL SELECT 'commerce_graph:parsed_edges',
+        |    n_cust + n_nation FROM cn, nn
+        |  UNION ALL SELECT 'commerce_graph:merged_nodes',
+        |    n_cust + un FROM cn, un
+        |  UNION ALL SELECT 'commerce_graph:multi_source_nodes', nb
+        |    FROM nb
+        |  UNION ALL SELECT 'commerce_graph:merged_edges',
+        |    n_cust + n_nation FROM cn, nn
+        |  UNION ALL SELECT 'geo_graph:parsed_nodes', n_nation FROM nn
+        |  UNION ALL SELECT 'geo_graph:parsed_edges', n_nation FROM nn
+        |  UNION ALL SELECT 'geo_graph:merged_nodes', n_nation FROM nn
+        |  UNION ALL SELECT 'geo_graph:multi_source_nodes', 0
+        |  UNION ALL SELECT 'geo_graph:merged_edges', n_nation FROM nn
+        |  UNION ALL SELECT 'graph_source_refs', 3
+        |  UNION ALL SELECT 'shared_sources_loaded', 2) t2
+        |ORDER BY stage""".stripMargin,
+
     "q_source_spec" ->
       """WITH c AS (SELECT COUNT(*) AS n FROM customer),
         |d AS (SELECT COUNT(DISTINCT c_nationkey) AS n FROM customer),

@@ -35,6 +35,57 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("multi-graph run: sources parse once (cache-backed), ledgers " +
+      "consistent, both KGX artifacts written") {
+    import graft.ops.{GraphSpec, SourceSpec}
+    // parseMulti: two blocks, shared source, dup ids rejected
+    val specs = GraphSpec.parseMulti(
+      "graph_id: a\nsources:\n  - s1\n  - s2\n" +
+        "graph_id: b\nsources:\n  - s2\n")
+    assert(specs.map(_.graphId) == Seq("a", "b"))
+    assert(specs(1).sources.map(_.sourceId) == Seq("s2"))
+    intercept[IllegalArgumentException] {
+      GraphSpec.parseMulti(
+        "graph_id: a\nsources:\n  - x\ngraph_id: a\nsources:\n  - y\n")
+    }
+    // the keyed run: ledger arithmetic + sharing proof + artifacts
+    val ledger = Pipeline.pipelineMultiGraph(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(ledger("shared_sources_loaded") == 2L)
+    assert(ledger("graph_source_refs") == 3L) // refs > loads = sharing
+    // geo_graph is the nations source alone
+    assert(ledger("geo_graph:parsed_nodes") ==
+      ledger("geo_graph:merged_nodes"))
+    assert(ledger("geo_graph:multi_source_nodes") == 0L)
+    // commerce_graph genuinely merges NATION ids from both sources
+    assert(ledger("commerce_graph:multi_source_nodes") > 0L)
+    assert(ledger("commerce_graph:merged_nodes") <
+      ledger("commerce_graph:parsed_nodes"))
+    for (g <- Seq("commerce_graph", "geo_graph");
+         part <- Seq("nodes", "edges")) {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_multigraph_kgx_" + sf.replaceAll("[^a-zA-Z0-9]", "_"),
+        g, part)
+      assert(java.nio.file.Files.exists(dir), s"$g/$part written")
+    }
+    // the SHARED-SCAN proof at the plan level: build the graphs again
+    // un-written and check the second graph's node union reads the
+    // cached InMemoryRelation, not the parquet source
+    val (perGraph, nLoaded) = Pipeline.multiGraphBuild(spark,
+      GraphSpec.parseMulti(
+        "graph_id: g1\nsources:\n  - customers\n  - nations\n" +
+          "graph_id: g2\nsources:\n  - nations\n"),
+      Map(
+        "customers" -> (Pipeline.customersSpec -> s"$sf/customer.parquet"),
+        "nations" -> (Pipeline.nationsSpec -> s"$sf/nation.parquet")))
+    assert(nLoaded == 2)
+    val g2nodes = perGraph.find(_._1 == "g2").get._2
+    assert(g2nodes.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("pipeline multi-source merge matches the mapped-user overlap") {
     import org.apache.spark.sql.functions.col
     val mappedCust = Tables.customer(spark, sf)
