@@ -48,6 +48,37 @@ class AnnLshSpec extends GraftSuite {
     assert(out.forall(r => r.getAs[Double]("cos") <= 1.0))
   }
 
+  test("gen-sf1 scale recall: planted LSH neighbors retrieved and the " +
+      "IVF recall floor holds at 10x data") {
+    // the ANN keys are no-oracle by construction — this pins their
+    // QUALITY claim at scale the way the oracle pins correctness:
+    // planted-neighbor recall and the brute-force recall floor must
+    // hold on the 10x generated corpus too (recorded in SCALE.md)
+    val g1 = "/root/repo/scaledata/gsf1"
+    assume(new java.io.File(s"$g1/embeddings.parquet").exists())
+    val e = Tables.embeddings(spark, g1)
+      .select($"vec_id", $"embedding", $"label")
+    val base = e.filter($"vec_id" === 0).select($"embedding")
+      .collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+    val rnd = new scala.util.Random(7)
+    def jitter(eps: Float) =
+      base.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val planted = Seq(
+      (20000001L, jitter(0.01f), 0), (20000002L, jitter(0.01f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(e.schema.map(f => col(f.name).cast(f.dataType)): _*)
+    val top = DedupSim.simAnnLshOn(e.unionByName(planted), queryVecId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.contains(20000001L) && top.contains(20000002L),
+      s"planted neighbors missing at gen-sf1: $top")
+    val brute = DedupSim.simCosineTopK(spark, g1).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = DedupSim.simAnnIvf(spark, g1).collect()
+      .map(_.getLong(0)).toSet
+    assert((brute & ivf).size >= 3,
+      s"IVF recall below the small-sf floor at gen-sf1: ${(brute & ivf).size}/10")
+  }
+
   test("IVF ANN recall vs brute force is substantial") {
     val brute = DedupSim.simCosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
