@@ -443,4 +443,45 @@ object Multimodal {
       .filter(col("hamming") <= thr)
       .orderBy(col("a"), col("b"))
   }
+
+  /** q_mm_phash_cluster — the SCALE answer to [[phash]]'s pair ledger:
+    * a duplicate CLASS of n images has C(n,2) pairs (quadratic — see
+    * SCALE.md r11), but an actual image-dedup run wants CLUSTERS and
+    * survivors, which are linear in the class size. Same composition
+    * as q_dedup_cluster: the phash near-dup pairs become connected
+    * components ([[GraphOps.ccLabels]] — transitive closure matters:
+    * A~B, B~C is one cluster even when A and C's Hamming exceeds the
+    * threshold), each cluster keeps its minimum img_id as survivor,
+    * and the wire is the one-row collapse ledger (images, images in
+    * dup clusters, clusters, removed, kept).
+    *
+    * Scale shape: CC runs on the PAIR graph (≪ corpus); the final
+    * classification joins the image universe against the label table
+    * once. The quadratic pair stream lives only INSIDE the shuffle
+    * feeding CC — it never lands on the wire. */
+  def phashCluster(s: SparkSession, d: String): DataFrame =
+    phashClusterOn(s, Tables.documents(s, d), thr = 6)
+
+  /** Core of q_mm_phash_cluster. */
+  def phashClusterOn(s: SparkSession, docsDf: DataFrame,
+      thr: Int): DataFrame = {
+    val pairs = ScratchCache.cache(
+      phashOn(s, docsDf, thr).select(col("a"), col("b")))
+    val labels = GraphOps.ccLabels(pairs)
+      .withColumnRenamed("node", "img_id")
+    val bases = docsDf.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    val imgIds = bases.select(col("doc_id").as("img_id"))
+      .unionByName(bases.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 10000000L).as("img_id")))
+    imgIds.join(labels, Seq("img_id"), "left")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("comp").isNotNull.cast("long")).as("n_in_dup_clusters"),
+        countDistinct(col("comp")).as("n_clusters"),
+        sum((col("comp").isNotNull && col("comp") =!= col("img_id"))
+          .cast("long")).as("n_removed"))
+      .select(col("n_images"), col("n_in_dup_clusters"),
+        col("n_clusters"), col("n_removed"),
+        (col("n_images") - col("n_removed")).as("n_kept"))
+  }
 }

@@ -997,6 +997,46 @@ object TextOps {
   /** Core of q_text_bpe_train: k greedy merge rounds over any
     * documents-shaped frame; returns the merge table. */
   def bpeTrainOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    bpeTrainCore(s, docsDf, k)._1
+      .toDF("round", "l", "r", "n").orderBy(col("round"))
+  }
+
+  /** q_text_bpe_encode — the APPLICATION half of the tokenizer story:
+    * encode the corpus with the merge table [[bpeTrain]] learned (same
+    * k=5 merges, applied in learned order), and report the resulting
+    * token-length distribution — (symbols per word, distinct vocab
+    * words, corpus word occurrences, corpus tokens emitted). This is
+    * the compression ledger a tokenizer build reports: how many tokens
+    * the trained merges save over character-level encoding.
+    *
+    * Scale shape: identical to training — every merge applies to the
+    * VOCABULARY table (the corpus collapsed once to (word, freq)), so
+    * encoding 100 TB costs one corpus pass for the vocab plus
+    * k vocabulary-sized codegen `replace` maps; the histogram is one
+    * hash agg over ≤ max-word-length keys. Corpus-level counts come
+    * from the freq weights, never from re-reading the corpus. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOn(s, Tables.documents(s, d), 5)
+
+  /** Core of q_text_bpe_encode: token-length histogram after applying
+    * the k learned merges. */
+  def bpeEncodeOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
+    val (_, fin) = bpeTrainCore(s, docsDf, k)
+    fin.select(size(split(col("seg"), ";;")).as("n_syms"), col("freq"))
+      .groupBy(col("n_syms"))
+      .agg(count(lit(1)).as("n_vocab_words"),
+        sum(col("freq")).as("n_corpus_words"),
+        sum(col("freq") * col("n_syms")).as("n_corpus_tokens"))
+      .orderBy(col("n_syms"))
+  }
+
+  /** Shared train/encode loop: (merge table rows, final re-segmented
+    * vocabulary). The LAST round's merge IS applied to the returned
+    * vocabulary (encode semantics); the merge table is identical
+    * either way. */
+  private def bpeTrainCore(s: SparkSession, docsDf: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab0 = ScratchCache.cache(docsDf
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
@@ -1033,8 +1073,7 @@ object TextOps {
         r += 1
       }
     }
-    import s.implicits._
-    merges.toSeq.toDF("round", "l", "r", "n").orderBy(col("round"))
+    (merges.toSeq, cur)
   }
 
   /** q_text_classifier — fastText-style LINEAR quality classifier: a

@@ -16,6 +16,83 @@ package graft.oracle
   *    lineitem queries ORDER BY every output column.
   */
 object OracleSql {
+  /** Shared BPE CTE chain (q_text_bpe_train / q_text_bpe_encode):
+    * v0 = (seg, freq) vocab; per round k: pair count, argmax, and —
+    * when `applyLast` or k < rounds — the separator-string re-segment.
+    * Both engines' replace() is left-to-right non-overlapping = BPE's
+    * greedy within-word merge order. */
+  private def bpeCtes(rounds: Int, applyLast: Boolean): String = {
+    val base =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT rtrim(regexp_replace(tok, '(.)', '\1;;', 'g'), ';')
+        |    AS seg, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE regexp_full_match(tok, '[a-z]+') AND length(tok) >= 2
+        |  GROUP BY tok)""".stripMargin
+    val ctes = (1 to rounds).map { k =>
+      val apply =
+        if (k == rounds && !applyLast) ""
+        else s""",
+           |v$k AS MATERIALIZED (SELECT trim(replace(';' || seg || ';',
+           |  ';' || (SELECT l FROM b$k) || ';;'
+           |    || (SELECT r FROM b$k) || ';',
+           |  ';' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ';'),
+           |  ';') AS seg, freq FROM v${k - 1})""".stripMargin
+      s"""x$k AS (SELECT string_split(seg, ';;') AS syms, freq
+         |  FROM v${k - 1}),
+         |p$k AS (SELECT syms[CAST(i.i AS INT)] AS l,
+         |  syms[CAST(i.i AS INT) + 1] AS r,
+         |  CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM x$k, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k
+         |  ORDER BY n DESC, l, r LIMIT 1)""".stripMargin + apply
+    }
+    (base +: ctes).mkString("", ",\n", "\n")
+  }
+
+  /** Shared perceptual-hash pair CTEs (q_mm_phash /
+    * q_mm_phash_cluster): closed-form pixels -> 8x8 sample grid ->
+    * integer-mean aHash bits -> four 16-bit bands -> band-join
+    * candidates -> exact popcount(XOR) Hamming pairs (<= 6). */
+  private val phashPairCtes: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS img_id, doc_id AS base, 0 AS tw
+      |    FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents
+      |    WHERE doc_id % 3 = 0 AND doc_id % 30 = 0),
+      |dims AS (SELECT img_id, base, tw,
+      |  CAST(8 + base % 8 AS BIGINT) AS w,
+      |  CAST(8 + base % 5 AS BIGINT) AS h FROM imgs),
+      |cells AS (SELECT img_id, base, tw, w, h,
+      |  CAST(ci // 8 AS BIGINT) AS cy, CAST(ci % 8 AS BIGINT) AS cx
+      |  FROM (SELECT *, unnest(range(0, 64)) AS ci FROM dims) t),
+      |sv AS (SELECT img_id, cy * 8 + cx AS idx,
+      |  ((cy * h) // 8) * w + ((cx * w) // 8) AS i, base, tw
+      |  FROM cells),
+      |vals AS (SELECT img_id, idx,
+      |  CASE WHEN tw = 1 AND i = 0
+      |    THEN ((base * 31 + i * 7) % 256 + 128) % 256
+      |    ELSE (base * 31 + i * 7) % 256 END AS v FROM sv),
+      |means AS (SELECT img_id, SUM(v) // 64 AS m FROM vals
+      |  GROUP BY img_id),
+      |bandt AS (SELECT v.img_id, CAST(idx // 16 AS INT) AS band,
+      |  CAST(SUM(CASE WHEN v > m
+      |    THEN (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT))
+      |    ELSE 0 END) AS BIGINT) AS bv
+      |  FROM vals v JOIN means USING (img_id)
+      |  GROUP BY v.img_id, idx // 16),
+      |cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
+      |  FROM bandt x JOIN bandt y
+      |  ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
+      |ham AS (SELECT a, b,
+      |  CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      |  FROM cand JOIN bandt ba ON ba.img_id = a
+      |  JOIN bandt bb ON bb.img_id = b AND bb.band = ba.band
+      |  GROUP BY a, b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
@@ -1667,37 +1744,23 @@ object OracleSql {
     // greedy within-word merge order
     "q_text_bpe_train" -> {
       val rounds = 5
-      val base =
-        """WITH v0 AS MATERIALIZED (
-          |  SELECT rtrim(regexp_replace(tok, '(.)', '\1;;', 'g'), ';')
-          |    AS seg, CAST(COUNT(*) AS BIGINT) AS freq
-          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
-          |    FROM documents) t
-          |  WHERE regexp_full_match(tok, '[a-z]+') AND length(tok) >= 2
-          |  GROUP BY tok)""".stripMargin
-      val ctes = (1 to rounds).map { k =>
-        val apply =
-          if (k == rounds) "" // last round learns only, no re-segment
-          else s""",
-             |v$k AS MATERIALIZED (SELECT trim(replace(';' || seg || ';',
-             |  ';' || (SELECT l FROM b$k) || ';;'
-             |    || (SELECT r FROM b$k) || ';',
-             |  ';' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ';'),
-             |  ';') AS seg, freq FROM v${k - 1})""".stripMargin
-        s"""x$k AS (SELECT string_split(seg, ';;') AS syms, freq
-           |  FROM v${k - 1}),
-           |p$k AS (SELECT syms[CAST(i.i AS INT)] AS l,
-           |  syms[CAST(i.i AS INT) + 1] AS r,
-           |  CAST(SUM(freq) AS BIGINT) AS n
-           |  FROM x$k, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
-           |  GROUP BY 1, 2),
-           |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k
-           |  ORDER BY n DESC, l, r LIMIT 1)""".stripMargin + apply
-      }
       val sel = (1 to rounds).map { k =>
         s"SELECT CAST($k AS INT) AS round, l, r, n FROM b$k"
       }.mkString("", "\nUNION ALL ", "")
-      (base +: ctes).mkString("", ",\n", "\n") + sel + "\nORDER BY round"
+      bpeCtes(rounds, applyLast = false) + sel + "\nORDER BY round"
+    },
+
+    // Tokenizer APPLICATION: the same 5 learned merges applied to the
+    // vocabulary (v5 included), then the token-length histogram with
+    // corpus-level counts from the freq weights
+    "q_text_bpe_encode" -> {
+      bpeCtes(5, applyLast = true) +
+        """SELECT CAST(len(string_split(seg, ';;')) AS INT) AS n_syms,
+          |COUNT(*) AS n_vocab_words,
+          |CAST(SUM(freq) AS BIGINT) AS n_corpus_words,
+          |CAST(SUM(freq * len(string_split(seg, ';;'))) AS BIGINT)
+          |  AS n_corpus_tokens
+          |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // linear quality classifier: all-integer model (micro-unit features
@@ -2197,43 +2260,48 @@ object OracleSql {
     // verify, all without ever decoding a PNG — the Spark side's real
     // codec path must land on identical arithmetic
     "q_mm_phash" ->
-      """WITH imgs AS (
-        |  SELECT doc_id AS img_id, doc_id AS base, 0 AS tw
-        |    FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, doc_id, 1 FROM documents
-        |    WHERE doc_id % 3 = 0 AND doc_id % 30 = 0),
-        |dims AS (SELECT img_id, base, tw,
-        |  CAST(8 + base % 8 AS BIGINT) AS w,
-        |  CAST(8 + base % 5 AS BIGINT) AS h FROM imgs),
-        |cells AS (SELECT img_id, base, tw, w, h,
-        |  CAST(ci // 8 AS BIGINT) AS cy, CAST(ci % 8 AS BIGINT) AS cx
-        |  FROM (SELECT *, unnest(range(0, 64)) AS ci FROM dims) t),
-        |sv AS (SELECT img_id, cy * 8 + cx AS idx,
-        |  ((cy * h) // 8) * w + ((cx * w) // 8) AS i, base, tw
-        |  FROM cells),
-        |vals AS (SELECT img_id, idx,
-        |  CASE WHEN tw = 1 AND i = 0
-        |    THEN ((base * 31 + i * 7) % 256 + 128) % 256
-        |    ELSE (base * 31 + i * 7) % 256 END AS v FROM sv),
-        |means AS (SELECT img_id, SUM(v) // 64 AS m FROM vals
-        |  GROUP BY img_id),
-        |bandt AS (SELECT v.img_id, CAST(idx // 16 AS INT) AS band,
-        |  CAST(SUM(CASE WHEN v > m
-        |    THEN (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT))
-        |    ELSE 0 END) AS BIGINT) AS bv
-        |  FROM vals v JOIN means USING (img_id)
-        |  GROUP BY v.img_id, idx // 16),
-        |cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
-        |  FROM bandt x JOIN bandt y
-        |  ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
-        |ham AS (SELECT a, b,
-        |  CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
-        |  FROM cand JOIN bandt ba ON ba.img_id = a
-        |  JOIN bandt bb ON bb.img_id = b AND bb.band = ba.band
-        |  GROUP BY a, b)
+      (phashPairCtes + """
         |SELECT a, b, hamming FROM ham WHERE hamming <= 6
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin),
+
+    // Cluster collapse of the phash pairs: pointer-doubling CC (the
+    // proven q_dedup_cluster CTE pattern, 8 rounds) -> one-row
+    // survivor ledger; the quadratic pair stream never reaches the
+    // wire
+    "q_mm_phash_cluster" -> {
+      // 24 rounds: the gsf1 phash graph chains near-dups across
+      // residue classes into LONG paths with adversarial id order
+      // (min propagation is ~1 hop/round there); 8 and 12 rounds left
+      // 2 components unmerged at 10x data, 24 converges with margin.
+      // The label table is pair-graph-sized, so extra rounds are cheap
+      val rounds = 24
+      val base = phashPairCtes +
+        """,
+          |prs AS MATERIALIZED (SELECT a, b FROM ham WHERE hamming <= 6),
+          |ue AS MATERIALIZED (SELECT a, b FROM prs
+          |  UNION ALL SELECT b AS a, a AS b FROM prs),
+          |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue
+          |  GROUP BY a)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
+           |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
+           |  JOIN l${k - 1} la ON ue.a = la.node
+           |  JOIN l${k - 1} lb ON ue.b = lb.node GROUP BY ue.a),
+           |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp)
+           |  AS comp FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", "\n") +
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           |CAST(SUM(CASE WHEN l.comp IS NOT NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS n_in_dup_clusters,
+           |CAST(COUNT(DISTINCT l.comp) AS BIGINT) AS n_clusters,
+           |CAST(SUM(CASE WHEN l.comp IS NOT NULL AND l.comp <> img_id
+           |  THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |CAST(COUNT(*) - SUM(CASE WHEN l.comp IS NOT NULL
+           |  AND l.comp <> img_id THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS n_kept
+           |FROM imgs LEFT JOIN l$rounds l ON imgs.img_id = l.node""".stripMargin
+    },
 
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,

@@ -117,6 +117,22 @@ class MultimodalSpec extends GraftSuite {
       (10000000L, 10003840L, 0L)))
   }
 
+  test("phash cluster: the planted 4-clique collapses to one survivor") {
+    import spark.implicits._
+    // images {0, 3840, twin(0)=10000000, twin(3840)=10003840} pair up
+    // pairwise (the phash fixture above) -> one CC cluster, min id 0
+    // survives; image 6 stays unclustered
+    val docs = Seq(0L, 3840L, 6L).toDF("doc_id")
+    val out = Multimodal.phashClusterOn(spark, docs, thr = 6).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_images") == 5L)
+    assert(r.getAs[Long]("n_in_dup_clusters") == 4L)
+    assert(r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("n_removed") == 3L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)

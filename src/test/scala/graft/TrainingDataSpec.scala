@@ -53,6 +53,23 @@ class TrainingDataSpec extends GraftSuite {
     assert(out2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("bpe encode: the learned merges compress the fixture to the " +
+      "hand-computed token-length histogram") {
+    // after the 5 merges (es, est, lo, low, ew):
+    //   low    -> [low]        1 sym,  freq 5
+    //   lower  -> [low,e,r]    3 syms, freq 2
+    //   newest -> [n,ew,est]   3 syms, freq 6
+    //   widest -> [w,i,d,est]  4 syms, freq 3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = TextOps.bpeEncodeOn(spark,
+      docs((1L, text, "en", "s1")), 5).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vocab_words"),
+        r.getAs[Long]("n_corpus_words"), r.getAs[Long]("n_corpus_tokens")))
+    assert(out.toSeq == Seq(
+      (1, 1L, 5L, 5L), (3, 2L, 8L, 24L), (4, 1L, 3L, 12L)))
+  }
+
   test("classifier scores are integer-exact and threshold deterministically") {
     val corpus = docs(
       // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
