@@ -129,7 +129,13 @@ object Multimodal {
     * mod 65536) − 32768. The canonical 44-byte PCM header is written by
     * hand (bit-stable); the sample function is closed-form INTEGER so
     * the DuckDB oracle recomputes decoded sums without parsing RIFF. */
-  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+  private[graft] def wavBytes(docId: Long): Array[Byte] =
+    wavBytes(docId, bumpFirst = false)
+
+  /** As [[wavBytes]], optionally with sample 0 bumped by +17 inside
+    * the mod — the deterministic "noisy twin" [[audioFingerprint]]
+    * plants to exercise near-identical (not byte-identical) clips. */
+  private[graft] def wavBytes(docId: Long, bumpFirst: Boolean): Array[Byte] = {
     val n = (64 + docId % 64).toInt
     val dataLen = n * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -144,7 +150,9 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      bb.putShort((((docId * 131 + i * 17) % 65536) - 32768).toShort)
+      val bump = if (bumpFirst && i == 0) 17 else 0
+      bb.putShort(
+        (((docId * 131 + i * 17 + bump) % 65536) - 32768).toShort)
       i += 1
     }
     bb.array()
@@ -442,6 +450,70 @@ object Multimodal {
       .agg(sum(expr("bit_count(ba.bv ^ bb.bv)")).as("hamming"))
       .filter(col("hamming") <= thr)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** q_mm_audio_fp — AUDIO fingerprint dedup, the third modality in
+    * the dedup family (text: simhash/minhash; image: [[phash]]): every
+    * audio/wav payload is REALLY decoded (RIFF parse + PCM frame
+    * extraction through [[WavDecoder]]), its signed 16-bit stream is
+    * split into 8-frame windows, and the fingerprint is the classic
+    * energy-delta-sign bit string (bit w = 1 iff E_{w+1} > E_w, E =
+    * Σ s² per window) — the Shazam-family shape: robust to small
+    * amplitude perturbation because only the SIGN of the inter-window
+    * energy delta is kept. Clips sharing (n_samples, fingerprint) are
+    * duplicate groups; the wire lists every group of ≥ 2 with its
+    * size. Near-identical twins are PLANTED: every base%30==1 clip
+    * gets a sample-0-bumped copy at id+10,000,000 — not
+    * byte-identical, but the energy-sign fingerprint absorbs the
+    * bump, so exact byte-level dedup misses it and this catches it.
+    *
+    * Oracle discipline: the synthetic sample function is closed-form
+    * integer, so DuckDB recomputes windows → energies → delta signs →
+    * packed fingerprint without parsing RIFF (the q_mm_decode
+    * pattern): the real codec path must land on identical arithmetic.
+    *
+    * Scale shape: decode + fingerprint are partition-local (one codec
+    * context per partition; only (id, n, fp) longs shuffle — payload
+    * bytes never); the group-by is one hash agg on a (length,
+    * fingerprint) key. Pure exact-key dedup — no candidate explosion
+    * possible. */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame =
+    audioFingerprintOn(s, Tables.documents(s, d))
+
+  /** Core of q_mm_audio_fp: (n_samples, fp, n_items) duplicate groups
+    * of size ≥ 2. */
+  def audioFingerprintOn(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val baseIds = docsDf.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+    val fps = baseIds.mapPartitions { it =>
+      val wav = new WavDecoder() // one codec context per partition
+      it.flatMap { base =>
+        val variants =
+          if (base % 30 == 1) Seq((base, false), (base + 10000000L, true))
+          else Seq((base, false))
+        variants.map { case (clipId, bumped) =>
+          val samples = wav.decodeSamples(wavBytes(base, bumped))
+          val energies = samples.grouped(8).map { w =>
+            var e = 0L
+            var j = 0
+            while (j < w.length) { e += w(j).toLong * w(j); j += 1 }
+            e
+          }.toArray
+          var fp = 0L
+          var w = 0
+          while (w < energies.length - 1) {
+            if (energies(w + 1) > energies(w)) fp |= 1L << w
+            w += 1
+          }
+          (clipId, samples.length.toLong, fp)
+        }
+      }
+    }.toDF("clip_id", "n_samples", "fp")
+    fps.groupBy(col("n_samples"), col("fp"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 2)
+      .orderBy(col("n_samples"), col("fp"))
   }
 
   /** q_mm_phash_cluster — the SCALE answer to [[phash]]'s pair ledger:

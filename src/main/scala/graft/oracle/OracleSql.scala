@@ -2259,6 +2259,40 @@ object OracleSql {
     // 16-bit bands -> band-join candidates -> exact popcount(XOR)
     // verify, all without ever decoding a PNG — the Spark side's real
     // codec path must land on identical arithmetic
+    // Audio fingerprint dedup: closed-form samples -> 8-frame window
+    // energies -> delta-sign bits -> packed fingerprint -> exact
+    // (n_samples, fp) duplicate groups; the Spark side's real RIFF
+    // decode must land on identical integer arithmetic
+    "q_mm_audio_fp" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS clip_id, doc_id AS base, 0 AS tw
+        |    FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1 FROM documents
+        |    WHERE doc_id % 3 = 1 AND doc_id % 30 = 1),
+        |par AS (SELECT clip_id, base, tw,
+        |  CAST(64 + base % 64 AS BIGINT) AS n FROM clips),
+        |ix AS (SELECT clip_id, base, tw, n, CAST(i.i AS BIGINT) AS i
+        |  FROM par, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+        |sm AS (SELECT clip_id, n, i // 8 AS win,
+        |  ((base * 131 + i * 17
+        |    + CASE WHEN tw = 1 AND i = 0 THEN 17 ELSE 0 END) % 65536)
+        |    - 32768 AS s FROM ix),
+        |en AS (SELECT clip_id, n, win, SUM(s * s) AS e FROM sm
+        |  GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.clip_id, a.n,
+        |  CASE WHEN b.e > a.e
+        |    THEN (CAST(1 AS BIGINT) << CAST(a.win AS INT))
+        |    ELSE 0 END AS bit
+        |  FROM en a JOIN en b
+        |  ON a.clip_id = b.clip_id AND b.win = a.win + 1),
+        |fps AS (SELECT clip_id, n,
+        |  CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS fp FROM bits
+        |  GROUP BY 1, 2)
+        |SELECT n AS n_samples, fp, CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM fps GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_mm_phash" ->
       (phashPairCtes + """
         |SELECT a, b, hamming FROM ham WHERE hamming <= 6

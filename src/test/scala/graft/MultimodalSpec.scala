@@ -133,6 +133,38 @@ class MultimodalSpec extends GraftSuite {
     assert(r.getAs[Long]("n_kept") == 2L)
   }
 
+  test("audio fingerprint: real-decode fingerprints equal the closed " +
+      "form and planted noisy twins land in duplicate groups") {
+    import spark.implicits._
+    // independent reference: closed-form samples (never decoded),
+    // 8-frame window energies, delta-sign bits
+    def refFp(base: Long, bump: Boolean): (Long, Long) = {
+      val n = (64 + base % 64).toInt
+      val samples = (0 until n).map { i =>
+        val b = if (bump && i == 0) 17 else 0
+        ((base * 131 + i * 17 + b) % 65536) - 32768
+      }
+      val en = samples.grouped(8).map(w => w.map(s => s * s).sum).toArray
+      var fp = 0L
+      for (w <- 0 until en.length - 1 if en(w + 1) > en(w))
+        fp |= 1L << w
+      (n.toLong, fp)
+    }
+    // audio ids 1, 31, 61 (all %30==1 -> twinned) and 4 (untwinned)
+    val docs = Seq(1L, 31L, 61L, 4L).toDF("doc_id")
+    val clips = Seq(1L, 31L, 61L, 4L).map(b => b -> refFp(b, bump = false)) ++
+      Seq(1L, 31L, 61L).map(b => (b + 10000000L) -> refFp(b, bump = true))
+    val expected = clips.groupBy(_._2).collect {
+      case ((n, fp), xs) if xs.length >= 2 => (n, fp, xs.length.toLong)
+    }.toSeq.sorted
+    val got = Multimodal.audioFingerprintOn(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected, s"got=$got expected=$expected")
+    // the robustness claim: the energy-sign fingerprint absorbed the
+    // sample-0 bump for all three twins -> three groups of two
+    assert(got.length == 3 && got.forall(_._3 == 2L))
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)
