@@ -516,6 +516,67 @@ object Multimodal {
       .orderBy(col("n_samples"), col("fp"))
   }
 
+  /** q_mm_video_scene — SCENE-CUT detection over the video frame
+    * stream, the shot-boundary pass a video training pipeline runs to
+    * split clips before sampling: each video payload is framed
+    * (fixed 64-byte frames — ===== STUB ===== standing in for codec
+    * frame boundaries, as in [[frameSample]]), each frame reduces to a
+    * 16-bin byte histogram (the [[features]] stub "model"), and a CUT
+    * is declared wherever the L1 distance between consecutive frame
+    * histograms exceeds 24 (empirically between the p75 and p90 of the
+    * corpus distance distribution — a real deployment learns this
+    * threshold). Wire: per-source (videos, frames, cuts, max cuts per
+    * clip). The histogram/L1/threshold pipeline IS the real
+    * scene-detection shape (frame feature → inter-frame distance →
+    * threshold); only the decode is faked.
+    *
+    * Scale shape: framing + histograms + distances are row-local (one
+    * "decoder" per partition, zero shuffle); only (source, n_frames,
+    * n_cuts) triples reach the one per-source hash agg. */
+  def videoScenes(s: SparkSession, d: String): DataFrame =
+    videoScenesOn(s, Tables.documents(s, d), thr = 24)
+
+  /** Core of q_mm_video_scene. */
+  def videoScenesOn(s: SparkSession, docsDf: DataFrame,
+      thr: Int): DataFrame = {
+    import s.implicits._
+    val vids = docsDf.filter(col("doc_id") % 3 === 2)
+      .select(col("source"), encode(col("text"), "UTF-8").as("media"))
+      .as[(String, Array[Byte])]
+    val per = vids.mapPartitions { it =>
+      // a real codec would init here, once per partition
+      it.map { case (src, bytes) =>
+        val nFrames = (bytes.length + 63) / 64
+        val hists = Array.ofDim[Int](nFrames, 16)
+        var i = 0
+        while (i < bytes.length) {
+          hists(i / 64)((bytes(i) & 0xff) >> 4) += 1
+          i += 1
+        }
+        var cuts = 0
+        var f = 0
+        while (f < nFrames - 1) {
+          var l1 = 0
+          var bin = 0
+          while (bin < 16) {
+            l1 += math.abs(hists(f)(bin) - hists(f + 1)(bin))
+            bin += 1
+          }
+          if (l1 > thr) cuts += 1
+          f += 1
+        }
+        (src, nFrames.toLong, cuts.toLong)
+      }
+    }
+    per.toDF("source", "n_frames", "n_cuts")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("n_cuts")).as("total_cuts"),
+        max(col("n_cuts")).as("max_cuts"))
+      .orderBy(col("source"))
+  }
+
   /** q_mm_phash_cluster — the SCALE answer to [[phash]]'s pair ledger:
     * a duplicate CLASS of n images has C(n,2) pairs (quadratic — see
     * SCALE.md r11), but an actual image-dedup run wants CLUSTERS and

@@ -55,6 +55,47 @@ object Profile {
     profileOn(li)
   }
 
+  /** q_profile_drift — SNAPSHOT-TO-SNAPSHOT drift monitoring, the
+    * data-quality check a recurring 100 TB ingest runs between loads
+    * (the reference re-fetches sources per release; "did this release
+    * move under us" is the first question): profile two snapshots of
+    * the same table ([[profileOn]] twice — orders 1996 vs 1997 here)
+    * and emit the per-column drift ledger — null counts, distinct
+    * counts and their delta, and the min/max shifts of the numeric
+    * image. A schema change surfaces as a one-sided (null-padded) row
+    * via the FULL join; a distribution change surfaces as
+    * distinct/min/max movement.
+    *
+    * Scale shape: exactly two [[profileOn]] passes (each one generator
+    * + two hash aggregates, shuffle volume Σ per-column distinct) and
+    * an 11-row join — drift adds nothing data-sized to the profile
+    * cost. Shift arithmetic is single subtractions on exact doubles
+    * (no accumulation), cross-engine safe. */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    profileDriftOn(
+      o.filter(year(col("o_orderdate")) === 1996),
+      o.filter(year(col("o_orderdate")) === 1997))
+  }
+
+  /** Core of q_profile_drift over any two same-shaped frames. */
+  def profileDriftOn(a: DataFrame, b: DataFrame): DataFrame = {
+    val pa = profileOn(a).select(col("col_name"),
+      col("n_nulls").as("nulls_a"), col("n_distinct").as("distinct_a"),
+      col("min_num").as("min_a"), col("max_num").as("max_a"))
+    val pb = profileOn(b).select(col("col_name"),
+      col("n_nulls").as("nulls_b"), col("n_distinct").as("distinct_b"),
+      col("min_num").as("min_b"), col("max_num").as("max_b"))
+    pa.join(pb, Seq("col_name"), "full")
+      .select(col("col_name"),
+        col("nulls_a"), col("nulls_b"),
+        col("distinct_a"), col("distinct_b"),
+        (col("distinct_b") - col("distinct_a")).as("distinct_delta"),
+        (col("min_b") - col("min_a")).as("min_shift"),
+        (col("max_b") - col("max_a")).as("max_shift"))
+      .orderBy(col("col_name"))
+  }
+
   /** Core of q_profile_table over any frame — split out so tests can
     * profile hand-built fixtures. Numeric image: integral/floating
     * columns cast to double, timestamps to epoch micros, strings none. */

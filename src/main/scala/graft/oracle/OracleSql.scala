@@ -2259,6 +2259,43 @@ object OracleSql {
     // 16-bit bands -> band-join candidates -> exact popcount(XOR)
     // verify, all without ever decoding a PNG — the Spark side's real
     // codec path must land on identical arithmetic
+    // Scene-cut detection: 64-byte frames via the hex(encode(text))
+    // byte trick, 16-bin histograms, L1 over the full bin grid
+    // (missing bins = 0), cut when L1 > 24
+    "q_mm_video_scene" ->
+      """WITH v AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |ch AS (SELECT doc_id, CAST(p.p // 64 AS BIGINT) AS f,
+        |  ('0x' || substring(hx, CAST(p.p * 2 + 1 AS INT), 2))::INT
+        |    // 16 AS bin
+        |  FROM v, LATERAL (SELECT unnest(range(0, nb)) AS p) p),
+        |h AS (SELECT doc_id, f, bin, COUNT(*) AS cnt FROM ch
+        |  GROUP BY 1, 2, 3),
+        |fr AS (SELECT DISTINCT doc_id, f FROM ch),
+        |grid AS (SELECT fr.doc_id, fr.f, CAST(b.b AS INT) AS bin
+        |  FROM fr, (SELECT unnest(range(0, 16)) AS b) b),
+        |hf AS (SELECT g.doc_id, g.f, g.bin, COALESCE(h.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN h
+        |  ON g.doc_id = h.doc_id AND g.f = h.f AND g.bin = h.bin),
+        |dist AS (SELECT a.doc_id, a.f, SUM(ABS(a.cnt - b.cnt)) AS l1
+        |  FROM hf a JOIN hf b
+        |  ON a.doc_id = b.doc_id AND a.bin = b.bin AND b.f = a.f + 1
+        |  GROUP BY 1, 2),
+        |per AS (SELECT v.doc_id, v.source,
+        |  COALESCE(fx.nf, 0) AS n_frames, COALESCE(ct.nc, 0) AS n_cuts
+        |  FROM v
+        |  LEFT JOIN (SELECT doc_id, MAX(f) + 1 AS nf FROM fr
+        |    GROUP BY 1) fx ON v.doc_id = fx.doc_id
+        |  LEFT JOIN (SELECT doc_id,
+        |      SUM(CASE WHEN l1 > 24 THEN 1 ELSE 0 END) AS nc
+        |    FROM dist GROUP BY 1) ct ON v.doc_id = ct.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+        |CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        |CAST(SUM(n_cuts) AS BIGINT) AS total_cuts,
+        |CAST(MAX(n_cuts) AS BIGINT) AS max_cuts
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Audio fingerprint dedup: closed-form samples -> 8-frame window
     // energies -> delta-sign bits -> packed fingerprint -> exact
     // (n_samples, fp) duplicate groups; the Spark side's real RIFF
@@ -2648,6 +2685,45 @@ object OracleSql {
             |  epoch_us(MAX(l_shipdate))::DOUBLE AS max_num FROM li""".stripMargin)
       planted + "\n" + selects.mkString("", "\nUNION ALL\n", "\n") +
         "ORDER BY col_name"
+    },
+
+    // Snapshot drift: two per-column profiles (1996 vs 1997 orders)
+    // joined; shifts are single subtractions on exact doubles
+    "q_profile_drift" -> {
+      val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      def prof(src: String) =
+        (numCols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  MIN($c)::DOUBLE AS min_num, MAX($c)::DOUBLE AS max_num
+             |  FROM $src""".stripMargin
+        } ++ strCols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
+             |  FROM $src""".stripMargin
+        } ++ Seq(
+          s"""SELECT 'o_orderdate' AS col_name,
+             |  COUNT(*) - COUNT(o_orderdate) AS n_nulls,
+             |  COUNT(DISTINCT o_orderdate) AS n_distinct,
+             |  epoch_us(MIN(o_orderdate))::DOUBLE AS min_num,
+             |  epoch_us(MAX(o_orderdate))::DOUBLE AS max_num
+             |  FROM $src""".stripMargin))
+          .mkString("", "\nUNION ALL\n", "")
+      """WITH sa AS (SELECT * FROM orders WHERE year(o_orderdate) = 1996),
+        |sb AS (SELECT * FROM orders WHERE year(o_orderdate) = 1997),
+        |""".stripMargin +
+        "pa AS (" + prof("sa") + "),\npb AS (" + prof("sb") + ")\n" +
+        """SELECT col_name,
+          |CAST(pa.n_nulls AS BIGINT) AS nulls_a,
+          |CAST(pb.n_nulls AS BIGINT) AS nulls_b,
+          |CAST(pa.n_distinct AS BIGINT) AS distinct_a,
+          |CAST(pb.n_distinct AS BIGINT) AS distinct_b,
+          |CAST(pb.n_distinct - pa.n_distinct AS BIGINT) AS distinct_delta,
+          |pb.min_num - pa.min_num AS min_shift,
+          |pb.max_num - pa.max_num AS max_shift
+          |FROM pa JOIN pb USING (col_name) ORDER BY col_name""".stripMargin
     },
 
     // Synchronous 4-round label propagation, unrolled; per-round argmax

@@ -165,6 +165,25 @@ class MultimodalSpec extends GraftSuite {
     assert(got.length == 3 && got.forall(_._3 == 2L))
   }
 
+  test("video scenes: hand-built frame histograms yield the expected " +
+      "cut count") {
+    import spark.implicits._
+    // doc 2: frames [a*64][z*64][z*32] -> hist moves bin6->bin7 (L1 =
+    // 128, cut) then shrinks (L1 = 32, cut): 3 frames, 2 cuts.
+    // doc 5: uniform b*128 -> 2 identical frames, 0 cuts.
+    // doc 8: 40 bytes -> single frame, no pair, 0 cuts.
+    val docs = Seq(
+      (2L, "a" * 64 + "z" * 96, "s1"),
+      (5L, "b" * 128, "s1"),
+      (8L, "c" * 40, "s2")).toDF("doc_id", "text", "source")
+    val out = Multimodal.videoScenesOn(spark, docs, thr = 24).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_videos"),
+        r.getAs[Long]("total_frames"), r.getAs[Long]("total_cuts"),
+        r.getAs[Long]("max_cuts"))).toMap
+    assert(out("s1") == (2L, 5L, 2L, 2L))
+    assert(out("s2") == (1L, 1L, 0L, 0L))
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)

@@ -34,6 +34,36 @@ class ProfileSpec extends GraftSuite {
     assert(x.getAs[Double]("max_num") == 2.5)
   }
 
+  test("profileDrift: known distribution shift and schema change " +
+      "surface on the drift ledger") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "x"))
+      .toDF("k", "v", "s")
+    // snapshot b: k range shifts up, v gains a null + wider range,
+    // s collapses to one value, and a NEW column appears
+    val b = Seq((5L, Some(5.0), "x", true), (6L, None, "x", false),
+      (7L, Some(99.0), "x", true))
+      .toDF("k", "v", "s", "extra")
+    val out = Profile.profileDriftOn(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("distinct_delta") == 0L)
+    assert(k.getAs[Double]("min_shift") == 4.0) // 5 - 1
+    assert(k.getAs[Double]("max_shift") == 4.0) // 7 - 3
+    val v = out("v")
+    assert(v.getAs[Long]("nulls_a") == 0L && v.getAs[Long]("nulls_b") == 1L)
+    assert(v.getAs[Double]("min_shift") == -5.0) // 5 - 10
+    assert(v.getAs[Double]("max_shift") == 69.0) // 99 - 30
+    val sCol = out("s")
+    assert(sCol.getAs[Long]("distinct_a") == 2L &&
+      sCol.getAs[Long]("distinct_b") == 1L &&
+      sCol.getAs[Long]("distinct_delta") == -1L)
+    // schema change: 'extra' exists only in b -> one-sided row
+    val extra = out("extra")
+    assert(extra.isNullAt(extra.fieldIndex("distinct_a")) &&
+      extra.getAs[Long]("distinct_b") == 2L)
+  }
+
   test("q_profile_table plants the declared nulls and profiles every column") {
     val rows = Profile.profileTable(spark, sf).collect()
     assert(rows.length == 11) // every lineitem column, none dropped
