@@ -179,6 +179,50 @@ object Pipeline {
       tmp("multigraph_kgx", d))
   }
 
+  /** q_merge_precedence — source-PRECEDENCE property conflation, the
+    * merge rule [[pipelineFromSpecs]]'s symmetric merges (category
+    * set-union, max name) deliberately don't express: when the same
+    * node arrives from several sources with CONFLICTING property
+    * values, a real merge resolves each property from the
+    * highest-priority source present (the reference's authoritative-
+    * source ordering), not by value maximum. Here the NATION ids
+    * arrive from both declared sources with different names
+    * (customers says `NATION:<k>`, nations says the real n_name);
+    * priority nations=2 > customers=1, so the authoritative name wins
+    * exactly on the contested ids. Wire: per winning source, nodes
+    * won and contested-node count.
+    *
+    * Scale shape: one hash agg per id with `max(struct(priority,
+    * source, name))` — the arg-max rides the existing merge shuffle,
+    * no extra pass; the priority map is a tiny literal (broadcast by
+    * value into the expression). */
+  def mergePrecedence(s: SparkSession, d: String): DataFrame = {
+    val (cn, _) = SourceSpec.load(s, customersSpec, s"$d/customer.parquet")
+    val (nn, _) = SourceSpec.load(s, nationsSpec, s"$d/nation.parquet")
+    mergePrecedenceOn(cn.unionByName(nn),
+      Map("customers" -> 1, "nations" -> 2))
+  }
+
+  /** Core of q_merge_precedence over any unioned node frame with
+    * (id, name, source) and a source→priority map; unknown sources
+    * rank 0. Ties break by (source, name) descending — total and
+    * engine-identical. */
+  def mergePrecedenceOn(nodes: DataFrame,
+      priority: Map[String, Int]): DataFrame = {
+    val prio = priority.foldLeft(lit(0)) { case (acc, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    nodes
+      .select(col("id"), col("name"), col("source"), prio.as("prio"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("prio"), col("source"), col("name"))).as("w"),
+        countDistinct(col("source")).as("n_srcs"))
+      .groupBy(col("w.source").as("winner_source"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("n_srcs") >= 2, 1L).otherwise(0L)).as("n_contested"))
+      .orderBy(col("winner_source"))
+  }
+
   /** Build every graph in `graphs` over the shared `sources` and
     * return the combined ledger; see [[pipelineMultiGraph]]. */
   def pipelineMultiGraphs(s: SparkSession, graphs: Seq[GraphSpec],

@@ -1263,6 +1263,30 @@ object OracleSql {
         |SELECT label, CAST(n AS BIGINT) AS n
         |FROM c ORDER BY label""".stripMargin,
 
+    // Source-precedence conflation: arg-max by (priority, source,
+    // name) per id via ROW_NUMBER — DuckDB twin of Spark's
+    // max(struct(prio, source, name))
+    "q_merge_precedence" ->
+      """WITH nodes AS (
+        |  SELECT 'CUST:' || c_custkey AS id, c_name AS name,
+        |    'customers' AS source, 1 AS prio FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'NATION:' || c_nationkey,
+        |    'NATION:' || c_nationkey, 'customers', 1 FROM customer
+        |  UNION ALL
+        |  SELECT 'NATION:' || n_nationkey, n_name, 'nations', 2
+        |    FROM nation),
+        |w AS (SELECT id, source, name,
+        |  COUNT(DISTINCT source) OVER (PARTITION BY id) AS n_srcs,
+        |  ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY prio DESC, source DESC, name DESC) AS rk
+        |  FROM nodes)
+        |SELECT source AS winner_source,
+        |CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |CAST(SUM(CASE WHEN n_srcs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contested
+        |FROM w WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Multi-graph orchestration ledger: per-graph merge counts are
     // recomputed from customer/nation; the sharing proof rows are the
     // spec constants (2 distinct sources loaded, 3 references)

@@ -86,6 +86,24 @@ class PipelineSpec extends GraftSuite {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("merge precedence: the authoritative source wins contested " +
+      "properties; unknown sources rank last") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("X:1", "alpha-from-a", "src_a"),
+      ("X:1", "alpha-from-b", "src_b"), // contested: b has priority
+      ("X:2", "beta-from-a", "src_a"),  // uncontested
+      ("X:3", "gamma-unknown", "src_z"), // unknown source, prio 0
+      ("X:3", "gamma-from-a", "src_a")) // known beats unknown
+      .toDF("id", "name", "source")
+    val out = Pipeline.mergePrecedenceOn(nodes,
+      Map("src_a" -> 1, "src_b" -> 2)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // src_b wins X:1 (contested); src_a wins X:2 and X:3 (X:3
+    // contested against the rank-0 unknown source)
+    assert(out == Map("src_a" -> (2L, 1L), "src_b" -> (1L, 1L)))
+  }
+
   test("pipeline multi-source merge matches the mapped-user overlap") {
     import org.apache.spark.sql.functions.col
     val mappedCust = Tables.customer(spark, sf)
