@@ -246,6 +246,41 @@ object Incremental {
       .orderBy(col("op"))
   }
 
+  /** q_incr_backfill — LATE-ARRIVAL backfill planner, the partition-
+    * rewrite decision a day-partitioned 100 TB event store makes each
+    * load: rows whose ARRIVAL day is later than their EVENT day landed
+    * after their partition was already written, so that partition
+    * needs a rewrite (partition-overwrite semantics — the batch twin
+    * of streaming's watermark/allowed-lateness). Arrival is
+    * synthesized deterministically (event_id % 5 days of delay — the
+    * q_text_pii planting pattern) since the testdata carries no
+    * ingest timestamp. Wire: per event-day partition — rows, late
+    * rows, max lateness (days), needs_rewrite flag; exactly the
+    * manifest a backfill job feeds its overwrite list.
+    *
+    * Scale shape: lateness is a row-local projection; ONE hash agg
+    * keyed by event-day (the partition key the store already
+    * shuffles by). The planner's output is partition-count-sized —
+    * the 100 TB decision artifact, not data. */
+  def incrBackfill(s: SparkSession, d: String): DataFrame =
+    incrBackfillOn(graft.Tables.events(s, d)
+      .withColumn("arrival_day",
+        date_add(to_date(col("ts")), (col("event_id") % 5).cast("int"))))
+
+  /** Core of q_incr_backfill over any frame with ts + arrival_day. */
+  def incrBackfillOn(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("event_day"), col("arrival_day"))
+      .withColumn("late_days",
+        datediff(col("arrival_day"), col("event_day")))
+      .groupBy(col("event_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("late_days") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_days")).cast("long").as("max_late_days"))
+      .withColumn("needs_rewrite",
+        (col("n_late") > 0).cast("int"))
+      .orderBy(col("event_day"))
+
   /** q_agg_statemerge — incremental rollup via ALGEBRAIC AGGREGATE
     * STATE: phase 1 reduces raw rows to per-(shipdate, returnflag)
     * states (n / sum / min / max — each a commutative monoid, so states

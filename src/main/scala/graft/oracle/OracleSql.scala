@@ -1624,6 +1624,20 @@ object OracleSql {
         |round(n_users::DOUBLE / (SELECT COUNT(*) FROM v), 6) AS conv_rate
         |FROM s ORDER BY stage""".stripMargin,
 
+    // Late-arrival backfill planner: synthesized arrival day
+    // (event_id % 5 days of delay), per event-day partition ledger
+    "q_incr_backfill" ->
+      """WITH e AS (SELECT
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_day,
+        |  CAST(event_id % 5 AS BIGINT) AS late_days FROM events)
+        |SELECT event_day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CASE WHEN late_days > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_late,
+        |CAST(MAX(late_days) AS BIGINT) AS max_late_days,
+        |CAST(CASE WHEN SUM(CASE WHEN late_days > 0 THEN 1 ELSE 0 END)
+        |  > 0 THEN 1 ELSE 0 END AS INT) AS needs_rewrite
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_events_retention" ->
       """WITH e AS (SELECT user_id,
         |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

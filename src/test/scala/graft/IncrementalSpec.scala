@@ -74,6 +74,28 @@ class IncrementalSpec extends GraftSuite {
     assert(out.size == 4)
   }
 
+  test("backfill planner flags exactly the partitions with late rows") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // day 1: all on-time -> no rewrite; day 2: one row 3 days late ->
+    // rewrite with max_late_days 3; day 3: two late rows
+    val events = Seq(
+      ("2024-01-01", "2024-01-01"),
+      ("2024-01-01", "2024-01-01"),
+      ("2024-01-02", "2024-01-05"),
+      ("2024-01-02", "2024-01-02"),
+      ("2024-01-03", "2024-01-04"),
+      ("2024-01-03", "2024-01-04"))
+      .toDF("ts_s", "arr_s")
+      .select(to_date(col("ts_s")).cast("timestamp").as("ts"),
+        to_date(col("arr_s")).as("arrival_day"))
+    val out = Incremental.incrBackfillOn(events).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out("2024-01-01") == ((2L, 0L, 0L, 0)))
+    assert(out("2024-01-02") == ((2L, 1L, 3L, 1)))
+    assert(out("2024-01-03") == ((2L, 2L, 1L, 1)))
+  }
+
   test("scd2 collapses runs into intervals with one open record per entity") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // ent 1: A,A,B,A (3 intervals, last A open); ent 2: C,C (1 open)
