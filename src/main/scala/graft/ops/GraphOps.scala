@@ -299,14 +299,20 @@ object GraphOps {
     *    hub in GraphOpsSpec). Replication cost: ≤ (B+1)/2 shuffle
     *    copies, paid ONLY by hot keys. */
   private[graft] def coPairs(tagged: DataFrame, hotThreshold: Int = 256,
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 16, carrySize: Boolean = false): DataFrame = {
+    // carrySize threads the shared order's size (gsz) through both
+    // paths — [[adamicAdarOn]]'s per-co-occurrence weight — without
+    // changing the default (u, v) shape the other consumers distinct
+    def out(cols: Column*): Seq[Column] =
+      if (carrySize) cols :+ col("a.gsz").as("gsz") else cols
     val cold = tagged.filter(col("gsz") <= hotThreshold)
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .select(out(col("a.p").as("u"), col("b.p").as("v")): _*)
     val hot = tagged.filter(col("gsz") > hotThreshold)
-      .select(col("o"), col("p"), pmod(hash(col("p")), lit(blocks)).as("blk"))
-    val aSide = hot.select(col("o"), col("p"), col("blk"),
+      .select(col("o"), col("p"), col("gsz"),
+        pmod(hash(col("p")), lit(blocks)).as("blk"))
+    val aSide = hot.select(col("o"), col("p"), col("gsz"), col("blk"),
       explode(sequence(col("blk"), lit(blocks - 1))).as("jb"))
     val bSide = hot.select(col("o"), col("p"), col("blk"),
       explode(sequence(lit(0), col("blk"))).as("ib"))
@@ -314,8 +320,8 @@ object GraphOps {
         col("a.o") === col("b.o") &&
         col("a.blk") === col("b.ib") && col("a.jb") === col("b.blk") &&
         (col("a.blk") < col("b.blk") || col("a.p") < col("b.p")))
-      .select(least(col("a.p"), col("b.p")).as("u"),
-        greatest(col("a.p"), col("b.p")).as("v"))
+      .select(out(least(col("a.p"), col("b.p")).as("u"),
+        greatest(col("a.p"), col("b.p")).as("v")): _*)
     coldPairs.unionByName(hotPairs)
   }
 
@@ -333,6 +339,43 @@ object GraphOps {
         round(col("c").cast("double")
           / (col("du") + col("dv") - col("c")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** q_graph_adamic_adar — LINK-PREDICTION scoring by weighted common
+    * neighbors: for every part pair sharing at least one order,
+    * AA(u,v) = Σ_{shared orders o} 1/ln(|o|) — [[jaccardOn]]'s "how
+    * much do they co-occur" refined by "how INFORMATIVE is each
+    * co-occurrence" (a 2-item order is strong evidence, a 500-item
+    * order is noise — the Adamic–Adar discount). Top-20 candidate
+    * links; the score that seeds recommendation / knowledge-graph
+    * edge-completion candidates.
+    *
+    * Scale shape: identical to jaccard — candidates come only from
+    * the skew-hardened [[coPairs]] membership self-join (carrySize
+    * threads the shared order's size through, so no join back to a
+    * size table), one hash agg over candidates. DETERMINISM: each
+    * co-occurrence's weight 1/ln(|o|) is rounded to 6dp and cast to
+    * DECIMAL(18,6) BEFORE summation (the q_text_lm_score discipline),
+    * so per-pair totals are exact and partition-order free; ranking
+    * orders by the exact decimal score with (u, v) tie-breaks. |o| ≥ 2
+    * whenever a pair exists, so ln never sees 1. */
+  def adamicAdar(s: SparkSession, d: String): DataFrame =
+    adamicAdarOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_adamic_adar over any (o, p) membership frame. */
+  def adamicAdarOn(membership: DataFrame): DataFrame = {
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    coPairs(op, carrySize = true)
+      .select(col("u"), col("v"),
+        round(lit(1.0) / log(col("gsz").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("w")).cast(DecimalType(38, 6)).cast("double").as("aa"))
+      .orderBy(col("aa").desc, col("u"), col("v"))
       .limit(20)
   }
 

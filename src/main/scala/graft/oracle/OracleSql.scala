@@ -542,6 +542,21 @@ object OracleSql {
         |  JOIN deg dv ON inter.v = dv.p
         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
 
+    // Adamic-Adar link prediction: per-co-occurrence weight
+    // 1/ln(order size) rounded 6dp to DECIMAL BEFORE summation
+    // (order-free exact totals, the lm_score discipline)
+    "q_graph_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |sz AS (SELECT o, COUNT(*) AS gsz FROM op GROUP BY 1),
+        |pr AS (SELECT a.p AS u, b.p AS v,
+        |  round(1.0 / ln(sz.gsz), 6)::DECIMAL(18,6) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  JOIN sz ON a.o = sz.o)
+        |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS DOUBLE) AS aa
+        |FROM pr GROUP BY 1, 2 ORDER BY aa DESC, u, v LIMIT 20""".stripMargin,
+
     // min-hop BFS histogram via a bounded recursive CTE (the Spark
     // side runs the unrolled cached-frontier plan; same sets by
     // construction — UNION dedups (node, hop), MIN picks the first)

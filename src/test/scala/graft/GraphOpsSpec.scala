@@ -409,6 +409,34 @@ class GraphOpsSpec extends GraftSuite {
     assert(hardened.count(t => t._1 >= 1000L && t._2 >= 1000L) == 500 * 499 / 2)
   }
 
+  test("adamic-adar: hand-computed weighted common-neighbor scores; " +
+      "carrySize survives the hot grid") {
+    import spark.implicits._
+    // orders o1={2,4} (|o|=2), o2={2,4,6} (3), o3={4,6} (2):
+    //   AA(2,4) = 1/ln2 + 1/ln3 = 1.442695 + 0.910239 = 2.352934
+    //   AA(4,6) = 1/ln3 + 1/ln2 = 2.352934
+    //   AA(2,6) = 1/ln3          = 0.910239
+    val op = Seq((1L, 2L), (1L, 4L), (2L, 2L), (2L, 4L), (2L, 6L),
+      (3L, 4L), (3L, 6L)).toDF("o", "p")
+    val out = GraphOps.adamicAdarOn(op).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_common"),
+        r.getAs[Double]("aa")))
+    assert(out.toSeq == Seq(
+      (2L, 4L, 2L, 2.352934), (4L, 6L, 2L, 2.352934),
+      (2L, 6L, 1L, 0.910239)))
+    // forced-hot path: the gsz carry must ride the block grid too
+    val tagged = GraphOps.sizeTagged(op)
+    val cold = GraphOps.coPairs(tagged, carrySize = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val hot = GraphOps.coPairs(tagged, hotThreshold = 0, blocks = 4,
+        carrySize = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    ScratchCache.releaseAll()
+    assert(cold == hot)
+  }
+
   test("jaccard on a planted hub equals a naive-pair-build replica") {
     import spark.implicits._
     val normal = for (o <- 1L to 30L; i <- 0L until (o % 5 + 2))
