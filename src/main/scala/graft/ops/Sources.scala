@@ -75,6 +75,24 @@ object Sources {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_source_xml — XML write/read roundtrip through Spark 4's NATIVE
+    * XML data source (rowTag records), the format half the public
+    * bio/medical source feeds the reference ingests actually arrive in
+    * (the reference hand-parses them; here the declarative source
+    * reads them like any other format). Schema pinned on read — XML
+    * inference is an extra full pass at 100 TB, same discipline as
+    * [[sourceCsv]]. Oracle: source-side recomputation like the other
+    * roundtrips (DuckDB reads no XML). */
+  def sourceXml(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("xml", d)
+    slice(s, d).write.mode("overwrite")
+      .option("rowTag", "line").option("rootTag", "lines").xml(dir)
+    s.read.schema(sliceSchema).option("rowTag", "line").xml(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), d2(sum(col("l_quantity").cast(D))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q_sink_kgx — the reference's terminal output: KGX node + edge
     * JSON Lines (Biolink-style property graph) built from the relational
     * tables and written via to_json(struct(...)) → text. Returns the

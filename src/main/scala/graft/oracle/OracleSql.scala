@@ -2618,6 +2618,15 @@ object OracleSql {
         |FROM lineitem WHERE l_orderkey < 250
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // XML roundtrip: same source-side recomputation (DuckDB reads no
+    // XML; the roundtrip itself is what the key exercises)
+    "q_source_xml" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |  AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_source_jsonl" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))

@@ -220,11 +220,12 @@ class GraphOpsSpec extends GraftSuite {
     assert(first.nonEmpty, "kgx node files written")
   }
 
-  test("csv, jsonl and orc roundtrips agree with each other") {
+  test("csv, jsonl, orc and xml roundtrips agree with each other") {
     val a = Sources.sourceCsv(spark, sf).collect().map(_.toString).toSeq
     val b = Sources.sourceJsonl(spark, sf).collect().map(_.toString).toSeq
     val c = Sources.sourceOrc(spark, sf).collect().map(_.toString).toSeq
-    assert(a == b && b == c && a.nonEmpty)
+    val x = Sources.sourceXml(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b && b == c && c == x && a.nonEmpty)
   }
 
   test("label propagation splits two planted cliques joined by one bridge") {
