@@ -441,9 +441,9 @@ object Aggregates {
   }
 
   /** q_agg_bitmap — RE-MERGEABLE exact-distinct state: daily per-type
-    * user bitmaps (typed [[BitmapBuildAggregator]]), OR-merged across
-    * days per type ([[BitmapMergeAggregator]]), finished with a bitset
-    * popcount — against the per-day distinct sum that (wrongly) adds.
+    * user bitmaps (typed [[RoaringBuildAggregator]]), OR-merged across
+    * days per type ([[RoaringOrAggregator]]) — against the per-day
+    * distinct sum that (wrongly) adds.
     *
     * This is the exact-distinct sibling of q_agg_statemerge: plain
     * COUNT(DISTINCT) results are a dead end for incremental pipelines
@@ -451,43 +451,33 @@ object Aggregates {
     * AND idempotent, so overlapping inputs never double-count — which
     * is how a 100 TB warehouse answers "uniques over any date range"
     * from daily states without rescanning raw events. The wire between
-    * the two levels carries |days|×|types| bitmaps (≤ id-space/8
-    * bytes each; roaring-compressed in a production id space), never
-    * raw ids. popcount rides `bit_count` inside codegen.
+    * the two levels carries |days|×|types| COMPRESSED bitmaps
+    * ([[Roaring64]] canonical bytes — O(distinct ids), any 64-bit id
+    * space; the r11 dense bitset's 2^26 cap is gone), never raw ids.
+    * Each state lands with its cardinality precomputed in the
+    * aggregator's `finish` ([[BitmapState]]), so the popcounts are
+    * struct-field reads, not a decode pass.
     */
   def aggBitmap(s: SparkSession, d: String): DataFrame =
     aggBitmapOn(Tables.events(s, d))
 
   /** Core of q_agg_bitmap over any events-shaped frame. */
   def aggBitmapOn(ev: DataFrame): DataFrame = {
-    val cap = 1L << 26
-    val build = udaf(new BitmapBuildAggregator(cap))
-    val orAgg = udaf(new BitmapMergeAggregator())
-    val pop = (c: String) => expr(
-      s"aggregate(transform($c, w -> bit_count(w)), 0, (a, x) -> a + x)")
-    // DOCUMENTED LIMITATION (SURVEY §2.4): the dense bitset covers ids in
-    // [0, 2^26) — 8 MiB per group at the cap. An id outside that range is
-    // a sparse id space that needs a compressed (roaring) bitmap, so fail
-    // with a named, actionable error in-plan rather than an opaque
-    // executor require() deep inside the aggregator.
-    val guarded = when(col("user_id").between(0, cap - 1), col("user_id"))
-      .otherwise(raise_error(concat(
-        lit("q_agg_bitmap: user_id "), col("user_id").cast("string"),
-        lit(s" outside dense-bitmap id range [0, $cap); use a compressed" +
-          " (roaring) bitmap for sparse id spaces"))).cast("long"))
+    val build = udaf(new RoaringBuildAggregator())
+    val orAgg = udaf(new RoaringOrAggregator())
     val daily = ev
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        guarded.as("user_id"))
+        col("user_id"))
       .groupBy(col("event_type"), col("day"))
-      .agg(build(col("user_id")).as("bm"))
+      .agg(build(col("user_id")).as("st"))
     daily
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
-        sum(pop("bm")).as("sum_daily_uniques"),
-        orAgg(col("bm")).as("merged"))
+        sum(col("st.card")).as("sum_daily_uniques"),
+        orAgg(col("st.bm")).as("merged"))
       .select(col("event_type"), col("n_days"),
         col("sum_daily_uniques").cast("long").as("sum_daily_uniques"),
-        pop("merged").cast("long").as("n_uniques"))
+        col("merged.card").as("n_uniques"))
       .orderBy(col("event_type"))
   }
 }

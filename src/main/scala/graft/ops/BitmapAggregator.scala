@@ -2,7 +2,12 @@ package graft.ops
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Finished bitmap state on the wire: the canonical serialized roaring
+  * bytes (re-mergeable downstream) plus its cardinality, precomputed in
+  * `finish` so no scalar UDF is needed to popcount it. */
+case class BitmapState(bm: Array[Byte], card: Long)
 
 /** Typed UDAFs for RE-MERGEABLE exact-distinct state (SURVEY.md §2.4
   * q_agg_bitmap): a distinct count carried as a BITMAP is the one form
@@ -10,60 +15,61 @@ import org.apache.spark.sql.Encoder
   * without touching raw data, where a plain `COUNT(DISTINCT)` result is
   * a dead end (distincts don't add). This is the exact-distinct sibling
   * of q_agg_statemerge's algebraic sums, and the exact counterpart of
-  * the HLL sketch rollup (q_agg_hll_rollup) when the id space is dense
-  * enough to afford 1 bit per id.
+  * the HLL sketch rollup (q_agg_hll_rollup).
   *
-  * [[BitmapBuildAggregator]]: Long ids → fixed-word Array[Long] bitset
-  * (word i bit j = id 64·i+j). [[BitmapMergeAggregator]]: OR previously
-  * built bitmaps. Both merge by elementwise OR — commutative,
-  * idempotent, associative — so partials combine in any order AND
+  * r12: the aggregation state is the compressed [[Roaring64]] (array /
+  * bitmap containers over 2^16-id chunks), replacing the r11 dense
+  * bitset whose 2^26 id cap fail-fasted on any real 64-bit id space.
+  * Memory is O(distinct ids) with an 8 KiB/container ceiling for ANY id
+  * distribution — sparse 64-bit ids (hashes, snowflake ids, negatives)
+  * now cost bytes, not 8 MiB of dense words. OR stays commutative,
+  * idempotent, associative, so partials combine in any order AND
   * overlapping inputs never double-count (idempotence is what sums
-  * lack). At 100 TB a dense bitset becomes roaring/compressed chunks,
-  * but the algebra — and this operator's shape — is unchanged.
+  * lack).
+  *
+  * The buffer crosses the partial/final shuffle via Java serialization
+  * (`Encoders.javaSerialization`): the buffer object itself stays LIVE
+  * between `reduce` calls (`udaf` wraps a `TypedImperativeAggregate`),
+  * so the encoder only runs at shuffle/spill boundaries — O(groups)
+  * states, never O(rows) — and Java serialization reproduces the
+  * array-of-variant-containers layout with zero registration risk. The
+  * FINISHED value rides the canonical [[Roaring64.serialize]] format
+  * instead, so persisted daily states are byte-stable across JVMs.
   */
-class BitmapBuildAggregator(maxIdCap: Long = 1L << 26)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
-
-  override def zero: Array[Long] = Array.empty[Long]
-  override def reduce(b: Array[Long], id: Long): Array[Long] = {
-    // the dense-bitset guard: beyond the cap (8 MiB of words) a sparse
-    // id space needs a compressed bitmap, not a bigger array
-    require(id >= 0 && id < maxIdCap, s"id $id outside [0, $maxIdCap)")
-    val w = (id >> 6).toInt
-    val nb = if (b.length > w) b
-             else java.util.Arrays.copyOf(b, math.max(w + 1, b.length * 2))
-    nb(w) |= 1L << (id & 63L)
-    nb
+class RoaringBuildAggregator
+    extends Aggregator[Long, Roaring64, BitmapState] {
+  override def zero: Roaring64 = new Roaring64
+  override def reduce(b: Roaring64, id: Long): Roaring64 = { b.add(id); b }
+  override def merge(b1: Roaring64, b2: Roaring64): Roaring64 = {
+    // OR the smaller into the larger (fewer container copies)
+    val (big, small) = if (b1.n >= b2.n) (b1, b2) else (b2, b1)
+    big.orInPlace(small); big
   }
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-    val (lo, hi) = if (b1.length <= b2.length) (b1, b2) else (b2, b1)
-    var i = 0
-    while (i < lo.length) { hi(i) |= lo(i); i += 1 }
-    hi
-  }
-  override def finish(r: Array[Long]): Array[Long] = r
-  override def bufferEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
+  override def finish(r: Roaring64): BitmapState =
+    BitmapState(r.serialize, r.cardinality)
+  override def bufferEncoder: Encoder[Roaring64] =
+    Encoders.javaSerialization[Roaring64]
+  override def outputEncoder: Encoder[BitmapState] =
+    ExpressionEncoder[BitmapState]()
 }
 
-/** Second level: OR pre-built bitmaps (shorter inputs zero-extend). */
-class BitmapMergeAggregator
-    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
-  override def zero: Array[Long] = Array.empty[Long]
-  private def or(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val (lo, hi) = if (a.length <= b.length) (a, b) else (b, a)
-    val out = hi.clone()
-    var i = 0
-    while (i < lo.length) { out(i) |= lo(i); i += 1 }
-    out
+/** Second level: OR previously built (serialized) bitmaps — the rollup
+  * that answers "uniques over any date range" from daily states without
+  * rescanning raw events. Input is the canonical wire bytes. */
+class RoaringOrAggregator
+    extends Aggregator[Array[Byte], Roaring64, BitmapState] {
+  override def zero: Roaring64 = new Roaring64
+  override def reduce(b: Roaring64, in: Array[Byte]): Roaring64 = {
+    b.orInPlace(Roaring64.deserialize(in)); b
   }
-  override def reduce(b: Array[Long], in: Array[Long]): Array[Long] = or(b, in)
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = or(b1, b2)
-  override def finish(r: Array[Long]): Array[Long] = r
-  override def bufferEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
+  override def merge(b1: Roaring64, b2: Roaring64): Roaring64 = {
+    val (big, small) = if (b1.n >= b2.n) (b1, b2) else (b2, b1)
+    big.orInPlace(small); big
+  }
+  override def finish(r: Roaring64): BitmapState =
+    BitmapState(r.serialize, r.cardinality)
+  override def bufferEncoder: Encoder[Roaring64] =
+    Encoders.javaSerialization[Roaring64]
+  override def outputEncoder: Encoder[BitmapState] =
+    ExpressionEncoder[BitmapState]()
 }

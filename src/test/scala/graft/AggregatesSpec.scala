@@ -262,4 +262,61 @@ class AggregatesSpec extends GraftSuite {
     assert(got("p90") == kth(9, 10))
     assert(got("p99") == kth(99, 100))
   }
+
+  test("roaring bitmap: sparse 64-bit ids (incl. > 2^26 and negative) " +
+      "count exactly where the dense bitset fail-fasted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // ids deliberately hostile to a dense bitset: beyond the old 2^26
+    // cap, full-64-bit hashes, Long extremes, and negatives — each is
+    // its own 2^16 container, so this also walks the container index
+    val ids = Seq(1L, 2L, 1L << 26, (1L << 26) + 1, 1L << 40, Long.MaxValue,
+      Long.MinValue, -1L, -98765432109L, 0x9e3779b97f4a7c15L)
+    val rows = ids.zipWithIndex.flatMap { case (id, i) =>
+      // every id on day 1; odd-index ids again on day 2 (overlap)
+      Seq(("click", "2024-01-01 10:00:00", id)) ++
+        (if (i % 2 == 1) Seq(("click", "2024-01-02 10:00:00", id)) else Nil)
+    }
+    val log = rows.toDF("event_type", "t", "user_id")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+      .repartition(7) // force partial-buffer shuffle through the encoder
+    val out = Aggregates.aggBitmapOn(log).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Long]("sum_daily_uniques") == (ids.size + ids.size / 2).toLong)
+    assert(r.getAs[Long]("n_uniques") == ids.size.toLong) // overlap not double-counted
+  }
+
+  test("Roaring64: array container promotes to bitmap at 4096, " +
+      "serialization is canonical, OR equals set union") {
+    val rnd = new scala.util.Random(42)
+    // two overlapping sets straddling the promotion threshold: set A
+    // densely fills one container past 4096; set B is sparse across many
+    val a = (0 until 5000).map(i => 100000L + i * 3).toSet
+    val b = (0 until 3000).map(_ => rnd.nextLong()).toSet ++ a.take(500)
+    def build(s: Iterable[Long], order: Seq[Long] => Seq[Long]): Roaring64 = {
+      val r = new Roaring64
+      order(s.toSeq).foreach(r.add)
+      r
+    }
+    val ra = build(a, identity)
+    val raShuffled = build(a, s => new scala.util.Random(7).shuffle(s))
+    // canonical: same id set => same bytes, regardless of insert order
+    assert(java.util.Arrays.equals(ra.serialize, raShuffled.serialize))
+    assert(ra.cardinality == a.size.toLong)
+    val rb = build(b, identity)
+    // OR through the wire format: deserialize(serialize) roundtrip + union
+    val merged = Roaring64.deserialize(ra.serialize)
+    merged.orInPlace(Roaring64.deserialize(rb.serialize))
+    assert(merged.cardinality == (a ++ b).size.toLong)
+    assert(Roaring64.cardinalityOf(merged.serialize) == (a ++ b).size.toLong)
+    // idempotence: OR-ing the same state twice changes nothing
+    val before = merged.serialize
+    merged.orInPlace(Roaring64.deserialize(rb.serialize))
+    assert(java.util.Arrays.equals(merged.serialize, before))
+    // compression sanity: 3500 sparse random longs must cost ~2 bytes of
+    // payload each plus container headers, nowhere near dense 8 KiB each
+    assert(rb.serialize.length < b.size * 24)
+  }
 }
