@@ -969,34 +969,128 @@ object TextOps {
       .limit(20)
 
   /** q_text_bpe_train — the FULL byte-pair-encoding TRAINING loop that
-    * [[bpePairs]] is one round of: k=5 greedy merges over the corpus
+    * [[bpePairs]] is one round of: k greedy merges over the corpus
     * word-frequency table (classic Sennrich-style BPE), emitting the
     * LEARNED MERGE TABLE (round, l, r, n) — round r merged symbol pair
     * (l, r), which co-occurred adjacently n times (weighted by word
     * frequency). Ties break to the lexicographically lowest (l, r).
     *
-    * Scale shape — the distributed-BPE decomposition every large
-    * tokenizer build uses: the corpus collapses ONCE into the
-    * (distinct word, frequency) table, and all k rounds iterate over
-    * that vocabulary (millions of rows at 100 TB, not the corpus);
-    * pair expansion is row-local higher-order-array codegen, the count
-    * is one hash agg over the vocabulary-bounded pair space, and the
-    * per-round argmax is a TakeOrdered(1) — the ONLY driver-visible
-    * data is one 3-field row per round (same O(1)-per-iteration
-    * collect discipline as pagerank's dangling probe). Re-segmentation
-    * is a codegen `replace` on a `;sym;;sym;` separator string: both
-    * engines' replace() scans left-to-right non-overlapping, which IS
-    * BPE's greedy within-word merge order, and the double-separator
-    * keeps symbol boundaries exact (`;a;;b;` never matches inside
-    * `;a;;bc;`). Tokens are restricted to ^[a-z]+$ so the separator
-    * char cannot collide with data.
+    * Scale shape — the HYBRID decomposition every production tokenizer
+    * build uses (r12, replacing the r11 one-Spark-job-per-merge loop
+    * that made a 32k-merge vocab build 32k sequential jobs): the
+    * corpus collapses ONCE into the (distinct word, frequency) table —
+    * the only corpus-sized pass, a row-local tokenize + one hash agg —
+    * and that table is VOCABULARY-sized (natural-language vocab, not
+    * corpus: ~100M rows at 100 TB, and truncatable by min-frequency),
+    * so it collects to the driver where [[bpeLocalMerges]] runs the
+    * classic incremental trainer: pair counts update by delta on only
+    * the words containing the merged pair, so k merges cost O(affected
+    * occurrences), not O(k · vocab). Zero Spark jobs inside the loop —
+    * the per-round argmax is a hash-map scan, not a cluster round-trip.
+    * [[bpeTrainDistributedOn]] keeps the all-rounds-on-the-cluster
+    * twin for vocabularies too large to collect (spec-asserted equal).
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrainOn(s, Tables.documents(s, d), 5)
 
-  /** Core of q_text_bpe_train: k greedy merge rounds over any
-    * documents-shaped frame; returns the merge table. */
+  /** Core of q_text_bpe_train: distributed corpus collapse + local
+    * incremental merge loop; returns the merge table. */
   def bpeTrainOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val vocab = bpeVocabOn(docsDf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    bpeLocalMerges(vocab, k).toDF("round", "l", "r", "n").orderBy(col("round"))
+  }
+
+  /** The corpus→vocabulary collapse shared by train and encode: one
+    * corpus pass, vocabulary-sized output. */
+  private def bpeVocabOn(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+
+  /** Driver-side incremental BPE trainer over the collapsed
+    * (word, freq) vocabulary — the classic Sennrich `learn_bpe`
+    * algorithm (public): maintain adjacent-pair counts in a hash map
+    * plus a pair→words index; each round takes the argmax (ties to the
+    * lexicographically lowest pair — same ordering as the distributed
+    * twin's ORDER BY n DESC, l, r) and re-counts ONLY the words that
+    * contain the merged pair, by multiset delta. The index is an
+    * over-approximation (stale entries are skipped by a contains
+    * check), the counts are exact. */
+  private[ops] def bpeLocalMerges(vocab: Array[(String, Long)], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      vocab.map(_._1.toCharArray.map(_.toString))
+    val freq: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val a = syms(wi); var i = 0
+      while (i < a.length - 1) {
+        val p = (a(i), a(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freq(wi)
+        if (c <= 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty).add(wi)
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addPairs(wi, 1L); wi += 1 }
+    def containsPair(a: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < a.length - 1) {
+        if (a(i) == l && a(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    // greedy left-to-right non-overlapping within-word merge — the same
+    // order the distributed twin's replace() applies
+    def mergeWord(a: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]; var i = 0
+      while (i < a.length) {
+        if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += a(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    while (round <= k && counts.nonEmpty) {
+      var bl: String = null; var br: String = null; var bn = -1L
+      counts.foreach { case ((l, r), n) =>
+        if (n > bn || (n == bn &&
+            (l < bl || (l == bl && r < br)))) { bl = l; br = r; bn = n }
+      }
+      merges += ((round, bl, br, bn))
+      val affected = where.remove((bl, br)).map(_.toArray)
+        .getOrElse(Array.empty[Int])
+      var j = 0
+      while (j < affected.length) {
+        val w = affected(j)
+        if (containsPair(syms(w), bl, br)) {
+          addPairs(w, -1L)
+          syms(w) = mergeWord(syms(w), bl, br)
+          addPairs(w, 1L)
+        }
+        j += 1
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** The r11 all-rounds-distributed twin of [[bpeTrainOn]] — one Spark
+    * job per merge round (argmax = vocabulary-bounded agg + 1-row take,
+    * re-segmentation = codegen replace). Kept as the path for
+    * vocabularies too large to collect, and as the A/B proof that the
+    * local trainer reproduces the cluster semantics exactly. */
+  def bpeTrainDistributedOn(s: SparkSession, docsDf: DataFrame, k: Int)
+      : DataFrame = {
     import s.implicits._
     bpeTrainCore(s, docsDf, k)._1
       .toDF("round", "l", "r", "n").orderBy(col("round"))
@@ -1010,10 +1104,13 @@ object TextOps {
     * the compression ledger a tokenizer build reports: how many tokens
     * the trained merges save over character-level encoding.
     *
-    * Scale shape: identical to training — every merge applies to the
-    * VOCABULARY table (the corpus collapsed once to (word, freq)), so
-    * encoding 100 TB costs one corpus pass for the vocab plus
-    * k vocabulary-sized codegen `replace` maps; the histogram is one
+    * Scale shape: every merge applies to the VOCABULARY table (the
+    * corpus collapsed once to (word, freq)), and since the merge table
+    * is learned driver-side ([[bpeLocalMerges]]), ALL k merges apply as
+    * ONE chained-`replace` projection — a single codegen pass over the
+    * vocabulary, not k sequential jobs (Catalyst's CollapseProject
+    * fuses the k withColumns). Encoding 100 TB costs one corpus pass
+    * for the vocab plus one vocabulary-sized map; the histogram is one
     * hash agg over ≤ max-word-length keys. Corpus-level counts come
     * from the freq weights, never from re-reading the corpus. */
   def bpeEncode(s: SparkSession, d: String): DataFrame =
@@ -1022,7 +1119,21 @@ object TextOps {
   /** Core of q_text_bpe_encode: token-length histogram after applying
     * the k learned merges. */
   def bpeEncodeOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
-    val (_, fin) = bpeTrainCore(s, docsDf, k)
+    // cache the collapse: it feeds both the driver-side merge learn
+    // (collect) and the encode projection — one corpus pass, not two
+    val vocab = ScratchCache.cache(bpeVocabOn(docsDf))
+    val merges = bpeLocalMerges(
+      vocab.collect().map(r => (r.getString(0), r.getLong(1))), k)
+    val seg0 = vocab.select(
+      rtrim(regexp_replace(col("tok"), "(.)", "$1;;"), ";").as("seg"),
+      col("freq"))
+    // apply the learned merges in round order as one fused projection;
+    // replace() is left-to-right non-overlapping = greedy BPE order
+    val fin = merges.foldLeft(seg0) { case (df, (_, l, r, _)) =>
+      df.withColumn("seg",
+        trim(replace(concat(lit(";"), col("seg"), lit(";")),
+          lit(s";$l;;$r;"), lit(s";$l$r;")), ";"))
+    }
     fin.select(size(split(col("seg"), ";;")).as("n_syms"), col("freq"))
       .groupBy(col("n_syms"))
       .agg(count(lit(1)).as("n_vocab_words"),

@@ -53,6 +53,29 @@ class TrainingDataSpec extends GraftSuite {
     assert(out2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("bpe train: the driver-side incremental trainer reproduces the " +
+      "distributed per-round-job twin merge-for-merge") {
+    // real corpus (sf docs) so ties, repeated symbols, and exhaustion
+    // paths all occur naturally; k past the demo 5
+    val corpus = Tables.documents(spark, sf)
+    val k = 12
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n"))).toSeq
+    val local = rows(TextOps.bpeTrainOn(spark, corpus, k))
+    val dist = rows(TextOps.bpeTrainDistributedOn(spark, corpus, k))
+    assert(local == dist)
+    // production-k smoke: k=64 must run in-loop without Spark jobs —
+    // bounded by the one collapse job plus driver work (the r11 shape
+    // was 64 sequential jobs). Assert it trains and merges are
+    // monotone-consistent (counts never increase across rounds for the
+    // same pair space is not guaranteed, but rounds are dense 1..64 or
+    // stop at exhaustion).
+    val big = rows(TextOps.bpeTrainOn(spark, corpus, 64))
+    assert(big.map(_._1) == (1 to big.size).toSeq && big.size <= 64)
+    assert(big.take(k) == local) // prefix-stability: more rounds, same start
+  }
+
   test("bpe encode: the learned merges compress the fixture to the " +
       "hand-computed token-length histogram") {
     // after the 5 merges (es, est, lo, low, ew):
