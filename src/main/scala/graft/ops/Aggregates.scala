@@ -148,6 +148,44 @@ object Aggregates {
         round(expr("percentile(q, 0.99)"), 6).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** q_agg_tdigest — MERGEABLE approximate-quantile state (no oracle:
+    * approx by construction; tolerance + two-phase consistency asserted
+    * in AggregatesSpec): phase 1 reduces each (shipdate, returnflag)
+    * group to a constant-size t-digest sketch ([[TDigestBuildAggregator]]
+    * — the classic Dunning merging digest, k₁ scale, δ=100); phase 2
+    * merges ONLY those state rows per flag ([[TDigestMergeAggregator]])
+    * and reads p50/p90/p99 off the merged digest.
+    *
+    * This is the documented 100 TB swap for q_agg_quantile's exact
+    * per-group sort, in the q_agg_statemerge two-phase shape: daily
+    * sketch rows (|days|×|flags|, ~1.6 KB each) re-aggregate to any
+    * rollup level or date range without rescanning raw data — the
+    * monitoring-pipeline staple (latency p99s from per-minute sketch
+    * states). The wire between phases carries sketches, never values;
+    * the k₁ scale function keeps tail centroids tiny so p99 stays
+    * sharp while the middle compresses. */
+  def aggTDigest(s: SparkSession, d: String): DataFrame =
+    aggTDigestOn(Tables.lineitem(s, d))
+
+  /** Core of q_agg_tdigest over any lineitem-shaped frame. */
+  def aggTDigestOn(li: DataFrame): DataFrame = {
+    val build = udaf(new TDigestBuildAggregator(100.0))
+    val mergeAgg = udaf(new TDigestMergeAggregator(100.0))
+    val daily = li
+      .select(col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("q"))
+      .groupBy(col("l_shipdate"), col("l_returnflag"))
+      .agg(build(col("q")).as("st"))
+    daily
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_states"), mergeAgg(col("st.sk")).as("qs"))
+      .select(col("l_returnflag"), col("qs.n").as("n"), col("n_states"),
+        round(col("qs.p50"), 4).as("p50"),
+        round(col("qs.p90"), 4).as("p90"),
+        round(col("qs.p99"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q_agg_approx — sketch aggregates (no oracle: approx by
     * construction; tolerances asserted in tests): HyperLogLog++
     * distinct estimate plus the native Count-Min frequency aggregate

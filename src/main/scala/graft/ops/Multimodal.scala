@@ -9,21 +9,22 @@ import graft.Tables
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample as batched partition-level transforms).
   *
-  * The testdata has no real media files, so payloads are synthesized:
-  * video rows carry the UTF-8 encoding of documents.text (opaque
-  * stand-in, decode STUBBED below), but image/png rows carry a REAL PNG
-  * — deterministic grayscale pixels derived from doc_id, encoded with
-  * the pure-JVM javax.imageio codec — and q_mm_decode REALLY decodes it
-  * (PNG signature/IHDR parse, IDAT inflate, filter reconstruction →
-  * pixels) through a once-per-partition ImageReader. audio/wav rows
-  * likewise carry a REAL RIFF/WAVE PCM file (hand-written canonical
-  * header + closed-form 16-bit samples) really decoded through the
-  * pure-JVM javax.sound.sampled codec. Everything around
-  * the remaining video stub — the binary column type, the metadata struct
-  * schema, the mapPartitions batching shape (one decoder init per
-  * partition, the Scala analogue of a Pandas-UDF batch), frame slicing
-  * and sampling on binary columns — is real, tested Spark plumbing that
-  * the audio/video codecs drop into.
+  * The testdata has no real media files, so payloads are synthesized —
+  * but every decode is REAL (r12: zero stub decodes left): image/png
+  * rows carry a REAL PNG — deterministic grayscale pixels derived from
+  * doc_id, encoded with the pure-JVM javax.imageio codec — and
+  * q_mm_decode REALLY decodes it (PNG signature/IHDR parse, IDAT
+  * inflate, filter reconstruction → pixels) through a
+  * once-per-partition ImageReader. audio/wav rows carry a REAL
+  * RIFF/WAVE PCM file (hand-written canonical header + closed-form
+  * 16-bit samples) really decoded through the pure-JVM
+  * javax.sound.sampled codec. video rows carry a REAL
+  * concatenated-PNG frame container ([[videoBytes]]) parsed by chunk
+  * structure and frame-decoded through the same PNG codec. The binary
+  * column type, the metadata struct schema, the mapPartitions batching
+  * shape (one decoder init per partition, the Scala analogue of a
+  * Pandas-UDF batch), frame slicing and sampling on binary columns are
+  * the same plumbing a production codec (ffmpeg et al.) drops into.
   *
   * q_mm_meta/q_mm_features/q_mm_frame_sample keep the text-derived
   * payload for ALL rows: their wire outputs aggregate ENCODED byte
@@ -193,44 +194,32 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB ===== The video "decoder": a real implementation
-    * would call a codec (ffmpeg/...) here, once-initialized per
-    * partition like [[PngDecoder]]. This deterministic fake extracts
-    * byte length, a "magic" prefix and an additive checksum — enough to
-    * prove the batching shape, schema and partition behavior without a
-    * codec. */
-  private def decodeStub(mediaType: String, bytes: Array[Byte]): (String, Long) = {
-    val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-    (magic, sum)
-  }
-
   /** q_mm_decode — partition-batched decode: mapPartitions with one
-    * decoder init per partition, aggregated per media type. image/png
-    * rows are REALLY decoded (see [[PngDecoder]]): the ingestion step
-    * swaps in the real encoded PNG payload, and the decode step reports
-    * DECODED quantities — n_bytes = decoded raster bytes (w·h at 8-bit
-    * gray), checksum = sum of decoded pixel values, magic = the actual
-    * PNG signature bytes. audio/video rows flow through the labeled
-    * stub. Both paths are deterministic and codec-independent on the
-    * wire, so the whole aggregate IS oracle-checked (the oracle
-    * recomputes pixel sums from the closed-form pixel function and the
-    * stub checksum from the text bytes). */
+    * decoder init per partition, aggregated per media type. ALL THREE
+    * modalities are REALLY decoded (r12 — the video stub is gone):
+    * image/png through [[PngDecoder]] (n_bytes = decoded raster bytes
+    * w·h at 8-bit gray, checksum = sum of decoded pixels), audio/wav
+    * through [[WavDecoder]] (RIFF parse + PCM extraction), video
+    * through the concatenated-PNG container parse + per-frame decode
+    * ([[splitPngFrames]]/[[videoBytes]] — n_bytes = total decoded
+    * raster bytes across frames, checksum = sum of decoded frame
+    * pixels). The ingestion step swaps in the real encoded payloads;
+    * every path is deterministic and codec-independent on the wire, so
+    * the whole aggregate IS oracle-checked (the oracle recomputes all
+    * three checksums from the closed-form pixel/sample functions). */
   def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = mediaTable(s, d)
-      .select(col("doc_id"), col("media_type"), col("media"))
-      .as[(Long, String, Array[Byte])]
+      .select(col("doc_id"), col("media_type"))
+      .as[(Long, String)]
       .mapPartitions { rows =>
-        // ingestion stand-in (no media files in the container): image
-        // and audio rows get their real encoded payloads; one encoder
-        // context per partition
-        rows.map { case (id, mt, bytes) =>
+        // ingestion stand-in (no media files in the container): every
+        // row gets its real encoded payload; one encoder context per
+        // partition
+        rows.map { case (id, mt) =>
           if (mt == "image/png") (id, mt, pngBytes(id))
           else if (mt == "audio/wav") (id, mt, wavBytes(id))
-          else (id, mt, bytes)
+          else (id, mt, videoBytes(id))
         }
       }
     val decoded = src.mapPartitions { rows =>
@@ -245,8 +234,14 @@ object Multimodal {
           val (nFrames, sampleSum) = wav.decode(bytes)
           MediaMeta(id, mt, nFrames * 2, magic, sampleSum)
         } else {
-          val (_, sum) = decodeStub(mt, bytes)
-          MediaMeta(id, mt, bytes.length.toLong, magic, sum)
+          var rasterBytes = 0L
+          var pixSum = 0L
+          splitPngFrames(bytes).foreach { fb =>
+            val (w, h, s) = png.decode(fb)
+            rasterBytes += w.toLong * h
+            pixSum += s
+          }
+          MediaMeta(id, mt, rasterBytes, magic, pixSum)
         }
       }
     }
@@ -516,23 +511,98 @@ object Multimodal {
       .orderBy(col("n_samples"), col("fp"))
   }
 
+  /** Deterministic "video": a container of n = 4 + doc_id%5 REAL
+    * concatenated PNG frames (the MJPEG-style frame-per-image
+    * container), 8×8 grayscale, frame f pixel i =
+    * (doc_id·31 + f + i·step) mod 256 with step = 7 for even shots
+    * and 1 for odd shots (shot = f / 3). The step change at each
+    * 3-frame shot boundary reshapes the pixel DISTRIBUTION (step 7
+    * spreads values near-uniformly over 0..255; step 1 concentrates
+    * them in a 64-wide band ≈ 4 bins), which is what a histogram-based
+    * cut detector keys on; the +f term gives within-shot frames a
+    * small drift so intra-shot distances are nonzero but far below the
+    * boundary jump. Closed-form so the DuckDB oracle replays the
+    * decoded pixels without a codec. */
+  private[graft] def videoBytes(docId: Long): Array[Byte] = {
+    val n = (4 + docId % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      val step = if ((f / 3) % 2 == 0) 7 else 1
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          raster.setSample(x, y, 0, ((docId * 31 + f + i * step) % 256).toInt)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "png", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL container parse: walk the concatenated-PNG stream by chunk
+    * structure (8-byte signature, then length-typed chunks to IEND) —
+    * no signature scanning, so IDAT bytes can never false-positive a
+    * frame boundary. Returns one byte slice per frame. */
+  private[graft] def splitPngFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def be32(p: Int): Int =
+      ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 8 <= bytes.length &&
+        (0 until 8).forall(k => bytes(pos + k) == sig(k)),
+        s"not a PNG frame at offset $pos")
+      var p = pos + 8
+      var done = false
+      while (!done) {
+        val len = be32(p)
+        val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+        p += 12 + len // length + type + data + crc
+        if (isEnd) done = true
+      }
+      out += java.util.Arrays.copyOfRange(bytes, pos, p)
+      pos = p
+    }
+    out.toArray
+  }
+
   /** q_mm_video_scene — SCENE-CUT detection over the video frame
     * stream, the shot-boundary pass a video training pipeline runs to
-    * split clips before sampling: each video payload is framed
-    * (fixed 64-byte frames — ===== STUB ===== standing in for codec
-    * frame boundaries, as in [[frameSample]]), each frame reduces to a
-    * 16-bin byte histogram (the [[features]] stub "model"), and a CUT
-    * is declared wherever the L1 distance between consecutive frame
-    * histograms exceeds 24 (empirically between the p75 and p90 of the
-    * corpus distance distribution — a real deployment learns this
-    * threshold). Wire: per-source (videos, frames, cuts, max cuts per
-    * clip). The histogram/L1/threshold pipeline IS the real
-    * scene-detection shape (frame feature → inter-frame distance →
-    * threshold); only the decode is faked.
+    * split clips before sampling: each video payload is a REAL
+    * concatenated-PNG frame container ([[videoBytes]]), parsed by
+    * chunk structure ([[splitPngFrames]]) and each frame REALLY
+    * decoded (signature parse, IDAT inflate, filter reconstruction —
+    * the [[PngDecoder]] path [[phash]] uses; r12, replacing the r11
+    * fixed-64-byte stub framing). Each decoded frame reduces to a
+    * 16-bin pixel histogram and a CUT is declared wherever the L1
+    * distance between consecutive frame histograms exceeds 24 —
+    * recalibrated on real decoded pixels (swept over 1000 doc ids):
+    * intra-shot drift measures L1 = 8 exactly and shot-boundary
+    * distribution jumps ≥ 82, so 24 separates them with wide margin
+    * on both sides (a real deployment learns this threshold). Wire:
+    * per-source (videos, frames, cuts, max cuts per clip).
     *
-    * Scale shape: framing + histograms + distances are row-local (one
-    * "decoder" per partition, zero shuffle); only (source, n_frames,
-    * n_cuts) triples reach the one per-source hash agg. */
+    * Oracle discipline: the frame pixel function is closed-form, so
+    * DuckDB recomputes histogram → L1 → cuts from pure arithmetic —
+    * the real container-parse + codec path is verified against
+    * arithmetic the oracle never decodes (the q_mm_phash pattern).
+    *
+    * Scale shape: container parse + decode + histograms + distances
+    * are row-local (one codec context per partition, zero shuffle);
+    * only (source, n_frames, n_cuts) triples reach the one per-source
+    * hash agg. */
   def videoScenes(s: SparkSession, d: String): DataFrame =
     videoScenesOn(s, Tables.documents(s, d), thr = 24)
 
@@ -541,21 +611,29 @@ object Multimodal {
       thr: Int): DataFrame = {
     import s.implicits._
     val vids = docsDf.filter(col("doc_id") % 3 === 2)
-      .select(col("source"), encode(col("text"), "UTF-8").as("media"))
-      .as[(String, Array[Byte])]
+      .select(col("source"), col("doc_id")).as[(String, Long)]
     val per = vids.mapPartitions { it =>
-      // a real codec would init here, once per partition
-      it.map { case (src, bytes) =>
-        val nFrames = (bytes.length + 63) / 64
-        val hists = Array.ofDim[Int](nFrames, 16)
-        var i = 0
-        while (i < bytes.length) {
-          hists(i / 64)((bytes(i) & 0xff) >> 4) += 1
-          i += 1
+      val png = new PngDecoder() // one codec context per partition
+      it.map { case (src, docId) =>
+        val frames = splitPngFrames(videoBytes(docId))
+        val hists = frames.map { fb =>
+          val img = png.decodeImage(fb)
+          val raster = img.getRaster
+          val hist = new Array[Int](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(raster.getSample(x, y, 0) >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          hist
         }
         var cuts = 0
         var f = 0
-        while (f < nFrames - 1) {
+        while (f < hists.length - 1) {
           var l1 = 0
           var bin = 0
           while (bin < 16) {
@@ -565,7 +643,7 @@ object Multimodal {
           if (l1 > thr) cuts += 1
           f += 1
         }
-        (src, nFrames.toLong, cuts.toLong)
+        (src, hists.length.toLong, cuts.toLong)
       }
     }
     per.toDF("source", "n_frames", "n_cuts")

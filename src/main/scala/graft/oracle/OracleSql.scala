@@ -2315,17 +2315,23 @@ object OracleSql {
     // Scene-cut detection: 64-byte frames via the hex(encode(text))
     // byte trick, 16-bin histograms, L1 over the full bin grid
     // (missing bins = 0), cut when L1 > 24
+    // r12: the oracle replays the closed-form FRAME PIXEL function
+    // (frame f pixel i = (doc_id*31 + f + i*step(shot)) % 256, step 7
+    // even shots / 3 odd, shot = f//3) through histogram -> L1 -> cut
+    // arithmetic; the Spark side must reach the same numbers through a
+    // REAL concatenated-PNG container parse + codec decode
     "q_mm_video_scene" ->
-      """WITH v AS (SELECT doc_id, source, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS nb
+      """WITH v AS (SELECT doc_id, source, 4 + doc_id % 5 AS nf
         |  FROM documents WHERE doc_id % 3 = 2),
-        |ch AS (SELECT doc_id, CAST(p.p // 64 AS BIGINT) AS f,
-        |  ('0x' || substring(hx, CAST(p.p * 2 + 1 AS INT), 2))::INT
-        |    // 16 AS bin
-        |  FROM v, LATERAL (SELECT unnest(range(0, nb)) AS p) p),
-        |h AS (SELECT doc_id, f, bin, COUNT(*) AS cnt FROM ch
+        |fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS f FROM v,
+        |  LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+        |px AS (SELECT doc_id, f,
+        |  CAST(((doc_id * 31 + f + i.i *
+        |      (CASE WHEN (f // 3) % 2 = 0 THEN 7 ELSE 1 END)) % 256)
+        |    // 16 AS INT) AS bin
+        |  FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |h AS (SELECT doc_id, f, bin, COUNT(*) AS cnt FROM px
         |  GROUP BY 1, 2, 3),
-        |fr AS (SELECT DISTINCT doc_id, f FROM ch),
         |grid AS (SELECT fr.doc_id, fr.f, CAST(b.b AS INT) AS bin
         |  FROM fr, (SELECT unnest(range(0, 16)) AS b) b),
         |hf AS (SELECT g.doc_id, g.f, g.bin, COALESCE(h.cnt, 0) AS cnt
@@ -2335,11 +2341,9 @@ object OracleSql {
         |  FROM hf a JOIN hf b
         |  ON a.doc_id = b.doc_id AND a.bin = b.bin AND b.f = a.f + 1
         |  GROUP BY 1, 2),
-        |per AS (SELECT v.doc_id, v.source,
-        |  COALESCE(fx.nf, 0) AS n_frames, COALESCE(ct.nc, 0) AS n_cuts
+        |per AS (SELECT v.doc_id, v.source, v.nf AS n_frames,
+        |  COALESCE(ct.nc, 0) AS n_cuts
         |  FROM v
-        |  LEFT JOIN (SELECT doc_id, MAX(f) + 1 AS nf FROM fr
-        |    GROUP BY 1) fx ON v.doc_id = fx.doc_id
         |  LEFT JOIN (SELECT doc_id,
         |      SUM(CASE WHEN l1 > 24 THEN 1 ELSE 0 END) AS nc
         |    FROM dist GROUP BY 1) ct ON v.doc_id = ct.doc_id)
@@ -2427,19 +2431,23 @@ object OracleSql {
            |FROM imgs LEFT JOIN l$rounds l ON imgs.img_id = l.node""".stripMargin
     },
 
+    // r12: the video rows replay the closed-form FRAME pixel function
+    // (real concatenated-PNG container decode on the Spark side);
+    // n_bytes = decoded raster bytes = n_frames x 64
     "q_mm_decode" ->
       """WITH d AS (SELECT doc_id, text,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type FROM documents),
-        |h AS (SELECT doc_id, media_type, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS n_bytes FROM d
-        |  WHERE media_type = 'video/mp4'),
-        |ch AS (SELECT doc_id, media_type, n_bytes, hx,
-        |  unnest(range(0, n_bytes)) AS p FROM h),
-        |cs AS (SELECT doc_id, media_type, any_value(n_bytes) AS n_bytes,
-        |  SUM(('0x' || substring(hx, CAST(p * 2 + 1 AS INT), 2))::INT) AS checksum
-        |  FROM ch GROUP BY doc_id, media_type),
+        |vf AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS f
+        |  FROM d WHERE media_type = 'video/mp4'),
+        |vp AS (SELECT doc_id, f, unnest(range(0, 64)) AS i FROM vf),
+        |cs AS (SELECT doc_id, 'video/mp4' AS media_type,
+        |  COUNT(*) AS n_bytes,
+        |  SUM((doc_id * 31 + f + i *
+        |    (CASE WHEN (f // 3) % 2 = 0 THEN 7 ELSE 1 END)) % 256)
+        |    AS checksum
+        |  FROM vp GROUP BY doc_id),
         |px AS (SELECT doc_id,
         |  unnest(range(0, (8 + doc_id % 8) * (8 + doc_id % 5))) AS i
         |  FROM d WHERE media_type = 'image/png'),

@@ -263,6 +263,69 @@ class AggregatesSpec extends GraftSuite {
     assert(got("p99") == kth(99, 100))
   }
 
+  test("tdigest: two-phase merged quantiles track the exact percentiles " +
+      "and match the direct one-phase sketch") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val exact = li
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(q, 0.5)").as("p50"),
+        expr("percentile(q, 0.9)").as("p90"),
+        expr("percentile(q, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val twoPhase = Aggregates.aggTDigest(spark, sf).collect()
+    assert(twoPhase.length == exact.size)
+    // direct one-phase sketch per flag (no daily pre-aggregation)
+    val build = udaf(new ops.TDigestBuildAggregator(100.0))
+    val onePhaseStates = li
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      .groupBy(col("l_returnflag")).agg(build(col("q")).as("st"))
+      .collect().map(r => r.getString(0) ->
+        ops.TDigest.deserialize(
+          r.getStruct(1).getAs[Array[Byte]]("sk"))).toMap
+    // l_quantity spans [1, 50]: 1.0 abs tolerance = 2% of the range
+    val tol = 1.0
+    twoPhase.foreach { r =>
+      val flag = r.getString(0)
+      val (e50, e90, e99, en) = exact(flag)
+      assert(r.getAs[Long]("n") == en, s"$flag exact n")
+      assert(math.abs(r.getAs[Double]("p50") - e50) <= tol, s"$flag p50")
+      assert(math.abs(r.getAs[Double]("p90") - e90) <= tol, s"$flag p90")
+      assert(math.abs(r.getAs[Double]("p99") - e99) <= tol, s"$flag p99")
+      val one = onePhaseStates(flag)
+      assert(math.abs(r.getAs[Double]("p50") - one.quantile(0.5)) <= tol,
+        s"$flag two-phase vs one-phase p50")
+      assert(math.abs(r.getAs[Double]("p99") - one.quantile(0.99)) <= tol,
+        s"$flag two-phase vs one-phase p99")
+    }
+  }
+
+  test("TDigest local: compression bounds the state, quantiles are " +
+      "accurate, and merge-of-halves matches the direct digest") {
+    val xs = new scala.util.Random(11).shuffle((1 to 20000).map(_.toDouble))
+    val direct = new ops.TDigest(100.0)
+    xs.foreach(direct.add)
+    val a = new ops.TDigest(100.0); val b = new ops.TDigest(100.0)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      if (i % 2 == 0) a.add(x) else b.add(x) }
+    a.mergeDigest(b)
+    for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+      val truth = q * 20000
+      assert(math.abs(direct.quantile(q) - truth) <= 0.01 * 20000,
+        s"direct q=$q got ${direct.quantile(q)}")
+      assert(math.abs(a.quantile(q) - truth) <= 0.01 * 20000,
+        s"merged q=$q got ${a.quantile(q)}")
+    }
+    // constant-size state: 20k points compress to O(compression) bytes
+    assert(direct.serialize.length < 8 * 1024, s"${direct.serialize.length}")
+    // roundtrip preserves the read surface
+    val rt = ops.TDigest.deserialize(direct.serialize)
+    assert(rt.count == 20000L && rt.quantile(0.5) == direct.quantile(0.5))
+  }
+
   test("roaring bitmap: sparse 64-bit ids (incl. > 2^26 and negative) " +
       "count exactly where the dense bitset fail-fasted") {
     import spark.implicits._

@@ -44,15 +44,26 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
-  test("decode aggregate: stub rows carry text bytes, image rows carry decoded pixels") {
-    import org.apache.spark.sql.functions.{col, sum}
+  test("decode aggregate: all three modalities report really-decoded " +
+      "quantities matching the closed forms") {
+    import org.apache.spark.sql.functions.col
     val byType = Multimodal.decode(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-    // video (the remaining stub): total_bytes = text chars of those docs
-    val stubChars = Tables.documents(spark, sf)
+    // video (r12 — real container decode): total_bytes = decoded
+    // raster bytes = n_frames x 64, checksum = closed-form pixel sums
+    val vidDocs = Tables.documents(spark, sf)
       .filter(col("doc_id") % 3 === 2)
-      .agg(sum("n_chars")).first().getLong(0)
-    assert(byType("video/mp4")._1 == stubChars)
+      .select("doc_id").collect().map(_.getLong(0))
+    val (expVidBytes, expVidSum) = vidDocs.foldLeft((0L, 0L)) {
+      case ((b, s), d) =>
+        val n = (4 + d % 5).toInt
+        val ps = (0 until n).map { f =>
+          val step = if ((f / 3) % 2 == 0) 7 else 1
+          (0 until 64).map(i => (d * 31 + f + i * step) % 256).sum
+        }.sum
+        (b + n * 64L, s + ps)
+    }
+    assert(byType("video/mp4") == ((expVidBytes, expVidSum)))
     // audio/wav: decoded PCM bytes = 2 × closed-form sample counts
     val wavDocs = Tables.documents(spark, sf)
       .filter(col("doc_id") % 3 === 1)
@@ -165,23 +176,54 @@ class MultimodalSpec extends GraftSuite {
     assert(got.length == 3 && got.forall(_._3 == 2L))
   }
 
-  test("video scenes: hand-built frame histograms yield the expected " +
-      "cut count") {
+  test("video scenes: real PNG container decode lands on the " +
+      "closed-form histogram arithmetic (oracle twin)") {
     import spark.implicits._
-    // doc 2: frames [a*64][z*64][z*32] -> hist moves bin6->bin7 (L1 =
-    // 128, cut) then shrinks (L1 = 32, cut): 3 frames, 2 cuts.
-    // doc 5: uniform b*128 -> 2 identical frames, 0 cuts.
-    // doc 8: 40 bytes -> single frame, no pair, 0 cuts.
-    val docs = Seq(
-      (2L, "a" * 64 + "z" * 96, "s1"),
-      (5L, "b" * 128, "s1"),
-      (8L, "c" * 40, "s2")).toDF("doc_id", "text", "source")
+    // ids cover every n_frames in 4..8 (doc_id%5 = 0..4), so both the
+    // 1-boundary (n<=6) and 2-boundary (n=7,8) shot layouts occur
+    val ids = Seq(2L, 5L, 8L, 11L, 14L)
+    val docs = ids.map(id => (id, "unused", s"s${id % 2}"))
+      .toDF("doc_id", "text", "source")
+    // independent replay of the closed-form pixel function — histogram
+    // -> L1 -> cuts, NO codec (exactly what the DuckDB oracle does)
+    def expectedCuts(docId: Long): (Long, Long) = {
+      val n = (4 + docId % 5).toInt
+      val hists = (0 until n).map { f =>
+        val step = if ((f / 3) % 2 == 0) 7 else 1
+        val h = new Array[Int](16)
+        (0 until 64).foreach { i =>
+          h((((docId * 31 + f + i * step) % 256) >> 4).toInt) += 1
+        }
+        h
+      }
+      val cuts = (0 until n - 1).count { f =>
+        (0 until 16).map(b => math.abs(hists(f)(b) - hists(f + 1)(b))).sum > 24
+      }
+      (n.toLong, cuts.toLong)
+    }
+    val exp = ids.filter(_ % 3 == 2).map(id => (id, expectedCuts(id)))
+    val expBySrc = exp.groupBy { case (id, _) => s"s${id % 2}" }
+      .map { case (src, rows) =>
+        src -> ((rows.size.toLong, rows.map(_._2._1).sum,
+          rows.map(_._2._2).sum, rows.map(_._2._2).max))
+      }
     val out = Multimodal.videoScenesOn(spark, docs, thr = 24).collect()
-      .map(r => r.getString(0) -> (r.getAs[Long]("n_videos"),
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_videos"),
         r.getAs[Long]("total_frames"), r.getAs[Long]("total_cuts"),
-        r.getAs[Long]("max_cuts"))).toMap
-    assert(out("s1") == (2L, 5L, 2L, 2L))
-    assert(out("s2") == (1L, 1L, 0L, 0L))
+        r.getAs[Long]("max_cuts")))).toMap
+    assert(out == expBySrc, s"got $out expected $expBySrc")
+    // shot boundaries must actually register: every video here has
+    // >= 4 frames so >= 1 step-change boundary -> >= 1 cut each
+    assert(exp.forall(_._2._2 >= 1L), exp.toString)
+    // and the container parse is real: frame slices are each a
+    // standalone decodable PNG with the declared 8x8 geometry
+    val frames = Multimodal.splitPngFrames(Multimodal.videoBytes(14L))
+    assert(frames.length == 8) // 4 + 14%5
+    val dec = new Multimodal.PngDecoder()
+    frames.foreach { fb =>
+      val img = dec.decodeImage(fb)
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
   }
 
   test("frame sampling keeps every 4th frame only") {
