@@ -329,6 +329,91 @@ object DedupSim {
       .orderBy(col("source"))
   }
 
+  /** q_dedup_semantic — SEMANTIC dedup over the EMBEDDING modality
+    * (the SemDeDup shape, Abbas et al. 2023 — public paper: cluster
+    * the embedding space coarsely, then keep one representative of
+    * each within-cluster group of near-identical vectors). This
+    * completes the dedup-run family across modalities (text:
+    * minhash/simhash/ngram; image: phash; audio: fingerprint;
+    * embeddings: this): [[kdQuantize]] buckets the space into ≈ √N
+    * near-balanced lists, candidate pairs are WITHIN-LIST only
+    * (cosine ≥ τ verified by the native codegen `cosine_sim`), pairs
+    * become connected components ([[GraphOps.ccLabels]] — transitive
+    * closure matters), each cluster keeps its minimum vec_id, and the
+    * wire is the per-label collapse ledger. Near-dup vectors are
+    * PLANTED (every vec_id%25==0 gets a dim-0-perturbed twin at
+    * id+10,000,000 — cosine ≈ 0.9999998 vs the corpus's unrelated
+    * max ≈ 0.51, so τ = 0.999 separates cleanly).
+    *
+    * Approximation contract: pairs split across quantizer lists are
+    * missed BY DESIGN (SemDeDup's own trade — candidate volume drops
+    * N² → Σ|list|²/2 ≈ N·√N/2); the quantizer uses approx-median
+    * sketches, so no DuckDB oracle (declared oracle-N like the ANN
+    * keys). DedupSimSpec asserts (1) EXACT equality with brute-force
+    * all-pairs dedup when the quantizer is forced to one list, (2) the
+    * planted-twin ledger on the real corpus, (3) found pairs are
+    * always a subset of brute-force pairs (no false positives — the
+    * cosine verify is exact) at any k.
+    *
+    * Scale shape: the within-list self-join is bounded by the
+    * near-balanced list size (~√N rows per list by construction — the
+    * quantizer splits on approximate medians, so no hot list); CC runs
+    * on the PAIR graph (≪ corpus); the final classification is one
+    * equi join of the corpus against the label table. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val n = parquetRowCount(s, s"$d/embeddings.parquet")
+    dedupSemanticOn(Tables.embeddings(s, d), tau = 0.999, knownCount = n)
+  }
+
+  /** Core of q_dedup_semantic over any (vec_id, label, embedding)
+    * frame. `kOverride` forces the quantizer list count (tests use 1
+    * for the brute-force-equality differential). */
+  def dedupSemanticOn(embeddings: DataFrame, tau: Double,
+      knownCount: Option[Long] = None,
+      kOverride: Option[Int] = None): DataFrame = {
+    val s = embeddings.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val base = embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val twins = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("label"),
+        expr("transform(v, (x, i) -> IF(i = 0, cast(x + 0.001d as double), x))")
+          .as("v"))
+    // corpus + twins feed the quantizer, the pair verify AND the final
+    // classification join — cache the union once
+    val vecs = ScratchCache.cache(base.unionByName(twins))
+    val n = knownCount.map(c => c + (c + 24) / 25)
+      .getOrElse(vecs.count())
+    val k = kOverride.getOrElse(
+      math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val assigned = ScratchCache.cache(
+      kdQuantize(vecs.select(col("vec_id"), col("v")), k))
+    val pairs = ScratchCache.cache(semanticPairs(assigned, tau))
+    val labels = GraphOps.ccLabels(pairs)
+      .withColumnRenamed("node", "vec_id")
+    vecs.join(labels, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("comp").isNotNull.cast("long")).as("n_in_dup_clusters"),
+        countDistinct(col("comp")).as("n_clusters"),
+        sum((col("comp").isNotNull && col("comp") =!= col("vec_id"))
+          .cast("long")).as("n_removed"),
+        (count(lit(1)) - sum((col("comp").isNotNull &&
+          col("comp") =!= col("vec_id")).cast("long"))).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  /** Within-list cosine ≥ τ pair enumeration over a kdQuantize
+    * assignment — the SemDeDup candidate+verify step, factored out so
+    * the spec can differential it against brute force. */
+  private[graft] def semanticPairs(assigned: DataFrame, tau: Double)
+      : DataFrame =
+    assigned.as("x").join(assigned.as("y"),
+        col("x.list_id") === col("y.list_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(expr("cosine_sim(x.v, y.v)") >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+
   /** q_emb_quantize — int8 embedding quantization, the storage/ANN
     * compression step a 100 TB embedding pipeline runs before indexing:
     * per-vector max-abs scaling, q = round(v·127/maxabs) ∈ [−127,127]

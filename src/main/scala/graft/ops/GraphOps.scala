@@ -423,6 +423,61 @@ object GraphOps {
       .orderBy(col("hop"))
   }
 
+  /** q_graph_sssp — bounded-hop WEIGHTED single-source shortest paths
+    * (min-plus / Bellman-Ford rounds, ≤ 4 relaxations) from the
+    * minimum part id over the undirected co-purchase graph — the
+    * weighted sibling of [[pathsOn]]'s hop-count BFS and the classic
+    * graph-QC metric the family lacked: with per-edge costs the
+    * cheapest route is NOT the fewest-hop route (the planted fixture
+    * in GraphOpsSpec has a 2-hop path beating its direct edge), so
+    * min-plus relaxation, not frontier membership, is the required
+    * algebra. Edge weight = 1 + (u+v) mod 7 — deterministic integer
+    * arithmetic both engines replay exactly (a production run would
+    * join real costs; the algebra is weight-source-agnostic).
+    *
+    * Scale shape: each round is ONE equi join of the current distance
+    * table against the cached symmetrized weighted edge list, a union
+    * with the previous distances, and a min hash-agg — the textbook
+    * distributed Bellman-Ford round. Distance tables are
+    * ScratchCache'd (each is consumed twice: relax join + carry-over
+    * union); at fixed small depth the unrolled lazy plan beats eager
+    * checkpoints (the [[pathsOn]] rule), at unbounded depth this
+    * becomes the ccLabels checkpoint loop with a convergence probe.
+    * Wire: (dist, n_nodes) histogram over reached nodes — min-dist
+    * semantics, exact integers throughout. */
+  def sssp(s: SparkSession, d: String): DataFrame =
+    ssspOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_sssp over any (o, p) membership frame. */
+  def ssspOn(membership: DataFrame): DataFrame = {
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    val sym = ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L)))
+      .pipe(ScratchCache.cache)
+    val src = op.agg(min(col("p")).as("node"))
+      .withColumn("dist", lit(0L))
+    // 4 unrolled min-plus relaxation rounds; dist_k(v) = cheapest
+    // ≤ k-hop path cost by induction
+    val rounds = Iterator.iterate(src.pipe(ScratchCache.cache), 5) { dcur =>
+      // rename before the relax join: dcur's lineage contains sym (via
+      // the previous round), so attribute-based dcur("dist")/sym("w")
+      // references would be ambiguous self-join attributes
+      dcur.select(col("node").as("dn"), col("dist").as("dd"))
+        .join(sym, col("dn") === col("u"))
+        .select(col("v").as("node"), (col("dd") + col("w")).as("dist"))
+        .unionByName(dcur.select(col("node"), col("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .pipe(ScratchCache.cache)
+    }.toSeq
+    rounds.last
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+
   /** q_graph_diff — VERSION-TO-VERSION graph reconciliation, the QC a
     * regenerate-per-source-version pipeline runs before promoting a new
     * merged graph (the reference rebuilds its graph whenever a source

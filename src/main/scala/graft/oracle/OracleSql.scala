@@ -630,6 +630,30 @@ object OracleSql {
         |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
         |FROM m GROUP BY 1 ORDER BY hop""".stripMargin,
 
+    // depth-guarded min-sum walk: the recursive UNION dedups states on
+    // (node, dist, hop) — bounded by |V| x |dist values| x 5 since
+    // weights are 1..7 over <= 4 hops — and MIN(dist) over all states
+    // equals the Bellman-Ford <= 4-round relaxation the Spark side runs
+    "q_graph_sssp" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |wsym AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM sym),
+        |src AS (SELECT MIN(p) AS node FROM op),
+        |walk AS (
+        |  SELECT node, 0 AS dist, 0 AS hop FROM src
+        |  UNION
+        |  SELECT wsym.v AS node, walk.dist + wsym.w AS dist,
+        |    walk.hop + 1 AS hop
+        |  FROM walk JOIN wsym ON walk.node = wsym.u WHERE walk.hop < 4
+        |),
+        |m AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+        |FROM m GROUP BY 1 ORDER BY dist""".stripMargin,
+
     // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
     // unrolled round counts the degree-qualified keep set, then
     // restricts the edges to keep×keep

@@ -266,6 +266,70 @@ class DedupSimSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("semantic dedup: k=1 equals brute-force all-pairs dedup exactly; " +
+      "k>1 pairs are a subset (no false positives)") {
+    import spark.implicits._
+    import graft.ops.{DedupSim, ScratchCache}
+    // ids avoid %25==0 so no auto-planted twins disturb the fixture;
+    // group {1,2,3} identical (one cluster, survivor 1), {4,5}
+    // identical, 6/7 unrelated (max cross cosine 0.354 < tau)
+    val dim = 8
+    def unit(d: Int): Seq[Float] = (0 until dim).map(i => if (i == d) 1f else 0f)
+    val rows: Seq[(Long, String, Seq[Float])] = Seq(
+      (1L, "x", unit(0)), (2L, "x", unit(0)), (3L, "x", unit(0)),
+      (4L, "y", unit(1)), (5L, "y", unit(1)),
+      (6L, "z", unit(2)), (7L, "z", (0 until dim).map(_ => 0.5f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out1 = DedupSim.dedupSemanticOn(df, tau = 0.99, kOverride = Some(1))
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_in_dup_clusters"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept")))).toMap
+    ScratchCache.releaseAll()
+    // k=1 -> one list -> within-list = ALL pairs = brute force, so the
+    // ledger is exactly the hand-computed brute-force collapse
+    assert(out1 == Map(
+      "x" -> ((3L, 3L, 1L, 2L, 1L)),
+      "y" -> ((2L, 2L, 1L, 1L, 1L)),
+      "z" -> ((2L, 0L, 0L, 0L, 2L))))
+    // at k=4 the quantizer may split pairs (SemDeDup's trade) but can
+    // never invent one: found pairs must be a subset of brute force
+    val vecs = df.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))").as("v"))
+    val assigned = DedupSim.kdQuantize(vecs, 4)
+    val found = DedupSim.semanticPairs(assigned, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ScratchCache.releaseAll()
+    val brute = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    assert(found.subsetOf(brute), s"false positives: ${found -- brute}")
+  }
+
+  test("semantic dedup: the planted %25 twins collapse into exactly " +
+      "one cluster each on the real corpus") {
+    import graft.ops.{DedupSim, ScratchCache}
+    val out = DedupSim.dedupSemantic(spark, sf).collect()
+    ScratchCache.releaseAll()
+    val sums = out.map(r => (r.getAs[Long]("n_vecs"),
+      r.getAs[Long]("n_in_dup_clusters"), r.getAs[Long]("n_clusters"),
+      r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept")))
+      .foldLeft((0L, 0L, 0L, 0L, 0L)) { case ((a, b, c, d, e), r) =>
+        (a + r._1, b + r._2, c + r._3, d + r._4, e + r._5) }
+    // 500 corpus vectors + 20 twins; a found twin pairs ONLY with its
+    // base (cosine ~0.9999998 > 0.999; unrelated max ~0.51), so every
+    // cluster is exactly a {base, twin} pair with the base (lower id)
+    // surviving — structure is exact even though recall is the
+    // SemDeDup trade (a twin whose dim-0 value straddles a quantizer
+    // cut lands in a different list and is missed BY DESIGN; measured
+    // 18/20 here, and the cuts are approx-median sketches so the
+    // exact count may shift with partitioning):
+    val (nVecs, inDup, clusters, removed, kept) = sums
+    assert(nVecs == 520L)
+    assert(inDup == 2 * clusters, sums.toString)  // pairs, never larger
+    assert(removed == clusters, sums.toString)    // one survivor each
+    assert(kept == nVecs - removed)
+    assert(clusters >= 14L && clusters <= 20L, sums.toString) // recall >= 0.7
+  }
+
   test("exact dedup: distinct counts never exceed doc counts") {
     val rows = DedupSim.dedupExact(spark, sf).collect()
     rows.foreach { r =>

@@ -347,6 +347,24 @@ class GraphOpsSpec extends GraftSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("sssp: min-plus relaxation finds the cheap 2-hop route past the " +
+      "expensive direct edge; unreachable components stay out") {
+    import spark.implicits._
+    // planted triangle {1, 2, 12} (orders A/B/C give all three edges)
+    // with weights w(u,v) = 1 + (u+v)%7:
+    //   w(1,2)=4, w(2,12)=1, w(1,12)=7
+    // from src=1: dist(2)=4 and dist(12)=5 VIA 2 — the direct edge
+    // costs 7, so hop-count BFS semantics would get this wrong.
+    // order D plants an unreachable pair {100, 104} that must not
+    // appear in the reached-node histogram.
+    val m = Seq((1L, 1L), (1L, 12L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 12L), (4L, 100L), (4L, 104L)).toDF("o", "p")
+    val out = GraphOps.ssspOn(m).collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    ScratchCache.releaseAll()
+    assert(out == Map(0L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("graph diff: every change class lands exactly once on a fixture") {
     import spark.implicits._
     val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
