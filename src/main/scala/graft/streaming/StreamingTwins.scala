@@ -71,6 +71,48 @@ class SignupCounterProcessor
   }
 }
 
+/** transformWithState port of [[StreamingTwins.funnelStages]] (r12
+  * migration probe — the Spark 4 forward API for custom state): the
+  * SAME per-user first-touch funnel logic as the
+  * flatMapGroupsWithState twin, with the FunnelState carried in an
+  * explicit ValueState. Differences that matter for the migration
+  * decision (PLANS.md r12 note): state is a named, typed handle
+  * (multiple states per key compose; TTL is declarative via
+  * TTLConfig instead of hand-rolled timeout juggling), init is
+  * explicit, and the processor object is reusable across queries —
+  * but the query REQUIRES the RocksDB state store provider, which the
+  * HDFS-backed default does not satisfy. A/B'd against the
+  * flatMapGroupsWithState twin in StreamingSpec. */
+class FunnelStagesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel_state",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    var s = Option(st.get()).getOrElse(FunnelState(-1L, -1L, -1L))
+    val out = rows.toSeq.sortBy(_._2).flatMap { case (_, us, et) =>
+      if (et == "view" && s.vUs < 0) {
+        s = s.copy(vUs = us); Some((key, "1_view", us))
+      } else if (et == "click" && s.vUs >= 0 && us > s.vUs && s.cUs < 0) {
+        s = s.copy(cUs = us); Some((key, "2_view_click", us))
+      } else if (et == "purchase" && s.cUs >= 0 && us > s.cUs && s.pUs < 0) {
+        s = s.copy(pUs = us); Some((key, "3_view_click_purchase", us))
+      } else None
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
 object StreamingTwins {
   private val D = DecimalType(12, 2)
 
@@ -215,6 +257,24 @@ object StreamingTwins {
           state.update(st)
           out.iterator
       }(Encoders.product[FunnelState],
+        Encoders.product[(Long, String, Long)])
+      .toDF("user_id", "stage", "us")
+  }
+
+  /** [[funnelStages]] on the transformWithState API
+    * ([[FunnelStagesProcessor]]) — the r12 migration probe.
+    * Semantically identical (StreamingSpec asserts output equality on
+    * the same multi-trigger input); requires RocksDB state store. */
+  def funnelStagesTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)](Encoders.product[(Long, Long, String)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new FunnelStagesProcessor,
+        TimeMode.None, OutputMode.Append)(
         Encoders.product[(Long, String, Long)])
       .toDF("user_id", "stage", "us")
   }

@@ -345,6 +345,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("funnel twin A/B: transformWithState port emits exactly the " +
+      "flatMapGroupsWithState rows (multi-trigger)") {
+    // r12 migration probe: same planted log, same two-trigger split,
+    // BOTH stateful APIs — outputs must be row-identical
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0),
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "click", 0.0),
+      Ev(5, ts("2024-01-01 09:30:00"), 2, "view", 0.0),
+      Ev(6, ts("2024-01-01 08:00:00"), 3, "view", 0.0),
+      Ev(7, ts("2024-01-01 08:10:00"), 3, "purchase", 0.0),
+      Ev(8, ts("2024-01-01 08:20:00"), 3, "click", 0.0),
+      Ev(9, ts("2024-01-01 06:00:00"), 5, "view", 0.0),
+      Ev(10, ts("2024-01-01 06:00:00"), 5, "click", 0.0))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : Set[(Long, String, Long)] = {
+        val ms = MemoryStream[Ev]
+        val q = build(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (first, second) = log.partition(_.event_id <= 5)
+          ms.addData(first: _*); q.processAllAvailable()
+          ms.addData(second: _*); q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        } finally q.stop()
+      }
+      val viaFmgs = run("funab_fmgs", StreamingTwins.funnelStages)
+      val viaTws = run("funab_tws", StreamingTwins.funnelStagesTws)
+      assert(viaTws == viaFmgs, s"tws=$viaTws fmgs=$viaFmgs")
+      assert(viaTws.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("attribution twin: streamed credits reproduce the batch report") {
     // per-user last-touch cases: credited touch, '(none)' first-event
     // purchase, self-exclusion at a shared timestamp, re-credit after a
