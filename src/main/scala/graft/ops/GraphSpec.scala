@@ -75,6 +75,14 @@ object GraphSpec {
     val starts = lines.zipWithIndex
       .collect { case (l, i) if l.trim.startsWith("graph_id:") => i }
     require(starts.nonEmpty, "multi-graph spec: no graph_id blocks")
+    // blocks slice from the FIRST graph_id, so anything before it
+    // (leading garbage, a misspelled first key) would silently vanish
+    // without this — the loud-failure contract single-spec parse has
+    lines.take(starts.head).find(_.trim.nonEmpty).foreach { l =>
+      throw new IllegalArgumentException(
+        s"multi-graph spec: content before the first graph_id block " +
+          s"is not allowed: '${l.trim}'")
+    }
     val blocks = starts.zipAll(starts.drop(1), -1, lines.length)
       .map { case (a, b) => lines.slice(a, b).mkString("\n") }
     val specs = blocks.map(parse)

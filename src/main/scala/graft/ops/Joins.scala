@@ -296,8 +296,13 @@ object Joins {
   private[graft] val hotBucketPairs = 256L
 
   /** Core of q_join_fuzzy over any customer-shaped frame. */
-  def joinFuzzyOn(customer: DataFrame): DataFrame = {
-    val (outcomes, density) = fuzzyLedgers(customer)
+  def joinFuzzyOn(customer: DataFrame): DataFrame =
+    assembleFuzzyWire(fuzzyLedgers(customer))
+
+  /** The ledger pair → ordered wire (outcome rows + density rows). */
+  private def assembleFuzzyWire(
+      ledgers: (DataFrame, DataFrame)): DataFrame = {
+    val (outcomes, density) = ledgers
     val densityRows = density.select(explode(array(
       struct(lit("density_hot_buckets").as("outcome"),
         col("hot_buckets").as("n_queries"),
@@ -313,11 +318,14 @@ object Joins {
     * probe FIRST (two long-keyed aggs, one 1-row collect) and refuses
     * to run the candidate join if any variant bucket would contribute
     * more than `failAbovePairs` candidate pairs — degrade loudly, not
-    * quadratically. */
+    * quadratically. The wire reuses the SAME ledger pair the probe
+    * evaluated (one fuzzyLedgers build): re-invoking the pipeline
+    * would only dedupe through CacheManager plan-matching, which
+    * breaks if ScratchCache.releaseAll lands between probe and join. */
   def joinFuzzyGuarded(customer: DataFrame,
       failAbovePairs: Long): DataFrame = {
-    val (_, density) = fuzzyLedgers(customer)
-    val d = density.head()
+    val ledgers = fuzzyLedgers(customer)
+    val d = ledgers._2.head()
     val maxPairs = d.getAs[Long]("max_pairs")
     if (maxPairs > failAbovePairs)
       throw new IllegalStateException(
@@ -327,7 +335,7 @@ object Joins {
         s"above $hotBucketPairs contribute a combined " +
         s"${d.getAs[Long]("hot_pairs")} pairs — this keyspace is " +
         "adversarially dense for deletion-neighborhood blocking")
-    joinFuzzyOn(customer)
+    assembleFuzzyWire(ledgers)
   }
 
   /** The shared fuzzy pipeline: (un-ordered outcome ledger, 1-row

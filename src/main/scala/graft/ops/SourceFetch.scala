@@ -96,21 +96,28 @@ final class SourceFetch(
       : (String, Boolean) = {
     val version = probeVersion(url)
     val sidecar = dest.resolveSibling(dest.getFileName.toString + ".version")
-    val recorded =
+    // the sidecar holds every validator of the recorded artifact, one
+    // per line (GET's first, probe's second): a server whose HEAD and
+    // GET validators persistently differ (weak vs strong ETag,
+    // GET-only ETag) must still match the next HEAD probe — matching
+    // only the GET validator re-downloads on every refresh
+    val recorded: Set[String] =
       if (java.nio.file.Files.exists(sidecar))
-        Some(new String(java.nio.file.Files.readAllBytes(sidecar),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else None
+        new String(java.nio.file.Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty).toSet
+      else Set.empty
     val upToDate = version != "unversioned" &&
       recorded.contains(version) && java.nio.file.Files.exists(dest)
     if (upToDate) (version, false)
     else {
       // Record the version of the SAME exchange that produced the
       // body: if the source re-publishes between the HEAD probe and
-      // the GET, pairing the new bytes with the stale probed version
-      // would wrongly skip the next refresh. The GET's own
-      // ETag/Last-Modified wins; the probe is only the fallback for
-      // servers that version HEAD but not GET.
+      // the GET, pairing the new bytes with only the stale probed
+      // version would wrongly skip the next refresh. The GET's own
+      // ETag/Last-Modified wins (first sidecar line, the returned
+      // version); the probed validator is recorded beside it so a
+      // persistent HEAD≠GET validator split still skips next time.
       val resp = fetchResponse(url)
       val gotVersion = resp.headers().firstValue("ETag")
         .or(() => resp.headers().firstValue("Last-Modified"))
@@ -118,8 +125,10 @@ final class SourceFetch(
       Option(dest.getParent)
         .foreach(p => java.nio.file.Files.createDirectories(p))
       java.nio.file.Files.write(dest, resp.body())
-      java.nio.file.Files.write(sidecar, gotVersion.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      val validators = Seq(gotVersion, version)
+        .filter(_ != "unversioned").distinct
+      java.nio.file.Files.write(sidecar, validators.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (gotVersion, true)
     }
   }

@@ -2425,7 +2425,11 @@ object OracleSql {
       // residue classes into LONG paths with adversarial id order
       // (min propagation is ~1 hop/round there); 8 and 12 rounds left
       // 2 components unmerged at 10x data, 24 converges with margin.
-      // The label table is pair-graph-sized, so extra rounds are cheap
+      // The label table is pair-graph-sized, so extra rounds are cheap.
+      // FIXPOINT ASSERTION (r12): one extra round runs and the final
+      // SELECT calls error() if ANY label still moved — a corpus whose
+      // chains outrun the fixed rounds fails LOUDLY instead of
+      // reporting an under-converged ledger as a false mismatch
       val rounds = 24
       val base = phashPairCtes +
         """,
@@ -2434,7 +2438,7 @@ object OracleSql {
           |  UNION ALL SELECT b AS a, a AS b FROM prs),
           |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue
           |  GROUP BY a)""".stripMargin
-      val ctes = (1 to rounds).map { k =>
+      val ctes = (1 to (rounds + 1)).map { k =>
         s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
            |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
            |  JOIN l${k - 1} la ON ue.a = la.node
@@ -2442,8 +2446,15 @@ object OracleSql {
            |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp)
            |  AS comp FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
       }
-      (base +: ctes).mkString("", ",\n", "\n") +
-        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+      val chk =
+        s"""chk AS (SELECT CASE WHEN COUNT(*) > 0 THEN error(
+           |  'q_mm_phash_cluster oracle: CC under-converged at $rounds
+           |   rounds — raise the round count') ELSE 0 END AS z
+           |  FROM l$rounds x JOIN l${rounds + 1} y
+           |  ON x.node = y.node AND x.comp <> y.comp)""".stripMargin
+      (base +: ctes :+ chk).mkString("", ",\n", "\n") +
+        s"""SELECT CAST(COUNT(*) + (SELECT z FROM chk) AS BIGINT)
+           |  AS n_images,
            |CAST(SUM(CASE WHEN l.comp IS NOT NULL THEN 1 ELSE 0 END)
            |  AS BIGINT) AS n_in_dup_clusters,
            |CAST(COUNT(DISTINCT l.comp) AS BIGINT) AS n_clusters,

@@ -48,6 +48,13 @@ class PipelineSpec extends GraftSuite {
       GraphSpec.parseMulti(
         "graph_id: a\nsources:\n  - x\ngraph_id: a\nsources:\n  - y\n")
     }
+    // leading garbage (e.g. a misspelled first graph_id key) must fail
+    // loudly, not silently vanish before the first block slice
+    val leadErr = intercept[IllegalArgumentException] {
+      GraphSpec.parseMulti(
+        "graphid: oops\nsources:\n  - x\ngraph_id: a\nsources:\n  - y\n")
+    }
+    assert(leadErr.getMessage.contains("before the first graph_id"))
     // the keyed run: ledger arithmetic + sharing proof + artifacts
     val ledger = Pipeline.pipelineMultiGraph(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap

@@ -287,10 +287,11 @@ class TransportSpec extends GraftSuite {
         .createTempDirectory("graft_fetch_race").resolve("data.csv")
       val sf = new graft.ops.SourceFetch(maxRetries = 1, backoffMs = 0)
       // probe sees v1, GET delivers v2 bytes + v2 header → record v2
+      // first (the same-exchange validator), the probed v1 beside it
       assert(sf.fetchIfChanged(url, dest) == ("\"v2\"", true))
       val sidecar = dest.resolveSibling("data.csv.version")
       assert(new String(java.nio.file.Files.readAllBytes(sidecar),
-        "UTF-8") == "\"v2\"")
+        "UTF-8").linesIterator.toSeq == Seq("\"v2\"", "\"v1\""))
       // publication settles at v2: next run is a pure skip (no GET)
       headEtag.set("\"v2\"")
       assert(sf.fetchIfChanged(url, dest) == ("\"v2\"", false))
@@ -315,6 +316,43 @@ class TransportSpec extends GraftSuite {
         val bDest = dest.resolveSibling("b.csv")
         assert(sf.fetchIfChanged(bUrl, bDest) == ("lm1", true))
       } finally bare.stop(0)
+    } finally server.stop(0)
+  }
+
+  test("SourceFetch: a server whose HEAD and GET validators persistently " +
+      "differ (weak vs strong ETag) still skips on refresh") {
+    // HEAD always advertises the weak form, GET the strong form — the
+    // r11 sidecar recorded only the GET validator, so every refresh
+    // probed W/"x", missed, and re-downloaded; recording BOTH
+    // validators makes the second run a pure skip (zero GETs)
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/w.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.set("ETag", "W/\"x\"")
+          ex.sendResponseHeaders(200, -1)
+        } else {
+          gets.incrementAndGet()
+          ex.getResponseHeaders.set("ETag", "\"x\"")
+          val body = "w".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/w.csv"
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_fetch_weak").resolve("w.csv")
+      val sf = new graft.ops.SourceFetch(maxRetries = 1, backoffMs = 0)
+      assert(sf.fetchIfChanged(url, dest) == ("\"x\"", true))
+      assert(gets.get() == 1)
+      // refresh: the probed weak validator matches the recorded set
+      assert(sf.fetchIfChanged(url, dest) == ("W/\"x\"", false))
+      assert(gets.get() == 1, "refresh must not re-download")
     } finally server.stop(0)
   }
 
