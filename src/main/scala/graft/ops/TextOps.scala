@@ -1243,6 +1243,122 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q_text_classifier_train — TRAIN the quality classifier whose
+    * frozen weights [[textClassifierOn]] applies (r12 — closing the
+    * "weights stand in for a trained model" loop): full-batch
+    * logistic-regression gradient descent over the same engineered
+    * micro-features (stopword / digit / saturated-length / mean-token-
+    * length ratios), supervised by the corpus's own language tag
+    * (y = 1 ⇔ lang = 'en' — the CCNet/fastText pattern where an
+    * available weak signal trains the filter that then scores
+    * everything). Wire: the learned weight vector + training accuracy,
+    * log-loss and class counts as a (term, value) table.
+    *
+    * DETERMINISM — the reason this trains the same model on any
+    * cluster: each row's gradient contribution is computed as a double
+    * (deterministic per row given w) but CAST TO DECIMAL(28,14) before
+    * the sum, so the per-round gradient aggregate is EXACT and
+    * partition-order-invariant (float sums are not associative; a
+    * repartition would otherwise flip low bits every round and the
+    * divergence compounds across rounds). The driver weight update is
+    * scalar double arithmetic on the exact sums — spec-asserted
+    * bit-identical under repartitioning AND against a pure-driver
+    * replica of the loop.
+    *
+    * Scale shape — the pagerank discipline applied to ML training:
+    * the feature frame is built once (row-local projections, cached);
+    * each of the 16 rounds is ONE map-side-combined hash aggregate
+    * producing a 6-number gradient row (O(1) driver traffic per
+    * round); weights travel back as literals folded into the next
+    * round's plan (5 doubles — no broadcast join needed). At 100 TB
+    * each round is one scan of the cached feature columns; rounds are
+    * fixed, state is O(dims). No oracle (σ/exp differs in ulps across
+    * engines); TrainingDataSpec asserts the driver-replica
+    * differential, separable-fixture convergence, and repartition
+    * invariance. */
+  def classifierTrain(s: SparkSession, d: String): DataFrame =
+    classifierTrainOn(Tables.documents(s, d), iters = 16, lr = 1.0)
+
+  /** Core of q_text_classifier_train. Returns (term, value) rows:
+    * w_bias/w_stop/w_digit/w_len/w_wlen (rounded 6), accuracy,
+    * logloss, n_docs, n_positive. */
+  def classifierTrainOn(docsDf: DataFrame, iters: Int,
+      lr: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val D = DecimalType(28, 14)
+    val feats = ScratchCache.cache(classifierTrainFeatures(docsDf))
+    val w = Array.fill(5)(0.0)
+    def margin: Column =
+      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    def prob: Column = lit(1.0) / (lit(1.0) + exp(-margin))
+    var r = 0
+    while (r < iters) {
+      val g = prob - col("y")
+      val row = feats.agg(
+        count(lit(1)).as("n"),
+        sum(g.cast(D)).as("g0"),
+        sum((g * col("x1")).cast(D)).as("g1"),
+        sum((g * col("x2")).cast(D)).as("g2"),
+        sum((g * col("x3")).cast(D)).as("g3"),
+        sum((g * col("x4")).cast(D)).as("g4")).head()
+      val n = row.getLong(0).toDouble
+      var j = 0
+      while (j < 5) {
+        w(j) -= lr * row.getDecimal(j + 1).doubleValue() / n
+        j += 1
+      }
+      r += 1
+    }
+    // final pass: accuracy + exact-decimal log-loss with the trained w
+    val m = feats.agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast(D)).as("npos"),
+      sum(((prob >= 0.5).cast("double") === col("y"))
+        .cast("long")).as("ncorrect"),
+      sum((-(col("y") * log(prob) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - prob))).cast(D))
+        .as("nll")).head()
+    val n = m.getLong(0)
+    val rows = Seq(
+      ("accuracy", m.getLong(2).toDouble / n),
+      ("logloss", m.getDecimal(3).doubleValue() / n),
+      ("n_docs", n.toDouble),
+      ("n_positive", m.getDecimal(1).doubleValue()),
+      ("w_bias", w(0)), ("w_stop", w(1)), ("w_digit", w(2)),
+      ("w_len", w(3)), ("w_wlen", w(4)))
+    rows.map { case (t, v) =>
+      (t, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.toDF("term", "value").orderBy(col("term"))
+  }
+
+  /** The training view: label + the four [[textClassifierOn]]
+    * micro-features as doubles in [0, ~1] (same integer-exact
+    * numerators, scaled by 1e-6). */
+  private[graft] def classifierTrainFeatures(docsDf: DataFrame)
+      : DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    docsDf.select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("nt"),
+      size(filter(split(lower(col("text")), " "),
+        t => t.isInCollection(stops))).cast("long").as("ns"),
+      length(col("text")).cast("long").as("nc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+        .as("nd"),
+      (length(col("text")) -
+        length(translate(col("text"), " ", ""))).cast("long").as("nsp"))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (expr("(ns * 1000000) div nt") / 1e6).as("x1"),
+        (expr("(nd * 1000000) div greatest(nc, 1)") / 1e6).as("x2"),
+        (expr("(least(nt, 256) * 1000000) div 256") / 1e6).as("x3"),
+        (expr("((nc - nsp) * 1000000) div (nt * 8)") / 1e6).as("x4"))
+  }
+
   /** q_text_chunk_dedup — CONTENT-DEFINED CHUNKING + chunk-level dedup
     * ledger per source: documents split at rolling-hash-gated
     * boundaries (`cdc_split(text, 8, 64)` — the native codegen

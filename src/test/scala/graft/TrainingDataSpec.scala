@@ -93,6 +93,77 @@ class TrainingDataSpec extends GraftSuite {
       (1, 1L, 5L, 5L), (3, 2L, 8L, 24L), (4, 1L, 3L, 12L)))
   }
 
+  test("classifier training: distributed decimal-gradient loop matches " +
+      "a pure-driver replica and is repartition-invariant") {
+    val corpus = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val m = TextOps.classifierTrainOn(df, 16, 1.0).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ops.ScratchCache.releaseAll()
+      m
+    }
+    val out = run(corpus)
+    // exact-decimal gradient sums: a different partitioning must give
+    // the BIT-SAME weights, not merely close ones
+    assert(out == run(corpus.repartition(7)))
+    // pure-driver replica of the identical loop (same per-row double
+    // contributions, same HALF_UP cast to scale 14, same update order)
+    val feats = TextOps.classifierTrainFeatures(corpus).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val w = Array.fill(5)(0.0)
+    val n = feats.length.toDouble
+    def p(f: (Double, Double, Double, Double, Double)): Double =
+      1.0 / (1.0 + math.exp(-(w(0) + w(1) * f._2 + w(2) * f._3 +
+        w(3) * f._4 + w(4) * f._5)))
+    for (_ <- 1 to 16) {
+      val sums = Array.fill(5)(BigDecimal(0))
+      feats.foreach { f =>
+        val g = p(f) - f._1
+        val xs = Array(1.0, f._2, f._3, f._4, f._5)
+        var j = 0
+        while (j < 5) {
+          sums(j) += BigDecimal(g * xs(j))
+            .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+          j += 1
+        }
+      }
+      var j = 0
+      while (j < 5) { w(j) -= 1.0 * sums(j).toDouble / n; j += 1 }
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("w_bias") == r6(w(0)) && out("w_stop") == r6(w(1)) &&
+      out("w_digit") == r6(w(2)) && out("w_len") == r6(w(3)) &&
+      out("w_wlen") == r6(w(4)), s"$out vs ${w.toSeq}")
+    // the synthetic corpus draws text from one shared vocab regardless
+    // of lang, so the features are (correctly) uninformative here and
+    // the honest fit converges to the majority class — training must
+    // never do WORSE than that floor (the separable-fixture test below
+    // covers the signal-present case, where accuracy reaches 1)
+    val base = feats.count(_._1 == 1.0) / n
+    assert(out("accuracy") >= math.max(base, 1 - base), out.toString)
+    assert(out("n_docs") == n && out("n_positive") == feats.count(_._1 == 1.0))
+  }
+
+  test("classifier training: a separable planted corpus converges to " +
+      "accuracy 1 with a positive stopword weight") {
+    // en docs are pure stopword text (x1 = 1), others have none
+    // (x1 = 0) — one feature separates perfectly, so the logistic fit
+    // must classify every doc and push w_stop positive
+    val corpus = docs(
+      (1 to 10).map(i =>
+        (i.toLong, "the of and is to in the a", "en", "s1")) ++
+      (11 to 20).map(i =>
+        (i.toLong, "bonjour monde sans pareil jamais", "fr", "s1")): _*)
+    val out = TextOps.classifierTrainOn(corpus, 16, 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ops.ScratchCache.releaseAll()
+    assert(out("accuracy") == 1.0, out.toString)
+    assert(out("w_stop") > 0.0, out.toString)
+    assert(out("n_positive") == 10.0 && out("n_docs") == 20.0)
+  }
+
   test("classifier scores are integer-exact and threshold deterministically") {
     val corpus = docs(
       // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
