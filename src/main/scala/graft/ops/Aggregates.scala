@@ -518,4 +518,48 @@ object Aggregates {
         col("merged.card").as("n_uniques"))
       .orderBy(col("event_type"))
   }
+
+  /** q_agg_bitmap_retention — exact DAY-OVER-DAY RETENTION read
+    * entirely from the stored bitmap STATE table (r12): the daily
+    * per-type roaring states q_agg_bitmap builds, self-joined on
+    * consecutive days, intersected with the native `roaring_and_card`
+    * expression — n_retained = |users(day) ∩ users(day−1)|, exact.
+    *
+    * This is the AND half of the state algebra (OR answers "uniques
+    * over any range"; AND answers "uniques in BOTH periods") and the
+    * reason a warehouse stores bitmap states at all: retention,
+    * churn, and audience-overlap questions over ANY period pair
+    * become state-table lookups — no raw-event rescan, no
+    * COUNT(DISTINCT CASE...) double scan. At 100 TB the state table
+    * is |days|×|types| rows of O(distinct-ids) compressed bytes; the
+    * consecutive-day self-join and the intersect run at that
+    * granularity, never over events.
+    *
+    * Wire: (event_type, day, n_active, n_retained) for every day with
+    * a preceding active day — exact integers, fully oracle-checked
+    * (DuckDB replays the intersection as a distinct-pair join). */
+  def aggBitmapRetention(s: SparkSession, d: String): DataFrame =
+    aggBitmapRetentionOn(Tables.events(s, d))
+
+  /** Core of q_agg_bitmap_retention over any events-shaped frame. */
+  def aggBitmapRetentionOn(ev: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(ev.sparkSession)
+    val build = udaf(new RoaringBuildAggregator())
+    // the state table feeds both sides of the consecutive-day join
+    val daily = ScratchCache.cache(ev
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(build(col("user_id")).as("st")))
+    val prev = daily.select(col("event_type").as("et_p"),
+      col("day").as("day_p"), col("st.bm").as("bm_p"))
+    val curr = daily.select(col("event_type"), col("day"),
+      col("st.bm").as("bm"), col("st.card").as("n_active"))
+    curr.join(prev,
+        col("event_type") === col("et_p") &&
+        col("day") === col("day_p") + expr("INTERVAL 1 DAY"))
+      .select(col("event_type"), col("day"), col("n_active"),
+        expr("roaring_and_card(bm_p, bm)").as("n_retained"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -274,6 +274,51 @@ object Roaring64 {
     r
   }
 
+  /** |A ∩ B| of two serialized bitmaps — the second set-algebra
+    * primitive stored states support (OR answers "uniques over a
+    * range"; AND answers "uniques present in BOTH periods" — exact
+    * retention from daily states without rescanning raw events).
+    * Containers walk pairwise by unsigned key; only key-matched
+    * containers intersect. */
+  def andCardinalityOf(ab: Array[Byte], bb: Array[Byte]): Long = {
+    val x = deserialize(ab); val y = deserialize(bb)
+    var i = 0; var j = 0; var total = 0L
+    while (i < x.n && j < y.n) {
+      val c = java.lang.Long.compareUnsigned(x.keys(i), y.keys(j))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else { total += andContCard(x.conts(i), y.conts(j)); i += 1; j += 1 }
+    }
+    total
+  }
+
+  private def andContCard(a: AnyRef, b: AnyRef): Long = (a, b) match {
+    case (w1: Array[Long], w2: Array[Long]) =>
+      var k = 0; var t = 0L
+      while (k < 1024) { t += java.lang.Long.bitCount(w1(k) & w2(k)); k += 1 }
+      t
+    case (ac: ArrCont, w: Array[Long]) => arrInWords(ac, w)
+    case (w: Array[Long], ac: ArrCont) => arrInWords(ac, w)
+    case (a1: ArrCont, a2: ArrCont) =>
+      var i = 0; var j = 0; var t = 0L
+      while (i < a1.card && j < a2.card) {
+        if (a1.vs(i) < a2.vs(j)) i += 1
+        else if (a2.vs(j) < a1.vs(i)) j += 1
+        else { t += 1; i += 1; j += 1 }
+      }
+      t
+  }
+
+  private def arrInWords(ac: ArrCont, w: Array[Long]): Long = {
+    var k = 0; var t = 0L
+    while (k < ac.card) {
+      val v = ac.vs(k)
+      if ((w(v >> 6) & (1L << (v & 63))) != 0) t += 1
+      k += 1
+    }
+    t
+  }
+
   /** Cardinality straight off the wire format — no materialization. */
   def cardinalityOf(bytes: Array[Byte]): Long = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -2024,6 +2024,29 @@ object OracleSql {
         |FROM t JOIN m ON t.event_type = m.event_type
         |ORDER BY t.event_type""".stripMargin,
 
+    // retention replayed as a distinct-pair join: the Spark side's
+    // roaring AND over stored states must equal the exact
+    // day/day-1 user intersection
+    "q_agg_bitmap_retention" ->
+      """WITH d AS (SELECT event_type,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        |  FROM events),
+        |du AS (SELECT DISTINCT event_type, day, user_id FROM d),
+        |act AS (SELECT event_type, day, COUNT(*) AS n_active FROM du
+        |  GROUP BY 1, 2),
+        |ret AS (SELECT b.event_type, b.day, COUNT(*) AS n_retained
+        |  FROM du a JOIN du b ON a.event_type = b.event_type
+        |   AND a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+        |  GROUP BY 1, 2)
+        |SELECT c.event_type, c.day,
+        |CAST(c.n_active AS BIGINT) AS n_active,
+        |CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
+        |FROM act c
+        |JOIN act p ON c.event_type = p.event_type
+        |  AND c.day = p.day + INTERVAL 1 DAY
+        |LEFT JOIN ret r ON r.event_type = c.event_type AND r.day = c.day
+        |ORDER BY 1, 2""".stripMargin,
+
     // the oracle recomputes the rolling hash WINDOWED (explicit 31^k
     // literals, newest char at 31^0 — same polynomial the O(n) rolling
     // evaluator maintains) — any drift in the boundary rule or chunk

@@ -84,6 +84,11 @@ object GraftExtensions {
       arity("cdc_split", 3)(c =>
         graft.functions.CdcSplit(c(0), c(1), c(2))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "roaring_and_card",
+      arity("roaring_and_card", 2)(c =>
+        graft.functions.RoaringAndCard(c(0), c(1))),
+      "built-in")
     // Spark's own Bloom-filter sketch pair (the machinery behind
     // runtime row-group filters), surfaced as SQL functions for the
     // q_filter_bloom prefilter: bloom_agg(xxhash64(x), estItems,

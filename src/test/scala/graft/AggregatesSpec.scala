@@ -351,6 +351,38 @@ class AggregatesSpec extends GraftSuite {
     assert(r.getAs[Long]("n_uniques") == ids.size.toLong) // overlap not double-counted
   }
 
+  test("bitmap retention: the AND of stored daily states counts exactly " +
+      "the planted overlap, across container types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // day1 actives {1, 2, 1L<<40, -5}; day2 actives {2, 1L<<40, 7}:
+    // retained = {2, 1<<40} = 2 — ids span multiple 2^16 containers
+    // and the unsigned (negative) range; day3 {9} retains 0
+    val rows =
+      Seq(1L, 2L, 1L << 40, -5L).map(u => ("click", "2024-01-01 10:00:00", u)) ++
+      Seq(2L, 1L << 40, 7L).map(u => ("click", "2024-01-02 10:00:00", u)) ++
+      Seq(9L).map(u => ("click", "2024-01-03 10:00:00", u)) ++
+      Seq(5L).map(u => ("view", "2024-01-05 10:00:00", u)) // no prev day
+    val log = rows.toDF("event_type", "t", "user_id")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Aggregates.aggBitmapRetentionOn(log).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_retained")))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq(
+      ("click", "2024-01-02", 3L, 2L),
+      ("click", "2024-01-03", 1L, 0L)))
+    // unit level: intersect across array/bitmap container types — one
+    // side dense enough to promote, the other sparse
+    val dense = new Roaring64
+    (0 until 5000).foreach(i => dense.add(i.toLong)) // bitmap container
+    val sparse = new Roaring64
+    Seq(3L, 4997L, 70000L, Long.MinValue).foreach(sparse.add)
+    dense.add(Long.MinValue)
+    assert(Roaring64.andCardinalityOf(dense.serialize, sparse.serialize)
+      == 3L) // 3, 4997, MinValue; 70000 only in sparse
+  }
+
   test("Roaring64: array container promotes to bitmap at 4096, " +
       "serialization is canonical, OR equals set union") {
     val rnd = new scala.util.Random(42)
