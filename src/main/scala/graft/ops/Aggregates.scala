@@ -519,6 +519,59 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** q_agg_kmv — KMV (k-minimum-values, bottom-k) distinct sketch per
+    * event type PLUS the union sketch merged across all types (r12):
+    * each audience reduces to its k=256 smallest distinct md5-derived
+    * 60-bit hashes ([[KmvAggregator]]); cardinality estimate =
+    * (k−1)/u_(k) (u_(k) = k-th smallest hash normalized to [0,1]); a
+    * saturating set (n < k) reports exactly.
+    *
+    * The sketch-family slot this fills: HLL states
+    * (q_agg_approx/q_agg_hll_rollup) estimate cardinality but can't
+    * intersect; bitmaps (q_agg_bitmap) are exact set algebra at
+    * O(distinct) bytes. KMV is O(k) bytes with LOSSLESS union merge —
+    * k-min(A∪B) = k-min(k-min(A) ∪ k-min(B)) exactly, which is what
+    * the ALL_UNION row demonstrates: the merged sketch over all types
+    * equals the sketch of the union, per construction.
+    *
+    * Uniquely among the sketch keys this one is FULLY ORACLE-CHECKED,
+    * estimate included: the k smallest elements of a set don't depend
+    * on partitioning or merge order, and the hash is md5-derived, so
+    * DuckDB replays hash → k-min → estimator bit-for-bit (the other
+    * sketches are declared oracle-N precisely because their hash or
+    * float accumulation isn't engine-replayable).
+    *
+    * Scale shape: the distinct-hash projection is one hash agg; the
+    * sketch is a bounded-state typed UDAF (map-side partials carry ≤ k
+    * longs, merge is union+trim) — no per-group sort, no window; the
+    * DuckDB twin affords the full ROW_NUMBER sort the sketch avoids. */
+  def aggKmv(s: SparkSession, d: String): DataFrame =
+    aggKmvOn(Tables.events(s, d), k = 256)
+
+  /** Core of q_agg_kmv over any events-shaped frame. */
+  def aggKmvOn(ev: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new KmvAggregator(k))
+    val hashed = ScratchCache.cache(ev
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .distinct())
+    val per = hashed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"), kmv(col("h")).as("mins"))
+    val all = hashed.select(col("h")).distinct()
+      .select(lit("ALL_UNION").as("event_type"), col("h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"), kmv(col("h")).as("mins"))
+    per.unionByName(all)
+      .select(col("event_type").as("scope"), col("n_exact"),
+        size(col("mins")).cast("long").as("kmv_k"),
+        round(when(size(col("mins")) < k,
+            size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0)) /
+            element_at(col("mins"), k).cast("double")), 4).as("kmv_est"))
+      .orderBy(col("scope"))
+  }
+
   /** q_agg_bitmap_retention — exact DAY-OVER-DAY RETENTION read
     * entirely from the stored bitmap STATE table (r12): the daily
     * per-type roaring states q_agg_bitmap builds, self-joined on

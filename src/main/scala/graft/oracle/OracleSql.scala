@@ -2024,6 +2024,29 @@ object OracleSql {
         |FROM t JOIN m ON t.event_type = m.event_type
         |ORDER BY t.event_type""".stripMargin,
 
+    // KMV sketch fully replayed: md5-derived 60-bit hash -> k smallest
+    // per scope (window sort — DuckDB can afford what the bounded-state
+    // aggregator avoids) -> (k-1)/u_k estimator in identical IEEE
+    // double arithmetic. The union scope dedups hashes across types.
+    "q_agg_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS h FROM events),
+        |u AS (SELECT event_type, h FROM h
+        |  UNION ALL
+        |  SELECT 'ALL_UNION' AS event_type, h
+        |  FROM (SELECT DISTINCT h FROM h)),
+        |r AS (SELECT event_type, h,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM u)
+        |SELECT event_type AS scope, CAST(MAX(n) AS BIGINT) AS n_exact,
+        |CAST(LEAST(MAX(n), 256) AS BIGINT) AS kmv_k,
+        |ROUND(CASE WHEN MAX(n) < 256 THEN CAST(MAX(n) AS DOUBLE)
+        |  ELSE 255.0 * 1152921504606846976.0 /
+        |    CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) END, 4)
+        |  AS kmv_est
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // retention replayed as a distinct-pair join: the Spark side's
     // roaring AND over stored states must equal the exact
     // day/day-1 user intersection

@@ -351,6 +351,42 @@ class AggregatesSpec extends GraftSuite {
     assert(r.getAs[Long]("n_uniques") == ids.size.toLong) // overlap not double-counted
   }
 
+  test("kmv sketch: estimates track exact counts, union-merge is " +
+      "lossless, and saturating scopes report exactly") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    val out = Aggregates.aggKmvOn(ev, 256).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_exact"),
+        r.getAs[Long]("kmv_k"), r.getAs[Double]("kmv_est")))).toMap
+    ScratchCache.releaseAll()
+    out.foreach { case (scope, (exact, kk, est)) =>
+      if (kk < 256) assert(est == exact.toDouble, s"$scope saturation")
+      else {
+        // RSE of the (k-1)/u_k estimator ~ 1/sqrt(k-2) ~ 6.3% at k=256;
+        // 4 sigma is a deterministic-corpus-safe band
+        assert(math.abs(est - exact) / exact < 0.25,
+          s"$scope est=$est exact=$exact")
+      }
+    }
+    // the lossless-union property, directly: merging the per-type
+    // k-min arrays driver-side must equal the ALL_UNION sketch's k-min
+    val kmvAgg = org.apache.spark.sql.functions.udaf(new KmvAggregator(256))
+    val hashed = ev.select(col("event_type"),
+      org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h")).distinct()
+    val perType = hashed.groupBy(col("event_type"))
+      .agg(kmvAgg(col("h")).as("mins")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("mins"))
+    val allUnion = hashed.select(col("h")).distinct()
+      .agg(kmvAgg(col("h")).as("mins")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("mins")
+    val merged = perType.flatten.distinct.sorted.take(256).toSeq
+    assert(merged == allUnion.toSeq)
+  }
+
   test("bitmap retention: the AND of stored daily states counts exactly " +
       "the planted overlap, across container types") {
     import spark.implicits._
