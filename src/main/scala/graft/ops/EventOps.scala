@@ -161,6 +161,64 @@ object EventOps {
       .orderBy(col("size_bucket"))
   }
 
+  /** q_events_sequence — SEQUENCE-PATTERN matching with an EXCLUSION
+    * condition (r12), the MATCH_RECOGNIZE-shaped op plain funnels
+    * can't express: a purchase MATCHES iff the same user had a `view`
+    * within the preceding hour AND no `error` event intervened between
+    * that view and the purchase. Funnels (q_events_funnel) check
+    * ordered reachability; the exclusion ("no C between A and B") is
+    * the extra power — the abandoned-cart / poisoned-session analysis
+    * shape. Wire: per user-decile (n_purchases, n_matched, n_blocked
+    * — a qualifying view existed but an error intervened, n_no_view).
+    *
+    * HOW: one user-keyed window ordered by (us, event_id) — the
+    * deterministic total order both engines replay — carrying three
+    * running facts per row via frame-bounded aggregates: the last
+    * preceding view's µs, the last preceding view's POSITION and the
+    * last preceding error's POSITION (positions = row_number in the
+    * same order, so "error between view and purchase" is a pure
+    * integer comparison, immune to timestamp ties). Purchases then
+    * classify row-locally.
+    *
+    * Scale shape: ONE exchange by user feeds row_number + the three
+    * frame aggregates (same window spec ⇒ Catalyst stacks them on one
+    * sort), then a ≤10-row hash rollup. Nothing else is data-sized —
+    * the same single-shuffle contract as sessionize. */
+  def sequenceMatch(s: SparkSession, d: String): DataFrame =
+    sequenceMatchOn(Tables.events(s, d))
+
+  /** Core of q_events_sequence over any events-shaped frame. */
+  def sequenceMatchOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windowUs = 3600000000L // 1 h
+    val e = eventsDf.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lv_us",
+        max(when(col("event_type") === "view", col("us"))).over(prior))
+      .withColumn("lv_rn",
+        max(when(col("event_type") === "view", col("rn"))).over(prior))
+      .withColumn("le_rn",
+        max(when(col("event_type") === "error", col("rn"))).over(prior))
+    flagged.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 10).as("decile"),
+        when(col("lv_us").isNull || col("lv_us") < col("us") - windowUs,
+          "no_view")
+          .when(col("le_rn").isNotNull && col("le_rn") > col("lv_rn"),
+            "blocked")
+          .otherwise("matched").as("cls"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("cls") === "matched").cast("long")).as("n_matched"),
+        sum((col("cls") === "blocked").cast("long")).as("n_blocked"),
+        sum((col("cls") === "no_view").cast("long")).as("n_no_view"))
+      .orderBy(col("decile"))
+  }
+
   /** q_events_attribution — last-touch conversion attribution: each
     * purchase is credited to the user's most recent PRECEDING
     * non-purchase event type (the "which touchpoint closed the sale"

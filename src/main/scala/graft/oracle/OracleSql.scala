@@ -1745,6 +1745,40 @@ object OracleSql {
     // last-touch carry-forward via IGNORE NULLS last_value; frame
     // excludes the current row so a purchase never self-attributes;
     // '(none)' avg is an explicit NULL in both engines
+    // sequence-with-exclusion replayed with the identical
+    // (us, event_id)-ordered window: positions make "error between
+    // view and purchase" an integer comparison on both engines
+    "q_events_sequence" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (SELECT user_id, event_id, event_type, us,
+        |  ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+        |f AS (SELECT user_id, event_type, us,
+        |  MAX(CASE WHEN event_type = 'view' THEN us END) OVER w1
+        |    AS lv_us,
+        |  MAX(CASE WHEN event_type = 'view' THEN rn END) OVER w1
+        |    AS lv_rn,
+        |  MAX(CASE WHEN event_type = 'error' THEN rn END) OVER w1
+        |    AS le_rn
+        |  FROM r
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT user_id % 10 AS decile,
+        |  CASE WHEN lv_us IS NULL OR lv_us < us - 3600000000
+        |    THEN 'no_view'
+        |  WHEN le_rn IS NOT NULL AND le_rn > lv_rn THEN 'blocked'
+        |  ELSE 'matched' END AS cls
+        |  FROM f WHERE event_type = 'purchase')
+        |SELECT decile, COUNT(*) AS n_purchases,
+        |CAST(SUM(CASE WHEN cls = 'matched' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_matched,
+        |CAST(SUM(CASE WHEN cls = 'blocked' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_blocked,
+        |CAST(SUM(CASE WHEN cls = 'no_view' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_no_view
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_events_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -16,6 +16,42 @@ class EventOpsSpec extends GraftSuite {
       .withColumn("ts", to_timestamp(col("t")))
       .drop("t")
 
+  test("sequence match: exclusion window classifies matched / blocked " +
+      "/ no_view, with ties broken by event_id") {
+    val log = Seq(
+      // user 1: view -> purchase within 1h, nothing between -> matched
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-01 10:30:00"),
+      // user 2: view -> ERROR -> purchase -> blocked
+      (3L, 2L, "view", "2024-01-01 10:00:00"),
+      (4L, 2L, "error", "2024-01-01 10:10:00"),
+      (5L, 2L, "purchase", "2024-01-01 10:20:00"),
+      // user 3: error BEFORE the view -> view is clean -> matched
+      (6L, 3L, "error", "2024-01-01 09:00:00"),
+      (7L, 3L, "view", "2024-01-01 09:30:00"),
+      (8L, 3L, "purchase", "2024-01-01 09:45:00"),
+      // user 4: view expired (>1h before purchase) -> no_view
+      (9L, 4L, "view", "2024-01-01 08:00:00"),
+      (10L, 4L, "purchase", "2024-01-01 09:30:00"),
+      // user 5: purchase with no view at all -> no_view
+      (11L, 5L, "purchase", "2024-01-01 07:00:00"),
+      // user 6: error at the SAME ts as the view but a LATER event_id
+      // -> the (us, event_id) order puts it after the view -> blocked
+      (12L, 6L, "view", "2024-01-01 06:00:00"),
+      (13L, 6L, "error", "2024-01-01 06:00:00"),
+      (14L, 6L, "purchase", "2024-01-01 06:30:00"))
+      .toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = EventOps.sequenceMatchOn(log).collect()
+      .map(r => r.getAs[Long]("decile") -> ((r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("n_matched"), r.getAs[Long]("n_blocked"),
+        r.getAs[Long]("n_no_view")))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 0L, 0L)), 2L -> ((1L, 0L, 1L, 0L)),
+      3L -> ((1L, 1L, 0L, 0L)), 4L -> ((1L, 0L, 0L, 1L)),
+      5L -> ((1L, 0L, 0L, 1L)), 6L -> ((1L, 0L, 1L, 0L))), out.toString)
+  }
+
   test("funnel counts strictly-ordered first-touch stage arrivals") {
     val log = events(
       // user 1: fully ordered -> all three stages
