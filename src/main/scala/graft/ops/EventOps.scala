@@ -613,4 +613,50 @@ object EventOps {
         max(col("gap")).as("max_gap_us"))
       .orderBy(col("user_id"))
   }
+
+  /** q_events_gaps — GAPS-AND-ISLANDS: per user, collapse the distinct
+    * activity days into maximal runs of CONSECUTIVE days (streaks) and
+    * report the streak profile — active days, streak count, longest
+    * streak and the (earliest) day it started. The engagement-streak /
+    * uptime-island analysis every product-metrics pipeline runs, and
+    * the canonical use of the day − row_number() grouping trick: inside
+    * one consecutive run the difference is constant, so islands fall
+    * out of a plain hash aggregate instead of an iterative chase.
+    *
+    * Plan shape (Explain-audited): distinct (user, day) is one
+    * partial+final hash agg on its own (user,day) exchange; then ONE
+    * user_id exchange carries EVERYTHING else — the row_number window,
+    * the streak agg (user_id ⊂ (user_id, grp) ⇒ clustering satisfied,
+    * no re-exchange), the per-user MAX window and the final rollup all
+    * ride that single partitioning. Day-level rows are ≤366/user/year,
+    * so both wires are tiny relative to the event scan.
+    * "Earliest start of a longest streak" is resolved with a per-user
+    * MAX window + conditional MIN, not argmax-struct ordering, because
+    * the two engines must agree on ties bit-for-bit. */
+  def gapsIslands(s: SparkSession, d: String): DataFrame =
+    gapsIslandsOn(Tables.events(s, d))
+
+  /** Core of q_events_gaps over any events-shaped frame. */
+  def gapsIslandsOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = eventsDf
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    val tagged = streaks.withColumn("ml",
+      max(col("len")).over(Window.partitionBy(col("user_id"))))
+    tagged.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(when(col("len") === col("ml"), col("start")))
+          .as("longest_start"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1779,6 +1779,27 @@ object OracleSql {
         |  AS n_no_view
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // gaps-and-islands: the day - row_number() constant-difference
+    // grouping replays identically; HUGEINT sums cast back to BIGINT;
+    // tie on longest streak resolved by per-user MAX + conditional MIN
+    "q_events_gaps" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT)
+        |    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS grp FROM d),
+        |s AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start
+        |  FROM r GROUP BY 1, 2),
+        |t AS (SELECT user_id, len, start,
+        |  MAX(len) OVER (PARTITION BY user_id) AS ml FROM s)
+        |SELECT user_id,
+        |CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |COUNT(*) AS n_streaks,
+        |MAX(len) AS longest_streak,
+        |MIN(CASE WHEN len = ml THEN start END) AS longest_start
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_events_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

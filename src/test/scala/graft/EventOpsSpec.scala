@@ -52,6 +52,36 @@ class EventOpsSpec extends GraftSuite {
       5L -> ((1L, 0L, 0L, 1L)), 6L -> ((1L, 0L, 1L, 0L))), out.toString)
   }
 
+  test("gaps-islands: streak profile with earliest-longest tiebreak " +
+      "and multi-event days collapsed") {
+    val log = events(
+      // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2; two events on
+      // day 2 must not split or lengthen the streak
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 09:00:00"),
+      (1L, "click", "2024-01-02 18:00:00"),
+      (1L, "view", "2024-01-03 10:00:00"),
+      (1L, "view", "2024-01-05 10:00:00"),
+      (1L, "view", "2024-01-06 10:00:00"),
+      // user 2: two equal-length streaks (2,2) -> longest_start is the
+      // EARLIEST of the longest
+      (2L, "view", "2024-02-01 10:00:00"),
+      (2L, "view", "2024-02-02 10:00:00"),
+      (2L, "view", "2024-02-10 10:00:00"),
+      (2L, "view", "2024-02-11 10:00:00"),
+      // user 3: single day
+      (3L, "view", "2024-03-15 10:00:00"))
+    val out = EventOps.gapsIslandsOn(log).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"),
+          r.getAs[java.sql.Date]("longest_start").toString))).toMap
+    assert(out == Map(
+      1L -> ((5L, 2L, 3L, "2024-01-01")),
+      2L -> ((4L, 2L, 2L, "2024-02-01")),
+      3L -> ((1L, 1L, 1L, "2024-03-15"))), out.toString)
+  }
+
   test("funnel counts strictly-ordered first-touch stage arrivals") {
     val log = events(
       // user 1: fully ordered -> all three stages
