@@ -857,6 +857,58 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q_dedup_span — duplicated-SPAN profiling, the exact-substring
+    * dedup shape from "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2021): slide a W=8-token window over
+    * every document and mark each span occurrence DUPLICATED iff the
+    * same span text appears in ≥2 DISTINCT documents; report per doc
+    * the span count, duplicated-span count and duplication ratio —
+    * the "how much of this page is copied text" signal that drives
+    * span-masking/removal decisions upstream of training. Distinct
+    * from q_dedup_lines (whole-line hashes), q_dedup_ngram (doc-pair
+    * Jaccard) and q_text_chunk_dedup (CDC chunks): this is the
+    * token-window occurrence ledger itself.
+    *
+    * Scale shape: spans are keyed by md5 BEFORE the shuffle, so the
+    * wire carries (doc_id, 32-byte key) — never span text. Three
+    * key-bounded steps: partial+final hash agg to (doc_id, h)
+    * occurrence counts; a COUNT window over h for the
+    * distinct-document fan-out (one row per (doc,h) ⇒ plain COUNT
+    * counts docs — no count-distinct state); per-doc rollup. At
+    * 100 TB the md5 swaps for xxhash64 (8-byte keys, same plan) —
+    * md5 here because the oracle replays it bit-for-bit; a
+    * boilerplate span hot enough to skew its hash partition moves to
+    * the q_join_skew salting pattern. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    dedupSpansOn(Tables.documents(s, d))
+
+  /** Core of q_dedup_span over any documents-shaped frame. */
+  def dedupSpansOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        // sequence(1, n) with n < 1 would RUN BACKWARDS ([1,0]) —
+        // guard short docs to an empty array (explode drops them)
+        """CASE WHEN size(w) >= 8
+          |  THEN transform(sequence(1, size(w) - 7),
+          |         i -> md5(array_join(slice(w, i, 8), ' ')))
+          |  ELSE array() END""".stripMargin)).as("h"))
+    val perDocSpan = spans
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val tagged = perDocSpan.withColumn("ndocs",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    tagged.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("n")).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double")
+          / col("n_spans").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_filter_bloom — benchmark decontamination FILTER with a
     * Bloom-filter prefilter: drop every training document sharing ≥ 2
     * distinct word-5-grams with the benchmark set (doc_id % 100 == 0),

@@ -2354,6 +2354,28 @@ object OracleSql {
     // planted raw URLs (doc_id-dependent case/port/utm/fragment mess)
     // canonicalized by the same RE2-safe regexp chain as the Spark
     // side; 'g' only where more than one match is possible
+    // span ledger: DuckDB range(a,b) is b-EXCLUSIVE -> range(1, len-6)
+    // yields starts 1..len-7; w[i:i+7] is 1-based INCLUSIVE = 8 tokens;
+    // md5 replays Spark's lowercase hex bit-for-bit
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM w, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, h, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+        |t AS (SELECT doc_id, n,
+        |  COUNT(*) OVER (PARTITION BY h) AS ndocs FROM g)
+        |SELECT doc_id,
+        |CAST(SUM(n) AS BIGINT) AS n_spans,
+        |CAST(SUM(CASE WHEN ndocs >= 2 THEN n ELSE 0 END) AS BIGINT)
+        |  AS n_dup_spans,
+        |ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN n ELSE 0 END)
+        |    AS DOUBLE)
+        |  / CAST(SUM(n) AS DOUBLE), 6) AS dup_ratio
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dedup_url" ->
       """WITH u AS (SELECT doc_id, source,
         |  'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END

@@ -364,6 +364,29 @@ class TrainingDataSpec extends GraftSuite {
     assert(out("s2") == ((4L, 3L, 1L, footerLen)))
   }
 
+  test("span dedup: cross-doc 8-token spans flagged, within-doc " +
+      "repeats and short docs excluded") {
+    val corpus = docs(
+      // 9 tokens -> 2 spans; the first span [w1..w8] recurs in doc 2
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s1"),
+      // same first span modulo CASE (lower() applies); second differs
+      (2L, "W1 w2 w3 w4 w5 w6 w7 w8 x9", "en", "s1"),
+      // unique single span
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8", "en", "s1"),
+      // < 8 tokens -> contributes no spans, absent from output
+      (4L, "only three words", "en", "s1"),
+      // WITHIN-doc repetition: [r1..r8] occurs twice in doc 5 alone —
+      // cross-doc definition keeps it NOT duplicated
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8", "en", "s1"))
+    val out = TextOps.dedupSpansOn(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0)), 5L -> ((9L, 0L, 0.0))), out.toString)
+  }
+
   test("url dedup collapses case/port/utm/slash/fragment variants") {
     // doc_ids chosen so every planted URL points at the SAME resource
     // (id % 7, % 50, % 5 all equal) while the raw strings differ:
