@@ -572,6 +572,50 @@ object Aggregates {
       .orderBy(col("scope"))
   }
 
+  /** q_agg_freq — EXACT corpus heavy hitters via the two-pass
+    * Misra–Gries plan (r12): pass 1 reduces the token stream to a
+    * ≤ k=200-counter MG sketch ([[FreqAggregator]] — bounded state,
+    * mergeable, NO data-sized shuffle: map-side partials carry ≤ k
+    * entries each and merge at the driver-bound final agg); the
+    * sketch's guarantee (every token with freq > n/(k+1) survives)
+    * makes its candidate array a SUPERSET of the true heavy hitters,
+    * so pass 2 — a broadcast semi-filter of the token stream down to
+    * candidates + exact hash-agg recount + the exact threshold
+    * n_tok·(k+1) > n_total (integer arithmetic, no division) —
+    * returns EXACTLY the tokens above 1/(k+1) corpus share, with
+    * exact counts, invariant to partitioning/merge order. The classic
+    * "find the stopwords/boilerplate tokens without shuffling the
+    * vocabulary" plan: at 100 TB pass 2's exchange carries ≤ k
+    * distinct tokens' partial counts instead of the full vocabulary.
+    *
+    * Oracle-checked DESPITE the sketch core — the sketch only
+    * prunes; every surviving row is exactly recounted (the DuckDB
+    * twin affords the full-vocabulary GROUP BY the sketch avoids). */
+  def aggFreq(s: SparkSession, d: String): DataFrame =
+    aggFreqOn(Tables.documents(s, d), k = 200)
+
+  /** Core of q_agg_freq over any documents-shaped frame. */
+  def aggFreqOn(docs: DataFrame, k: Int): DataFrame = {
+    val mg = udaf(new FreqAggregator(k))
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val toks = ScratchCache.cache(docs.select(
+      explode(split(lower(col("text")), " ")).as("token")))
+    val cand = toks.agg(mg(col("token")).as("cand"))
+      .select(explode(col("cand")).as("token"))
+    val total = toks.agg(count(lit(1)).as("total"))
+      .withColumn("jk", k0(col("total")))
+    toks.join(broadcast(cand), Seq("token"), "leftsemi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("jk", k0(col("token")))
+      .join(broadcast(total), Seq("jk"))
+      .filter(col("n") * (k + 1) > col("total"))
+      .select(col("token"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** q_agg_bitmap_retention — exact DAY-OVER-DAY RETENTION read
     * entirely from the stored bitmap STATE table (r12): the daily
     * per-type roaring states q_agg_bitmap builds, self-joined on

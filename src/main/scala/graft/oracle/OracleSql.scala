@@ -2079,6 +2079,20 @@ object OracleSql {
         |FROM t JOIN m ON t.event_type = m.event_type
         |ORDER BY t.event_type""".stripMargin,
 
+    // two-pass MG heavy hitters: the sketch only PRUNES (guaranteed
+    // superset) and pass 2 recounts exactly, so the twin is the plain
+    // full-vocabulary GROUP BY + the same integer threshold
+    "q_agg_freq" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' '))
+        |    AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS total FROM t)
+        |SELECT token, COUNT(*) AS n,
+        |ROUND(CAST(COUNT(*) AS DOUBLE)
+        |  / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share
+        |FROM t GROUP BY token
+        |HAVING COUNT(*) * 201 > (SELECT total FROM tot)
+        |ORDER BY n DESC, token""".stripMargin,
+
     // KMV sketch fully replayed: md5-derived 60-bit hash -> k smallest
     // per scope (window sort — DuckDB can afford what the bounded-state
     // aggregator avoids) -> (k-1)/u_k estimator in identical IEEE

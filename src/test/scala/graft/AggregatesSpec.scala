@@ -387,6 +387,43 @@ class AggregatesSpec extends GraftSuite {
     assert(merged == allUnion.toSeq)
   }
 
+  test("mg heavy hitters: two-pass output equals exact brute force, " +
+      "survives adversarial small-k and repartitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Zipf-ish planted corpus: "the" 300x, "of" 120x, "and" 80x, plus
+    // 200 distinct singletons spread over docs — with k=8 the sketch
+    // decrement and merge-trim paths both fire (200 >> k)
+    val words = Seq.fill(300)("the") ++ Seq.fill(120)("of") ++
+      Seq.fill(80)("and") ++ (0 until 200).map(i => s"rare$i")
+    // deterministic spread over 20 docs
+    val docs = words.zipWithIndex.groupBy(_._2 % 20).toSeq
+      .map { case (d, ws) => (d.toLong, ws.map(_._1).mkString(" "),
+        "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+    val n = words.size.toLong
+    def exact(k: Int): Seq[(String, Long)] =
+      words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .filter { case (_, c) => c * (k + 1) > n }
+        .sortBy { case (t, c) => (-c, t) }
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val r = Aggregates.aggFreqOn(df, k).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq
+      ScratchCache.releaseAll()
+      r
+    }
+    assert(run(docs, 8) == exact(8))     // {the, of, and} at k=8
+    assert(run(docs, 2) == exact(2))     // only "the" clears n/3
+    assert(run(docs.repartition(13), 8) == exact(8)) // partition-invariant
+    // MG guarantee directly on the aggregator: an adversarial stream
+    // (heavy item interleaved with distinct noise) must keep the heavy
+    // item in the candidate set at minimal k
+    val agg = new FreqAggregator(2)
+    val stream = (0 until 50).flatMap(i => Seq("heavy", s"noise$i"))
+    val b = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b).contains("heavy"))
+  }
+
   test("bitmap retention: the AND of stored daily states counts exactly " +
       "the planted overlap, across container types") {
     import spark.implicits._
