@@ -1103,4 +1103,113 @@ object DedupSim {
           .as("cov"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** q_emb_pca — TOP PRINCIPAL COMPONENT of the embedding table +
+    * per-label projection statistics (r12): the covariance comes from
+    * the same one-pass exact [[GramAggregator]] state q_emb_gram
+    * builds (vectors never shuffle — ONE ~17 KB integer state crosses
+    * the wire); the dominant eigenvector is extracted DRIVER-SIDE by
+    * 50 fixed power-iteration steps over that 64×64 matrix (the state
+    * is dimension-sized, not data-sized — the same driver-bounded
+    * contract as the BPE merge table), and a second distributed pass
+    * projects every embedding onto the component, reporting per label
+    * (n, mean, sd) of the centered projection plus the eigenvalue and
+    * its variance share. The "is one direction eating the variance /
+    * do labels separate on PC1" embedding-health probe that runs
+    * before any ANN/cluster pass at 100 TB.
+    *
+    * DETERMINISM: the gram state is exact integers (partition-order
+    * invariant), the power iteration is a fixed driver-side double
+    * loop from a fixed start (sign fixed by making the
+    * largest-|loading| coordinate positive, lowest index on ties),
+    * and the projection pass quantizes each row's projection to
+    * DECIMAL(24,6) so the per-label moments ride exact decimal sums —
+    * every number is repartition-invariant. Oracle-N: DuckDB cannot
+    * replay the 50-step float recurrence bit-for-bit; the spec
+    * asserts the Rayleigh residual, a planted-direction recovery, and
+    * repartition invariance instead. */
+  def embPca(s: SparkSession, d: String): DataFrame =
+    embPcaOn(s, Tables.embeddings(s, d))
+
+  /** Core of q_emb_pca over any frame with (label, embedding) columns. */
+  def embPcaOn(s: SparkSession, embDf: DataFrame): DataFrame = {
+    val dim = 64
+    val gram = udaf(new GramAggregator(dim))
+    val q = ScratchCache.cache(embDf
+      .select(col("label"), expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000) as bigint))").as("q")))
+    val st = q.agg(gram(col("q")).as("st"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("st")
+    val n = st(0).toDouble
+    require(n > 1, "q_emb_pca needs at least 2 vectors")
+    // covariance in ORIGINAL units: q is x·1000, so divide by 1000².
+    val mean = Array.tabulate(dim)(i => st(1 + i) / n / 1000.0)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val idx = 1 + dim + i * dim - i * (i - 1) / 2 + (j - i)
+        val c = (st(idx) - st(1 + i).toDouble * st(1 + j) / n) /
+          (n - 1) / 1e6
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    // fixed-start power iteration (deterministic driver loop)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var it = 0
+    while (it < 50) {
+      val nv = Array.tabulate(dim) { r =>
+        var acc = 0.0
+        var c = 0
+        while (c < dim) { acc += cov(r)(c) * v(c); c += 1 }
+        acc
+      }
+      val nrm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (nrm == 0.0) v else nv.map(_ / nrm)
+      it += 1
+    }
+    // sign convention: largest-|loading| coordinate positive (lowest
+    // index wins ties) — the eigenvector is only defined up to ±1
+    val pivot = v.zipWithIndex.maxBy { case (x, ix) => (math.abs(x), -ix) }
+    if (pivot._1 < 0) v = v.map(-_)
+    val lambda = {
+      var acc = 0.0
+      var r = 0
+      while (r < dim) {
+        var c = 0
+        while (c < dim) { acc += v(r) * cov(r)(c) * v(c); c += 1 }
+        r += 1
+      }
+      acc
+    }
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    // distributed pass 2: centered projection, decimal-exact moments
+    val wCol = array(v.map(lit(_)).toIndexedSeq: _*)
+    val mCol = array(mean.map(lit(_)).toIndexedSeq: _*)
+    val prj = aggregate(
+      zip_with(
+        zip_with(col("q"), mCol, (x: Column, mu: Column) =>
+          x.cast("double") / 1000.0 - mu),
+        wCol, (cx: Column, wi: Column) => cx * wi),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+    q.select(col("label"),
+        round(prj, 6).cast(DecimalType(24, 6)).as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p")).cast(DecimalType(38, 6)).as("sp"),
+        sum((col("p") * col("p")).cast(DecimalType(38, 12)))
+          .cast(DecimalType(38, 12)).as("spp"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sp").cast("double") / col("n_vecs"), 6)
+          .as("proj_mean"),
+        round(sqrt((col("spp").cast("double")
+          - col("sp").cast("double") * col("sp").cast("double")
+            / col("n_vecs")) / (col("n_vecs") - 1)), 6).as("proj_sd"),
+        round(lit(lambda), 6).as("pc1_lambda"),
+        round(lit(lambda / trace), 6).as("pc1_var_share"))
+      .orderBy(col("label"))
+  }
 }

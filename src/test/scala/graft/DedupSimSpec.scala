@@ -383,4 +383,36 @@ class DedupSimSpec extends GraftSuite {
       assert(cov == exp, s"cov ($i,$j)")
     }
   }
+
+  test("emb pca: planted dominant direction recovered, labels separate " +
+      "on PC1, output repartition-invariant") {
+    val dim = 64
+    // coordinate 0 carries ±2 by label; all other coordinates ±0.02
+    // deterministic jitter -> PC1 must be ~e0 with var_share ~1
+    val vecs = (0 until 20).map { v =>
+      val label = if (v % 2 == 0) "a" else "b"
+      val arr = Array.tabulate(dim) { i =>
+        if (i == 0) (if (v % 2 == 0) 2.0f else -2.0f)
+        else (((v * 31 + i * 7) % 13) - 6) / 300.0f
+      }
+      (label, arr)
+    }
+    val df = vecs.toDF("label", "embedding")
+    val out = DedupSim.embPcaOn(spark, df).collect()
+    ScratchCache.releaseAll()
+    val byLabel = out.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_vecs"), r.getAs[Double]("proj_mean"),
+        r.getAs[Double]("pc1_var_share")))).toMap
+    assert(byLabel("a")._1 == 10L && byLabel("b")._1 == 10L)
+    // centered projections: label a at ~ +2, b at ~ -2 (sign fixed by
+    // the largest-|loading| convention -> +e0)
+    assert(math.abs(byLabel("a")._2 - 2.0) < 0.05, byLabel.toString)
+    assert(math.abs(byLabel("b")._2 + 2.0) < 0.05, byLabel.toString)
+    assert(byLabel("a")._3 > 0.95) // PC1 eats ~all the variance
+    // exact determinism under physical repartitioning
+    val out2 = DedupSim.embPcaOn(spark, df.repartition(7)).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).sorted.toSeq ==
+      out2.map(_.toString).sorted.toSeq)
+  }
 }
