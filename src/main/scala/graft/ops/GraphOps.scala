@@ -1102,6 +1102,18 @@ object GraphOps {
 
   /** Core of q_graph_label_prop over any (o, p) membership frame. */
   def labelPropOn(membership: DataFrame): DataFrame = {
+    val (_, lab) = lpaLabels(membership)
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+  }
+
+  /** Shared LPA core (q_graph_label_prop, q_graph_modularity): the
+    * 4-round synchronous propagation over the symmetric co-purchase
+    * edge list. Returns (sym, labels) — sym is the checkpointed
+    * DIRECTED doubling of the undirected edge set (each edge twice),
+    * labels the final (node, lab) frame. */
+  private def lpaLabels(membership: DataFrame): (DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
     def trunc(df: DataFrame): DataFrame = {
@@ -1131,9 +1143,64 @@ object GraphOps {
           (col("lab") * -1).as("nl"))).as("m"))
         .select(col("u").as("node"), (col("m.nl") * -1).as("lab")))
     }
-    lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
-      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
-      .orderBy(col("size"))
+    (sym, lab)
+  }
+
+  /** q_graph_modularity — Newman MODULARITY of the q_graph_label_prop
+    * communities (r12): Q = Σ_c [e_c/m − (deg_c/2m)²] over the same
+    * undirected co-purchase graph and the same deterministic 4-round
+    * LPA labels — the "did the community pass actually find structure"
+    * QC number that turns the LPA histogram into a quality score.
+    * Wire: ONE row (n_nodes, n_edges, n_communities, intra_share, Q).
+    *
+    * EXACTNESS: every input to Q is an exact integer (intra-edge
+    * count, 2m, per-community degree sums squared in DECIMAL(38,0) so
+    * a 100 TB degree mass can't overflow), and Q itself is one shared
+    * double expression — no float accumulation across rows, so the
+    * DuckDB twin (the labelProp CTE chain + three aggregates) matches
+    * bit-for-bit.
+    *
+    * Scale shape: two broadcast joins of the |V|-sized label frame
+    * against the checkpointed sym edges (same broadcast contract as
+    * the LPA rounds), three hash aggs, and 1-row k0 combines — no new
+    * data-sized exchange beyond what LPA already paid. */
+  def modularity(s: SparkSession, d: String): DataFrame =
+    modularityOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_modularity over any (o, p) membership frame. */
+  def modularityOn(membership: DataFrame): DataFrame = {
+    val (sym, lab) = lpaLabels(membership)
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val lu = lab.select(col("node").as("u"), col("lab").as("lab_u"))
+    val lv = lab.select(col("node").as("v"), col("lab").as("lab_v"))
+    // i2 = directed intra-community edge count (= 2·Σe_c); m2 = 2m
+    val em = sym.join(lu, "u").join(lv, "v")
+      .agg(count(lit(1)).as("m2"),
+        sum(when(col("lab_u") === col("lab_v"), 1L).otherwise(0L))
+          .as("i2"))
+      .withColumn("jk", k0(col("m2")))
+    val dc = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .join(lu, "u")
+      .groupBy(col("lab_u"))
+      .agg(sum(col("dg")).as("degc"))
+    val deg2 = dc.agg(count(lit(1)).as("n_communities"),
+        sum((col("degc").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("degc")).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("sumdeg2"))
+      .withColumn("jk", k0(col("n_communities")))
+    val nn = lab.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("jk", k0(col("n_nodes")))
+    em.join(broadcast(deg2), "jk").join(broadcast(nn), "jk")
+      .select(col("n_nodes"), (col("m2") / 2).cast("long").as("n_edges"),
+        col("n_communities"),
+        round(col("i2").cast("double") / col("m2").cast("double"), 6)
+          .as("intra_share"),
+        round(col("i2").cast("double") / col("m2").cast("double")
+          - col("sumdeg2").cast("double")
+            / (col("m2").cast("double") * col("m2").cast("double")), 6)
+          .as("modularity"))
   }
 
   /** q_graph_cc — connected components of the bipartite order–part

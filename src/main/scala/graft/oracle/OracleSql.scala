@@ -2993,6 +2993,46 @@ object OracleSql {
            |GROUP BY size ORDER BY size""".stripMargin
     },
 
+    // modularity of the SAME 4-round LPA labels: the labelProp CTE
+    // chain + three exact-integer aggregates; Q is one shared double
+    // expression over exact inputs (HUGEINT/DECIMAL sums), so both
+    // engines agree bit-for-bit
+    "q_graph_modularity" -> {
+      val rounds = 4
+      val base =
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+          |  JOIN op b ON a.o = b.o AND a.p < b.p),
+          |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          |l0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM s0 GROUP BY u)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT u AS node, lab FROM (
+           |  SELECT s0.u, l.lab, COUNT(*) AS c FROM s0
+           |  JOIN l${k - 1} l ON s0.v = l.node GROUP BY s0.u, l.lab)
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+           |    ORDER BY c DESC, lab ASC) = 1)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", ",\n") +
+        s"""deg AS (SELECT u, COUNT(*) AS dg FROM s0 GROUP BY u),
+           |dc AS (SELECT l.lab, SUM(d.dg) AS degc FROM deg d
+           |  JOIN l$rounds l ON d.u = l.node GROUP BY l.lab),
+           |em AS (SELECT COUNT(*) AS m2,
+           |  SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS i2
+           |  FROM s0 JOIN l$rounds a ON s0.u = a.node
+           |  JOIN l$rounds b ON s0.v = b.node)
+           |SELECT (SELECT COUNT(*) FROM l$rounds) AS n_nodes,
+           |CAST(m2 // 2 AS BIGINT) AS n_edges,
+           |(SELECT COUNT(*) FROM dc) AS n_communities,
+           |ROUND(CAST(i2 AS DOUBLE) / CAST(m2 AS DOUBLE), 6)
+           |  AS intra_share,
+           |ROUND(CAST(i2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+           |  - CAST((SELECT SUM(degc * degc) FROM dc) AS DOUBLE)
+           |    / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)
+           |  AS modularity
+           |FROM em""".stripMargin
+    },
+
     "q_graph_cc" -> {
       val rounds = 8
       val base =

@@ -241,6 +241,26 @@ class GraphOpsSpec extends GraftSuite {
     assert(hist.toSeq == Seq((4L, 2L)))
   }
 
+  test("modularity: hand-computed two-triangle bridge graph") {
+    import spark.implicits._
+    // triangles {1,2,3} and {11,12,13} joined by bridge 3-11: LPA
+    // labels A={1,2,3}, B={11,12,13} (worked through the 4 rounds by
+    // hand); m=7, directed intra=12/14, deg_A=deg_B=7 ->
+    // Q = 12/14 - 2*49/196 = 0.357143
+    val membership = (Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 3L), (3L, 11L))).toDF("o", "p")
+    val r = GraphOps.modularityOn(membership).collect()
+    ScratchCache.releaseAll()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") == 6L)
+    assert(row.getAs[Long]("n_edges") == 7L)
+    assert(row.getAs[Long]("n_communities") == 2L)
+    assert(row.getAs[Double]("intra_share") == 0.857143, row.toString)
+    assert(row.getAs[Double]("modularity") == 0.357143, row.toString)
+  }
+
   test("label propagation histogram sums to the vertex count") {
     import org.apache.spark.sql.functions._
     val hist = GraphOps.labelProp(spark, sf)
