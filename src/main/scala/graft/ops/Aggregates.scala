@@ -572,6 +572,65 @@ object Aggregates {
       .orderBy(col("scope"))
   }
 
+  /** q_agg_theta — SET-INTERSECTION estimation from KMV/theta sketches
+    * (r12): the capability q_agg_kmv's scaladoc claims over HLL made
+    * concrete. For every audience pair (A < B) sharing ≥1 user: θ =
+    * min(θ_A, θ_B) (θ_X = the k-th smallest hash when the sketch
+    * saturated, else the full hash range), C = |mins_A ∩ mins_B ∩
+    * [0,θ)|, and the theta estimator |A∩B| ≈ C·2⁶⁰/θ — reported next
+    * to the EXACT intersection so the estimate is self-auditing. The
+    * "audience overlap without re-scanning either audience" op: at
+    * 100 TB the stored 2 KB sketch rows answer any pair query.
+    *
+    * ORACLE-CHECKED, estimate included, for the same reason as
+    * q_agg_kmv: k-min sets, θ and the common-below-θ count are
+    * partition/merge-order invariant exact integers, and the
+    * estimator is one shared double expression over them.
+    *
+    * Scale shape: the sketch table is one bounded-state typed UDAF
+    * pass (≤ k longs per partial); the exact pair table is one
+    * user-keyed equi self-join of the distinct (type,user) projection
+    * (never a cross join — the pair frame then picks up the 5-row
+    * sketch table via two broadcast hash joins, no BNLJ). */
+  def aggTheta(s: SparkSession, d: String): DataFrame =
+    aggThetaOn(Tables.events(s, d), k = 256)
+
+  /** Core of q_agg_theta over any events-shaped frame. */
+  def aggThetaOn(ev: DataFrame, k: Int): DataFrame = {
+    val range = 1152921504606846976L // 2^60 — the md5-derived hash span
+    val kmv = udaf(new KmvAggregator(k))
+    val du = ScratchCache.cache(ev
+      .select(col("event_type"),
+        col("user_id").cast("string").as("uid"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .distinct())
+    val sk = du.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), kmv(col("h")).as("mins"))
+      .withColumn("theta", when(col("n") >= k,
+        element_at(col("mins"), k)).otherwise(lit(range)))
+    val exact = du.as("x").join(du.as("y"),
+        col("x.uid") === col("y.uid")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    exact
+      .join(broadcast(sk.select(col("event_type").as("type_a"),
+        col("mins").as("ma"), col("theta").as("tha"))), "type_a")
+      .join(broadcast(sk.select(col("event_type").as("type_b"),
+        col("mins").as("mb"), col("theta").as("thb"))), "type_b")
+      .withColumn("theta", least(col("tha"), col("thb")))
+      .withColumn("c", expr(
+        "size(filter(array_intersect(ma, mb), x -> x < theta))")
+        .cast("long"))
+      .select(col("type_a"), col("type_b"), col("exact_inter"),
+        col("c").as("common_below_theta"),
+        round(col("c").cast("double") * lit(range).cast("double")
+          / col("theta").cast("double"), 4).as("theta_est"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q_agg_freq — EXACT corpus heavy hitters via the two-pass
     * Misra–Gries plan (r12): pass 1 reduces the token stream to a
     * ≤ k=200-counter MG sketch ([[FreqAggregator]] — bounded state,

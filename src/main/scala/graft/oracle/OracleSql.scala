@@ -2093,6 +2093,45 @@ object OracleSql {
         |HAVING COUNT(*) * 201 > (SELECT total FROM tot)
         |ORDER BY n DESC, token""".stripMargin,
 
+    // theta intersection fully replayed: per-type k-min sets + theta
+    // from the same md5 hash, common-below-theta via equi join, the
+    // C*2^60/theta estimator in identical double arithmetic; exact
+    // intersection from the distinct (type,user) self-join
+    "q_agg_theta" ->
+      """WITH du AS (SELECT DISTINCT event_type,
+        |  CAST(user_id AS VARCHAR) AS uid,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM du),
+        |mins AS (SELECT event_type, h FROM r WHERE rn <= 256),
+        |th AS (SELECT event_type,
+        |  CASE WHEN MAX(n) >= 256 THEN MAX(CASE WHEN rn = 256 THEN h END)
+        |    ELSE 1152921504606846976 END AS theta FROM r GROUP BY 1),
+        |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  COUNT(*) AS exact_inter FROM du x JOIN du y
+        |  ON x.uid = y.uid AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT ex.type_a, ex.type_b, ex.exact_inter,
+        |  LEAST(ta.theta, tb.theta) AS theta FROM ex
+        |  JOIN th ta ON ta.event_type = ex.type_a
+        |  JOIN th tb ON tb.event_type = ex.type_b),
+        |cc AS (SELECT pt.type_a, pt.type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM pt
+        |  JOIN mins ma ON ma.event_type = pt.type_a
+        |   AND ma.h < pt.theta
+        |  JOIN mins mb ON mb.event_type = pt.type_b AND mb.h = ma.h
+        |  GROUP BY 1, 2)
+        |SELECT pt.type_a, pt.type_b, pt.exact_inter,
+        |COALESCE(cc.c, 0) AS common_below_theta,
+        |ROUND(CAST(COALESCE(cc.c, 0) AS DOUBLE)
+        |  * CAST(1152921504606846976 AS DOUBLE)
+        |  / CAST(pt.theta AS DOUBLE), 4) AS theta_est
+        |FROM pt LEFT JOIN cc
+        |  ON cc.type_a = pt.type_a AND cc.type_b = pt.type_b
+        |ORDER BY pt.type_a, pt.type_b""".stripMargin,
+
     // KMV sketch fully replayed: md5-derived 60-bit hash -> k smallest
     // per scope (window sort — DuckDB can afford what the bounded-state
     // aggregator avoids) -> (k-1)/u_k estimator in identical IEEE

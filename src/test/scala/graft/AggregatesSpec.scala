@@ -387,6 +387,28 @@ class AggregatesSpec extends GraftSuite {
     assert(merged == allUnion.toSeq)
   }
 
+  test("theta intersection: unsaturated pairs estimate exactly, " +
+      "saturated estimates track the planted overlap") {
+    import spark.implicits._
+    // A = users 0..399, B = 200..599 -> |A ∩ B| = 200
+    val rows = (0 until 400).map(u => ("A", u.toLong)) ++
+      (200 until 600).map(u => ("B", u.toLong))
+    val ev = rows.toDF("event_type", "user_id")
+    // k > |A|,|B|: neither sketch saturates -> theta = full range,
+    // C = exact common hash count -> estimator collapses to EXACT
+    val ex = Aggregates.aggThetaOn(ev, 1000).collect()
+    ScratchCache.releaseAll()
+    assert(ex.length == 1)
+    assert(ex.head.getAs[Long]("exact_inter") == 200L)
+    assert(ex.head.getAs[Long]("common_below_theta") == 200L)
+    assert(ex.head.getAs[Double]("theta_est") == 200.0)
+    // k = 64: both saturate; theta estimator within a 4-sigma-ish band
+    val sat = Aggregates.aggThetaOn(ev, 64).collect()
+    ScratchCache.releaseAll()
+    val est = sat.head.getAs[Double]("theta_est")
+    assert(math.abs(est - 200.0) / 200.0 < 0.5, s"est=$est")
+  }
+
   test("mg heavy hitters: two-pass output equals exact brute force, " +
       "survives adversarial small-k and repartitioning") {
     import spark.implicits._
