@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import scala.util.chaining._
 
@@ -612,6 +613,68 @@ object EventOps {
         sum(col("vbytes")).as("delta_bytes"),
         max(col("gap")).as("max_gap_us"))
       .orderBy(col("user_id"))
+  }
+
+  /** q_events_forecast — per-type OLS TREND + next-day forecast over
+    * the daily event-count series (r12): slope/intercept of the
+    * least-squares line through (epoch-day, n_events) plus the
+    * one-step-ahead projection — the capacity-planning / trend-alarm
+    * primitive (q_events_anomaly flags the past; this extrapolates).
+    *
+    * Exactness contract (the q_agg_corr pattern): the five
+    * regression sums (n, Σx, Σy, Σxy, Σx²) ride exact DECIMAL
+    * arithmetic, and slope/intercept/forecast are ONE shared IEEE
+    * double expression tree over them — bit-identical in both engines,
+    * no float accumulation across rows. Degenerate series (a single
+    * day) emit NULL, not an engine-dependent Inf/NaN.
+    *
+    * Scale shape: one (type, day) hash agg collapses the scan, then a
+    * ≤|types|-row moments agg — the same one-pass-moments plan as
+    * q_agg_stats; nothing data-sized survives the first aggregate. */
+  def forecast(s: SparkSession, d: String): DataFrame =
+    forecastOn(Tables.events(s, d))
+
+  /** Core of q_events_forecast over any events-shaped frame. */
+  def forecastOn(eventsDf: DataFrame): DataFrame = {
+    val daily = eventsDf
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val x = datediff(col("day"), lit("1970-01-01").cast("date"))
+      .cast(DecimalType(12, 0))
+    val y = col("y").cast(DecimalType(12, 0))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        max(x).as("mx"))
+      .select(col("event_type"), col("n"),
+        col("n").cast("double").as("dn"),
+        col("sx").cast("double").as("dx"),
+        col("sy").cast("double").as("dy"),
+        col("sxy").cast("double").as("dxy"),
+        col("sxx").cast("double").as("dxx"),
+        col("mx").cast("double").as("dmx"))
+      .select(col("event_type"), col("n"),
+        // ANSI guard: a single-day series has zero x-variance; emit
+        // NULL (propagates through intercept/forecast) instead of an
+        // engine-dependent division error / Inf
+        when(col("dn") * col("dxx") - col("dx") * col("dx") =!= 0.0,
+          (col("dn") * col("dxy") - col("dx") * col("dy"))
+            / (col("dn") * col("dxx") - col("dx") * col("dx")))
+          .as("slope_raw"),
+        col("dn"), col("dx"), col("dy"), col("dmx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("n") > 1, round(col("slope_raw"), 6)).as("slope"),
+        when(col("n") > 1, round((col("dy")
+          - col("slope_raw") * col("dx")) / col("dn"), 6))
+          .as("intercept"),
+        when(col("n") > 1, round((col("dy")
+          - col("slope_raw") * col("dx")) / col("dn")
+          + col("slope_raw") * (col("dmx") + 1.0), 4))
+          .as("forecast_next"))
+      .orderBy(col("event_type"))
   }
 
   /** q_events_gaps — GAPS-AND-ISLANDS: per user, collapse the distinct

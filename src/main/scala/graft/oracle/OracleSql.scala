@@ -1779,6 +1779,37 @@ object OracleSql {
         |  AS n_no_view
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // OLS trend: exact HUGEINT regression sums, then the identical
+    // double expression tree (slope_raw reused UNROUNDED in
+    // intercept/forecast, matching the Spark column reuse)
+    "q_events_forecast" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(day - DATE '1970-01-01' AS HUGEINT)) AS sx,
+        |  SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(day - DATE '1970-01-01' AS HUGEINT) * y) AS sxy,
+        |  SUM(CAST(day - DATE '1970-01-01' AS HUGEINT)
+        |    * CAST(day - DATE '1970-01-01' AS HUGEINT)) AS sxx,
+        |  MAX(day - DATE '1970-01-01') AS mx FROM d GROUP BY 1),
+        |b AS (SELECT event_type, n, CAST(n AS DOUBLE) AS dn,
+        |  CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+        |  CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx,
+        |  CAST(mx AS DOUBLE) AS dmx FROM a),
+        |c AS (SELECT event_type, n, dn, dx, dy, dmx,
+        |  CASE WHEN dn * dxx - dx * dx <> 0 THEN
+        |    (dn * dxy - dx * dy) / (dn * dxx - dx * dx) END AS slope_raw
+        |  FROM b)
+        |SELECT event_type, n AS n_days,
+        |CASE WHEN n > 1 THEN ROUND(slope_raw, 6) END AS slope,
+        |CASE WHEN n > 1 THEN
+        |  ROUND((dy - slope_raw * dx) / dn, 6) END AS intercept,
+        |CASE WHEN n > 1 THEN
+        |  ROUND((dy - slope_raw * dx) / dn
+        |    + slope_raw * (dmx + 1.0), 4) END AS forecast_next
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // gaps-and-islands: the day - row_number() constant-difference
     // grouping replays identically; HUGEINT sums cast back to BIGINT;
     // tie on longest streak resolved by per-user MAX + conditional MIN

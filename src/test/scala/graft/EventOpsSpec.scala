@@ -52,6 +52,33 @@ class EventOpsSpec extends GraftSuite {
       5L -> ((1L, 0L, 0L, 1L)), 6L -> ((1L, 0L, 1L, 0L))), out.toString)
   }
 
+  test("forecast: planted linear series recovers slope exactly, " +
+      "single-day series emits NULL") {
+    // type "lin": 10,12,14,16,18 events on 5 consecutive days -> the
+    // OLS line is exact (slope 2, next-day forecast 20); type "one":
+    // a single day -> degenerate, NULL stats
+    val rows = (0 until 5).flatMap { i =>
+      val day = f"2024-01-${i + 1}%02d"
+      (0 until 10 + 2 * i).map(j =>
+        (j.toLong, "lin", s"$day 0${j % 10}:00:00"))
+    } :+ ((99L, "one", "2024-02-01 12:00:00"))
+    val log = events(rows: _*)
+    val out = EventOps.forecastOn(log).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = out("lin")
+    assert(lin.getAs[Long]("n_days") == 5L)
+    assert(lin.getAs[Double]("slope") == 2.0, lin.toString)
+    assert(lin.getAs[Double]("forecast_next") == 20.0, lin.toString)
+    // intercept = mean(y) - slope*mean(x) with x = epoch days
+    val x0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    val expInt = 14.0 - 2.0 * (x0 + 2.0)
+    assert(math.abs(lin.getAs[Double]("intercept") - expInt) < 1e-6)
+    val one = out("one")
+    assert(one.getAs[Long]("n_days") == 1L)
+    assert(one.isNullAt(one.fieldIndex("slope")))
+    assert(one.isNullAt(one.fieldIndex("forecast_next")))
+  }
+
   test("gaps-islands: streak profile with earliest-longest tiebreak " +
       "and multi-event days collapsed") {
     val log = events(
