@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import scala.util.chaining._
 
@@ -649,6 +650,66 @@ object TextOps {
       .select(col("lang"), col("n_docs"), col("weight"),
         round(col("weight").cast("double") / col("tw2"), 6).as("rate"),
         expr("(weight * td2) DIV tw2").as("target_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** q_sample_importance — DSIR-shaped IMPORTANCE-WEIGHTED selection
+    * (r12; Xie et al. 2023 "Data Selection for Language Models via
+    * Importance Resampling", integer-ratio variant): the target domain
+    * is `source = 'src0'`; every token gets an integer importance
+    * weight w = ((cnt_target+1)·10⁶) div (cnt_corpus+1) (add-one
+    * smoothed frequency ratio — floor division, so the weight table
+    * is EXACT and engine-identical, no log()s whose libm last-ulp
+    * could diverge); a document's score is its mean token weight, and
+    * docs scoring above the corpus mean are selected. Wire: per lang
+    * (n_docs, n_selected, avg_sel_score) — the "does target-domain
+    * affinity vary by language" selection ledger.
+    *
+    * Scale shape: NO global sort — selection is a threshold against
+    * the 1-row corpus mean (broadcast k0 join), not a top-N rank; the
+    * weight table and doc scores are token-keyed and doc-keyed hash
+    * aggs; the weight join shuffles on token (a vocabulary-bounded
+    * key). Per-doc scores are quantized to DECIMAL(18,6) so every
+    * cross-row mean rides exact decimal sums. Weight arithmetic stays
+    * in longs — exact while cnt_target < ~9·10¹¹ (the long ceiling at
+    * the 10⁶ scale factor; swap to DECIMAL(38,0) beyond). */
+  def sampleImportance(s: SparkSession, d: String): DataFrame =
+    sampleImportanceOn(Tables.documents(s, d))
+
+  /** Core of q_sample_importance over any documents-shaped frame. */
+  def sampleImportanceOn(docs: DataFrame): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      (col("source") === "src0").as("is_t"),
+      explode(split(lower(col("text")), " ")).as("token"))
+      .pipe(ScratchCache.cache)
+    val wt = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt_c"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+      .select(col("token"),
+        expr("((cnt_t + 1) * 1000000) div (cnt_c + 1)").as("w"))
+    val score = tok.join(wt, "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("w")).as("swt"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("lang"),
+        round(col("swt").cast("double") / col("n_tok").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("score"))
+      .pipe(ScratchCache.cache)
+    val mean = score.agg(
+        (sum(col("score")).cast("double") / count(lit(1))).as("ms"))
+      .withColumn("kk", k0(col("ms")))
+    score.withColumn("kk", k0(col("doc_id")))
+      .join(broadcast(mean), "kk")
+      .withColumn("sel", col("score").cast("double") > col("ms"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("score"))).cast(DecimalType(38, 6))
+          .as("ssel"))
+      .select(col("lang"), col("n_docs"), col("n_selected"),
+        when(col("n_selected") > 0,
+          round(col("ssel").cast("double")
+            / col("n_selected").cast("double"), 6)).as("avg_sel_score"))
       .orderBy(col("lang"))
   }
 

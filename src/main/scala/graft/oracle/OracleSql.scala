@@ -1257,6 +1257,34 @@ object OracleSql {
     // τ=2 temperature weights: INTEGER floor(sqrt(count)) — IEEE sqrt
     // is correctly rounded so floor∘sqrt is engine-identical; only the
     // realized rate crosses the wire as a rounded double
+    // DSIR-shaped importance selection: integer floor-div weights
+    // (HUGEINT // BIGINT == Spark long div for positives), per-doc
+    // scores quantized DECIMAL(18,6), threshold vs the 1-row corpus
+    // mean with strict > in both engines
+    "q_sample_importance" ->
+      """WITH tok AS (SELECT doc_id, lang, (source = 'src0') AS is_t,
+        |  unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |wt AS (SELECT token,
+        |  ((SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000)
+        |    // (COUNT(*) + 1) AS w FROM tok GROUP BY token),
+        |sc AS (SELECT t.doc_id, t.lang,
+        |  CAST(ROUND(CAST(SUM(w.w) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18, 6)) AS score
+        |  FROM tok t JOIN wt w ON t.token = w.token GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(score) AS DOUBLE) / COUNT(*) AS ms
+        |  FROM sc),
+        |f AS (SELECT lang, score,
+        |  CAST(score AS DOUBLE) > (SELECT ms FROM m) AS sel FROM sc)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_selected,
+        |CASE WHEN SUM(CASE WHEN sel THEN 1 ELSE 0 END) > 0 THEN
+        |  ROUND(CAST(SUM(CASE WHEN sel THEN score END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |END AS avg_sel_score
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_sample_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |w AS (SELECT lang, n_docs,

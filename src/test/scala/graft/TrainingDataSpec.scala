@@ -364,6 +364,27 @@ class TrainingDataSpec extends GraftSuite {
     assert(out("s2") == ((4L, 3L, 1L, footerLen)))
   }
 
+  test("importance sampling: target-vocabulary docs score above the " +
+      "corpus mean and are selected, regardless of their own source") {
+    // target domain = src0 uses 'aaa'; doc 2 shares that vocabulary
+    // from src1 and must be selected too (that's the DSIR point)
+    val corpus = docs(
+      (1L, "aaa aaa aaa", "en", "src0"),
+      (2L, "aaa aaa aaa", "en", "src1"),
+      (3L, "zzz zzz zzz", "en", "src1"),
+      (4L, "zzz zzz zzz", "de", "src1"))
+    // w(aaa) = (3+1)*1e6 // (6+1) = 571428; w(zzz) = 1e6 // 7 = 142857
+    // mean = 357142.5 -> docs 1,2 selected
+    val out = TextOps.sampleImportanceOn(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_selected"),
+        Option(r.getAs[java.lang.Double]("avg_sel_score"))))).toMap
+    ScratchCache.releaseAll()
+    assert(out == Map(
+      "en" -> ((3L, 2L, Some(571428.0))),
+      "de" -> ((1L, 0L, None))), out.toString)
+  }
+
   test("span dedup: cross-doc 8-token spans flagged, within-doc " +
       "repeats and short docs excluded") {
     val corpus = docs(
