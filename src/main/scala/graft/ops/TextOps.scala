@@ -653,6 +653,57 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_text_keyterms — per-language DISTINGUISHING TERMS by lift
+    * (r12): lift(lang, tok) = p(tok|lang) / p(tok) =
+    * (cnt_l·T)/(cnt_all·T_l), the relative-frequency ratio that
+    * surfaces what a language's corpus slice talks about that the
+    * whole corpus doesn't — the domain/language signature report
+    * (tfidf is per-DOC salience; this is per-SLICE). Min support
+    * cnt_l ≥ 20 keeps noise terms out; top-5 per lang ordered by
+    * (lift desc, token) — both engines compute the lift double from
+    * identical exact integers, so equal doubles tie-break identically
+    * and the ranking is deterministic.
+    *
+    * Scale shape: ONE data-sized exchange — the (lang, token) count
+    * agg; everything downstream (token totals, lang totals, the lift
+    * join, the per-lang top-5 window) runs on vocabulary-sized
+    * tables. Lang totals ride a broadcast; token totals re-aggregate
+    * the (lang,token) table instead of rescanning the corpus. */
+  def keyTerms(s: SparkSession, d: String): DataFrame =
+    keyTermsOn(Tables.documents(s, d))
+
+  /** Core of q_text_keyterms over any documents-shaped frame. */
+  def keyTermsOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val lt = docs.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt_l"))
+      .pipe(ScratchCache.cache)
+    val tokTot = lt.groupBy(col("token")).agg(sum(col("cnt_l")).as("cnt_all"))
+    val langTot = lt.groupBy(col("lang")).agg(sum(col("cnt_l")).as("t_l"))
+    val tot = lt.agg(sum(col("cnt_l")).as("t"))
+      .withColumn("kk", k0(col("t")))
+    val lifted = lt.filter(col("cnt_l") >= 20)
+      .join(tokTot, "token")
+      .join(broadcast(langTot), "lang")
+      .withColumn("kk", k0(col("token")))
+      .join(broadcast(tot), "kk")
+      .select(col("lang"), col("token"), col("cnt_l"),
+        (col("cnt_l").cast("double") * col("t").cast("double")
+          / (col("cnt_all").cast("double") * col("t_l").cast("double")))
+          .as("lift_raw"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lift_raw").desc, col("token"))
+    lifted
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("token"), col("cnt_l"),
+        round(col("lift_raw"), 6).as("lift"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** q_sample_importance — DSIR-shaped IMPORTANCE-WEIGHTED selection
     * (r12; Xie et al. 2023 "Data Selection for Language Models via
     * Importance Resampling", integer-ratio variant): the target domain

@@ -1257,6 +1257,30 @@ object OracleSql {
     // τ=2 temperature weights: INTEGER floor(sqrt(count)) — IEEE sqrt
     // is correctly rounded so floor∘sqrt is engine-identical; only the
     // realized rate crosses the wire as a rounded double
+    // per-lang lift: the double is computed from identical exact
+    // integers in both engines, so ordering (incl. equal-double ties
+    // broken by token) is deterministic
+    "q_text_keyterms" ->
+      """WITH lt AS (SELECT lang,
+        |  unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS cnt_l FROM lt
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT token, SUM(cnt_l) AS cnt_all FROM c GROUP BY 1),
+        |ltot AS (SELECT lang, SUM(cnt_l) AS t_l FROM c GROUP BY 1),
+        |tot AS (SELECT SUM(cnt_l) AS t FROM c),
+        |lf AS (SELECT c.lang, c.token, c.cnt_l,
+        |  CAST(c.cnt_l AS DOUBLE) * CAST((SELECT t FROM tot) AS DOUBLE)
+        |   / (CAST(tt.cnt_all AS DOUBLE) * CAST(ltot.t_l AS DOUBLE))
+        |   AS lift_raw
+        |  FROM c JOIN tt USING (token) JOIN ltot USING (lang)
+        |  WHERE c.cnt_l >= 20),
+        |r AS (SELECT lang, token, cnt_l, lift_raw,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY lift_raw DESC, token) AS rank FROM lf)
+        |SELECT lang, rank, token, cnt_l, ROUND(lift_raw, 6) AS lift
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     // DSIR-shaped importance selection: integer floor-div weights
     // (HUGEINT // BIGINT == Spark long div for positives), per-doc
     // scores quantized DECIMAL(18,6), threshold vs the 1-row corpus

@@ -364,6 +364,32 @@ class TrainingDataSpec extends GraftSuite {
     assert(out("s2") == ((4L, 3L, 1L, footerLen)))
   }
 
+  test("keyterms: planted language signatures rank by exact lift with " +
+      "min-support filtering") {
+    // en: 'the'x30 + 'data'x20; de: 'und'x30 + 'data'x20; T = 100
+    // lift(en,the) = 30*100/(30*50) = 2.0; lift(en,data) = 1.0;
+    // 'rare' appears 5x < min support 20 -> excluded
+    val corpus = docs(
+      (1L, (Seq.fill(30)("the") ++ Seq.fill(20)("data")).mkString(" "),
+        "en", "s1"),
+      (2L, (Seq.fill(30)("und") ++ Seq.fill(20)("data")
+        ++ Seq.fill(5)("rare")).mkString(" "), "de", "s1"))
+    val out = TextOps.keyTermsOn(corpus).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        ((r.getString(2), r.getAs[Double]("lift"))))
+      .toMap
+    ScratchCache.releaseAll()
+    // de totals include 'rare': T_de = 55, T = 105
+    // lift(de,und) = 30*105/(30*55) = 1.909091
+    // lift(de,data) = 20*105/(40*55) = 0.954545
+    // lift(en,the) = 30*105/(30*50) = 2.1
+    // lift(en,data) = 20*105/(40*50) = 1.05
+    assert(out == Map(
+      ("en", 1L) -> (("the", 2.1)), ("en", 2L) -> (("data", 1.05)),
+      ("de", 1L) -> (("und", 1.909091)),
+      ("de", 2L) -> (("data", 0.954545))), out.toString)
+  }
+
   test("importance sampling: target-vocabulary docs score above the " +
       "corpus mean and are selected, regardless of their own source") {
     // target domain = src0 uses 'aaa'; doc 2 shares that vocabulary
