@@ -1203,6 +1203,79 @@ object GraphOps {
           .as("modularity"))
   }
 
+  /** q_graph_assortativity — DEGREE ASSORTATIVITY (Newman 2002) of
+    * the undirected co-purchase graph (r12): the Pearson correlation
+    * of (deg u, deg v) over every directed edge of the symmetric edge
+    * list — positive = hubs wire to hubs (social-network shape),
+    * negative = hubs wire to leaves (hub-and-spoke), the one-number
+    * wiring diagnosis that complements q_graph_degree's histogram and
+    * q_graph_modularity's community score. Wire: ONE row (n_nodes,
+    * n_edges, avg_degree, assortativity).
+    *
+    * EXACTNESS: the five correlation sums ride exact DECIMAL over
+    * integer degrees (the q_agg_corr pattern) and r is one shared
+    * double tree; a degenerate graph (all degrees equal → zero
+    * variance) emits NULL identically in both engines.
+    *
+    * Scale shape: degrees are one hash agg on the already-partitioned
+    * sym list; the two degree joins key on u and v (data-sized but
+    * id+long-only rows); the moments agg collapses to one row. */
+  def assortativity(s: SparkSession, d: String): DataFrame =
+    assortativityOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_assortativity over any (o, p) membership frame. */
+  def assortativityOn(membership: DataFrame): DataFrame = {
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct().pipe(ScratchCache.cache)
+    val sym = ec.unionByName(
+      ec.select(col("v").as("u"), col("u").as("v")))
+    // localCheckpoint (the labelProp trunc pattern) gives Catalyst the
+    // REAL size of the degree table, so the two degree joins broadcast
+    // while |V| is small and degrade to shuffle joins only when the
+    // vertex table genuinely outgrows the threshold — a cached agg's
+    // estimated stats would force sort-merge even at test scale
+    val deg = {
+      val t = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(false)
+      ScratchCache.defer(() => unpersistCheckpoint(t))
+      t
+    }
+    val dd = DecimalType(20, 0)
+    val e = sym
+      .join(deg.select(col("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
+      .select(col("du").cast(dd).as("x"), col("dv").cast(dd).as("y"))
+    e.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), col("n").cast("double").as("dn"),
+        col("sx").cast("double").as("dx"),
+        col("sy").cast("double").as("dy"),
+        col("sxy").cast("double").as("dxy"),
+        col("sxx").cast("double").as("dxx"),
+        col("syy").cast("double").as("dyy"))
+      .select(
+        (col("n") / 2).cast("long").as("n_edges"),
+        col("dn"), col("dx"), col("dy"), col("dxy"),
+        (col("dn") * col("dxx") - col("dx") * col("dx")).as("vx"),
+        (col("dn") * col("dyy") - col("dy") * col("dy")).as("vy"))
+      .withColumn("kk", pmod(hash(col("n_edges")), lit(1)))
+      .join(broadcast(deg
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("dg")).as("sdg"))
+        .withColumn("kk", pmod(hash(col("n_nodes")), lit(1)))), "kk")
+      .select(col("n_nodes"), col("n_edges"),
+        round(col("sdg").cast("double") / col("n_nodes").cast("double"),
+          6).as("avg_degree"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round((col("dn") * col("dxy") - col("dx") * col("dy"))
+            / sqrt(col("vx") * col("vy")), 6)).as("assortativity"))
+  }
+
   /** q_graph_cc — connected components of the bipartite order–part
     * graph; returns the component size histogram. Oracle-checked: the
     * histogram is label-invariant, so DuckDB's pointer-doubling CC

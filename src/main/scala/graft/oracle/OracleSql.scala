@@ -3115,6 +3115,38 @@ object OracleSql {
            |GROUP BY size ORDER BY size""".stripMargin
     },
 
+    // degree assortativity: exact HUGEINT moments over the symmetric
+    // edge list's (deg u, deg v) pairs, then the identical double
+    // correlation tree (vx/vy staged exactly as the Spark columns)
+    "q_graph_assortativity" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |  l_partkey AS p FROM lineitem WHERE l_partkey % 4 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |s0 AS (SELECT u, v FROM e0
+        |  UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, COUNT(*) AS dg FROM s0 GROUP BY u),
+        |e AS (SELECT CAST(da.dg AS HUGEINT) AS x,
+        |  CAST(db.dg AS HUGEINT) AS y FROM s0
+        |  JOIN deg da ON s0.u = da.u JOIN deg db ON s0.v = db.u),
+        |a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM e),
+        |b AS (SELECT n, CAST(n AS DOUBLE) AS dn,
+        |  CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+        |  CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx,
+        |  CAST(syy AS DOUBLE) AS dyy FROM a),
+        |c AS (SELECT n, dn, dx, dy, dxy,
+        |  dn * dxx - dx * dx AS vx, dn * dyy - dy * dy AS vy FROM b),
+        |nn AS (SELECT COUNT(*) AS n_nodes, SUM(dg) AS sdg FROM deg)
+        |SELECT nn.n_nodes, CAST(c.n // 2 AS BIGINT) AS n_edges,
+        |ROUND(CAST(nn.sdg AS DOUBLE) / CAST(nn.n_nodes AS DOUBLE), 6)
+        |  AS avg_degree,
+        |CASE WHEN c.vx > 0 AND c.vy > 0 THEN
+        |  ROUND((c.dn * c.dxy - c.dx * c.dy) / sqrt(c.vx * c.vy), 6)
+        |END AS assortativity
+        |FROM c, nn""".stripMargin,
+
     // modularity of the SAME 4-round LPA labels: the labelProp CTE
     // chain + three exact-integer aggregates; Q is one shared double
     // expression over exact inputs (HUGEINT/DECIMAL sums), so both

@@ -241,6 +241,26 @@ class GraphOpsSpec extends GraftSuite {
     assert(hist.toSeq == Seq((4L, 2L)))
   }
 
+  test("assortativity: star graph is perfectly disassortative, " +
+      "degenerate equal-degree graph emits NULL") {
+    import spark.implicits._
+    // star: hub 100 to leaves 1,2,3 -> (du,dv) pairs are (3,1)x3 and
+    // (1,3)x3 -> Pearson r = -1
+    val star = Seq((1L, 100L), (1L, 1L), (2L, 100L), (2L, 2L),
+      (3L, 100L), (3L, 3L)).toDF("o", "p")
+    val r = GraphOps.assortativityOn(star).collect()
+    ScratchCache.releaseAll()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_nodes") == 4L)
+    assert(r.head.getAs[Long]("n_edges") == 3L)
+    assert(r.head.getAs[Double]("assortativity") == -1.0, r.head.toString)
+    // single edge: both endpoints degree 1 -> zero variance -> NULL
+    val edge = Seq((1L, 10L), (1L, 20L)).toDF("o", "p")
+    val e = GraphOps.assortativityOn(edge).collect()
+    ScratchCache.releaseAll()
+    assert(e.head.isNullAt(e.head.fieldIndex("assortativity")))
+  }
+
   test("modularity: hand-computed two-triangle bridge graph") {
     import spark.implicits._
     // triangles {1,2,3} and {11,12,13} joined by bridge 3-11: LPA
