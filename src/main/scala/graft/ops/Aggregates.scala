@@ -572,6 +572,75 @@ object Aggregates {
       .orderBy(col("scope"))
   }
 
+  /** q_agg_ab_test — WELCH'S T-TEST between two user cohorts (r12):
+    * the A/B significance readout every experimentation pipeline
+    * computes — cohort A = even user_id, B = odd; per event type the
+    * unequal-variance t statistic over the event `value` metric plus
+    * a two-sided 5% significance flag (|t| > 1.96, the z-approx
+    * appropriate at experiment n). q_agg_corr measures association
+    * between metrics; this tests DIFFERENCE between populations.
+    *
+    * Exactness: values quantize once to DECIMAL(12,2) (double→decimal
+    * rounds identically in both engines), the six cohort sums are
+    * exact decimals, and mean/variance/t are ONE shared double tree —
+    * bit-identical engines; degenerate cohorts (n ≤ 1 or zero
+    * pooled variance) emit NULL, never Inf/NaN.
+    *
+    * Scale shape: ONE hash agg with conditional partials down to
+    * ≤|types| rows — map-side combine carries six numbers per type;
+    * nothing else touches the wire (the q_agg_stats one-pass-moments
+    * plan with a cohort split). */
+  def aggAbTest(s: SparkSession, d: String): DataFrame =
+    aggAbTestOn(Tables.events(s, d))
+
+  /** Core of q_agg_ab_test over any events-shaped frame. */
+  def aggAbTestOn(ev: DataFrame): DataFrame = {
+    val v = col("value").cast(DecimalType(12, 2))
+    val isA = col("user_id") % 2 === 0
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+        sum(when(isA, v)).as("sa"),
+        sum(when(!isA, v)).as("sb"),
+        sum(when(isA, (v * v).cast(DecimalType(38, 4)))).as("qa"),
+        sum(when(!isA, (v * v).cast(DecimalType(38, 4)))).as("qb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        col("na").cast("double").as("dna"),
+        col("nb").cast("double").as("dnb"),
+        col("sa").cast("double").as("dsa"),
+        col("sb").cast("double").as("dsb"),
+        col("qa").cast("double").as("dqa"),
+        col("qb").cast("double").as("dqb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        // ANSI guards: Spark 4 raises on x/0 even for doubles, so an
+        // empty or single-row cohort must short-circuit to NULL here
+        when(col("na") > 0, col("dsa") / col("dna")).as("ma"),
+        when(col("nb") > 0, col("dsb") / col("dnb")).as("mb"),
+        when(col("na") > 1,
+          (col("dqa") - col("dsa") * col("dsa") / col("dna"))
+            / (col("dna") - 1.0)).as("va"),
+        when(col("nb") > 1,
+          (col("dqb") - col("dsb") * col("dsb") / col("dnb"))
+            / (col("dnb") - 1.0)).as("vb"),
+        col("dna"), col("dnb"))
+      .select(col("event_type"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("ma"), 6).as("mean_a"),
+        round(col("mb"), 6).as("mean_b"),
+        when(col("na") > 1 && col("nb") > 1
+            && col("va") / col("dna") + col("vb") / col("dnb") > 0.0,
+          round((col("ma") - col("mb"))
+            / sqrt(col("va") / col("dna") + col("vb") / col("dnb")), 4))
+          .as("t_stat"),
+        when(col("na") > 1 && col("nb") > 1
+            && col("va") / col("dna") + col("vb") / col("dnb") > 0.0,
+          (abs((col("ma") - col("mb"))
+            / sqrt(col("va") / col("dna") + col("vb") / col("dnb")))
+            > 1.96).cast("int").cast("long")).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_agg_theta — SET-INTERSECTION estimation from KMV/theta sketches
     * (r12): the capability q_agg_kmv's scaladoc claims over HLL made
     * concrete. For every audience pair (A < B) sharing ≥1 user: θ =

@@ -2176,6 +2176,39 @@ object OracleSql {
         |HAVING COUNT(*) * 201 > (SELECT total FROM tot)
         |ORDER BY n DESC, token""".stripMargin,
 
+    // Welch t: decimal-exact cohort sums (CAST(value AS DECIMAL(12,2))
+    // replays Spark's cast — the ltv precedent), then the identical
+    // double tree with the same degenerate guards
+    "q_agg_ab_test" ->
+      """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS isa,
+        |  CAST(value AS DECIMAL(12, 2)) AS v FROM events),
+        |a AS (SELECT event_type,
+        |  CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nb,
+        |  SUM(CASE WHEN isa THEN v END) AS sa,
+        |  SUM(CASE WHEN NOT isa THEN v END) AS sb,
+        |  SUM(CASE WHEN isa THEN CAST(v * v AS DECIMAL(38, 4)) END)
+        |    AS qa,
+        |  SUM(CASE WHEN NOT isa THEN CAST(v * v AS DECIMAL(38, 4)) END)
+        |    AS qb FROM e GROUP BY 1),
+        |b AS (SELECT event_type, na, nb,
+        |  CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+        |  CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+        |  CAST(qa AS DOUBLE) AS dqa, CAST(qb AS DOUBLE) AS dqb FROM a),
+        |c AS (SELECT event_type, na, nb, dna, dnb,
+        |  dsa / dna AS ma, dsb / dnb AS mb,
+        |  (dqa - dsa * dsa / dna) / (dna - 1.0) AS va,
+        |  (dqb - dsb * dsb / dnb) / (dnb - 1.0) AS vb FROM b)
+        |SELECT event_type, na AS n_a, nb AS n_b,
+        |ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |CASE WHEN na > 1 AND nb > 1 AND va / dna + vb / dnb > 0 THEN
+        |  ROUND((ma - mb) / sqrt(va / dna + vb / dnb), 4) END AS t_stat,
+        |CASE WHEN na > 1 AND nb > 1 AND va / dna + vb / dnb > 0 THEN
+        |  CAST(abs((ma - mb) / sqrt(va / dna + vb / dnb)) > 1.96
+        |    AS BIGINT) END AS significant
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // theta intersection fully replayed: per-type k-min sets + theta
     // from the same md5 hash, common-below-theta via equi join, the
     // C*2^60/theta estimator in identical double arithmetic; exact

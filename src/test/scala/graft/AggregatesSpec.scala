@@ -387,6 +387,29 @@ class AggregatesSpec extends GraftSuite {
     assert(merged == allUnion.toSeq)
   }
 
+  test("welch t: planted cohort difference recovers the hand-computed " +
+      "statistic, degenerate cohorts emit NULL") {
+    import spark.implicits._
+    // type x: A (even users) values {9,10,11}, B {4,5,6} -> means 10/5,
+    // va=vb=1, t = 5/sqrt(2/3) = 6.1237; type y: n=1 per cohort -> NULL
+    val ev = Seq(
+      ("x", 2L, 9.0), ("x", 4L, 10.0), ("x", 6L, 11.0),
+      ("x", 1L, 4.0), ("x", 3L, 5.0), ("x", 5L, 6.0),
+      ("y", 2L, 7.0), ("y", 1L, 3.0))
+      .toDF("event_type", "user_id", "value")
+    val out = Aggregates.aggAbTestOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("n_a") == 3L && x.getAs[Long]("n_b") == 3L)
+    assert(x.getAs[Double]("mean_a") == 10.0)
+    assert(x.getAs[Double]("mean_b") == 5.0)
+    assert(x.getAs[Double]("t_stat") == 6.1237, x.toString)
+    assert(x.getAs[Long]("significant") == 1L)
+    val y = out("y")
+    assert(y.isNullAt(y.fieldIndex("t_stat")))
+    assert(y.isNullAt(y.fieldIndex("significant")))
+  }
+
   test("theta intersection: unsaturated pairs estimate exactly, " +
       "saturated estimates track the planted overlap") {
     import spark.implicits._
