@@ -1212,4 +1212,106 @@ object DedupSim {
         round(lit(lambda / trace), 6).as("pc1_var_share"))
       .orderBy(col("label"))
   }
+
+  /** q_emb_kmeans — distributed Lloyd k-means over the embedding table
+    * (k = 8, 2 assignment rounds), reporting per final cluster its
+    * size, majority label (+ purity count) and exact-decimal inertia.
+    * The clustering primitive every curation pass leans on (SemDeDup
+    * cluster assignment, domain mixing, coreset selection) expressed
+    * as the plan a 1000-executor run wants: each round is ONE
+    * broadcast of the k centroid arrays against the vector table
+    * (never a shuffle of the vectors by cluster), assignment collapses
+    * map-side via a min(struct(score, cid)) partial aggregate over
+    * k skinny (vec_id, cid, score) rows per vector, and the centroid
+    * recompute is a (cid, dim)-keyed decimal-sum hash aggregate —
+    * 8×64 rows on the wire, not vectors.
+    *
+    * DETERMINISM (the whole key is oracle-checked in DuckDB):
+    * seeds are the k smallest md5(vec_id) vectors (cluster ids in
+    * that order); assignment minimizes cc − 2·x·c where both dot
+    * products are sequential left-to-right double folds (Spark
+    * `aggregate(zip_with(...))` ≡ DuckDB `list_dot_product`, the
+    * q_sim_cosine_topk bit-match idiom), ties broken by lowest cid;
+    * recomputed centroid components ride DECIMAL(25,12) sums and are
+    * rounded to 6 dp BEFORE re-entering the double fold; per-row
+    * squared distances are rounded to 6 dp and summed as
+    * DECIMAL(38,6), so inertia is repartition-invariant. At 100 TB
+    * the only change is the seeding (k-means‖ oversampling instead of
+    * a global md5 sort-limit — the sort is O(N log N) but returns k
+    * rows); rounds stay broadcast-sized as long as k·dim fits a
+    * broadcast, which holds to k ~ 100k. A cluster that loses every
+    * member in round 1 simply fields no centroid in round 2
+    * (documented drop; deterministic). */
+  def embKmeans(s: SparkSession, d: String): DataFrame =
+    embKmeansOn(Tables.embeddings(s, d), k = 8)
+
+  /** Core of q_emb_kmeans over any (vec_id, label, embedding) frame. */
+  def embKmeansOn(embDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val e = ScratchCache.cache(embDf.select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("xx", dot("v", "v")))
+    // k seeds: smallest md5(vec_id); cid = rank in that order. The
+    // global sort-limit returns k rows (Spark plans TakeOrderedAndProject
+    // — no full sort materializes); the k-row window is driver-trivial.
+    val hw = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = e.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(hw) - 1).cast("long"))
+      .select(col("vec_id"), col("cid"))
+    val c1 = e.join(broadcast(seeds), "vec_id")
+      .select(col("cid"), col("v").as("cv"))
+      .withColumn("cc", dot("cv", "cv"))
+    // one Lloyd assignment: k-row broadcast against the vectors, then
+    // a partial-aggregating min(struct(score, cid)) per vec_id. Only
+    // (vec_id, cid, score) rows shuffle — never the vectors.
+    def assign(cents: DataFrame): DataFrame =
+      e.select(col("vec_id"), col("v"))
+        .join(broadcast(cents.withColumn("j", k0(col("cid")))),
+          k0(col("vec_id")) === col("j"))
+        .select(col("vec_id"), col("cid"),
+          (col("cc") - lit(2.0) * dot("v", "cv")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("sc"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.sc").as("sc"))
+    val a1 = assign(c1)
+    // centroid recompute: (cid, dim)-keyed decimal sums — 6-dp-rounded
+    // double components so the round-2 fold replays in DuckDB.
+    val c2 = e.join(a1.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(emb(col("col"))).cast(DecimalType(38, 12)).as("sv"))
+      .withColumn("m", round(col("sv").cast("double") / col("n"), 6))
+      .groupBy(col("cid"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cc", dot("cv", "cv"))
+    val a2 = assign(c2)
+    val fin = e.join(a2, "vec_id")
+      .select(col("cid"), col("label"),
+        round(col("xx") + col("sc"), 6).cast(DecimalType(20, 6)).as("d2"))
+      .pipe(ScratchCache.cache)
+    val sizes = fin.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2")).cast(DecimalType(38, 6)).cast("double"), 6)
+          .as("inertia"))
+    val lw = Window.partitionBy(col("cid"))
+      .orderBy(col("nl").desc, col("label").asc)
+    val top = fin.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("nl"))
+      .withColumn("rk", row_number().over(lw))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("label").as("top_label"),
+        col("nl").as("n_top"))
+    sizes.join(top, "cid")
+      .select(col("cid"), col("n_vecs"), col("top_label"),
+        col("n_top"), col("inertia"))
+      .orderBy(col("cid"))
+  }
 }

@@ -2389,6 +2389,55 @@ object OracleSql {
         |CAST(MAX(gap) AS BIGINT) AS max_gap_us
         |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // full Lloyd replay: seeds by md5 order, both assignment rounds'
+    // scores via list_dot_product (≡ Spark's sequential zip_with fold,
+    // the q_sim_cosine_topk bit-match idiom), centroid means through
+    // DECIMAL(25,12) sums rounded to 6 dp before re-entering the fold,
+    // inertia as a DECIMAL(38,6) sum of 6-dp-rounded row distances
+    "q_emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                   CAST(embedding AS DOUBLE[])) AS xx
+        |  FROM embeddings),
+        |s0 AS (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid
+        |  FROM s0),
+        |c1 AS (SELECT s.cid, e.v AS cv, list_dot_product(e.v, e.v) AS cc
+        |  FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+        |p1 AS (SELECT e.vec_id, c.cid,
+        |  c.cc - 2.0 * list_dot_product(e.v, c.cv) AS sc FROM e, c1 c),
+        |a1 AS (SELECT vec_id, cid, sc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sc, cid) AS rk FROM p1) WHERE rk = 1),
+        |m AS (SELECT a.cid, dims.dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.v[CAST(dims.dim AS INT)] AS DECIMAL(25,12)))
+        |    AS DECIMAL(38,12)) AS sv
+        |  FROM a1 a JOIN e ON e.vec_id = a.vec_id,
+        |  (SELECT unnest(range(1, 65)) AS dim) dims
+        |  GROUP BY a.cid, dims.dim),
+        |c2 AS (SELECT cid, list(ROUND(CAST(sv AS DOUBLE) / n, 6)
+        |    ORDER BY dim) AS cv FROM m GROUP BY cid),
+        |c2c AS (SELECT cid, cv, list_dot_product(cv, cv) AS cc FROM c2),
+        |p2 AS (SELECT e.vec_id, c.cid,
+        |  c.cc - 2.0 * list_dot_product(e.v, c.cv) AS sc FROM e, c2c c),
+        |a2 AS (SELECT vec_id, cid, sc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sc, cid) AS rk FROM p2) WHERE rk = 1),
+        |fin AS (SELECT a.cid, e.label,
+        |  CAST(ROUND(e.xx + a.sc, 6) AS DECIMAL(20,6)) AS d2
+        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id),
+        |sz AS (SELECT cid, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(CAST(SUM(d2) AS DECIMAL(38,6)) AS DOUBLE), 6) AS inertia
+        |  FROM fin GROUP BY cid),
+        |tl AS (SELECT cid, label AS top_label, nl AS n_top FROM (
+        |  SELECT cid, label, COUNT(*) AS nl, row_number() OVER (
+        |    PARTITION BY cid ORDER BY COUNT(*) DESC, label) AS rk
+        |  FROM fin GROUP BY cid, label) WHERE rk = 1)
+        |SELECT sz.cid, sz.n_vecs, tl.top_label, tl.n_top, sz.inertia
+        |FROM sz JOIN tl ON sz.cid = tl.cid ORDER BY sz.cid""".stripMargin,
+
     // one-pass Gram state vs the naive pair self-join: the oracle
     // recomputes every Σq(i)q(j) from scratch — integer-exact, so any
     // buffer-layout or merge error in the Aggregator breaks the match;

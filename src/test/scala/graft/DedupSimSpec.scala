@@ -415,4 +415,55 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).sorted.toSeq ==
       out2.map(_.toString).sorted.toSeq)
   }
+
+  test("emb kmeans: planted separated clusters recovered pure, " +
+      "inertia jitter-bounded, repartition-invariant") {
+    val dim = 64
+    // Plant 3 tight clusters 20 apart. Seeds are the k smallest
+    // md5(vec_id) ids, so compute the md5 order HERE and put the
+    // first three ids in DISTINCT clusters — each cluster then owns
+    // exactly one seed and 2-round Lloyd must recover the planting.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Int): String =
+      md.digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val ids = (0 until 30).toVector
+    val byH = ids.sortBy(i => (h(i), i))
+    val anchor = byH.take(3).zipWithIndex.toMap // id -> cluster
+    val rest = ids.filterNot(anchor.contains)
+    val clusterOf: Map[Int, Int] =
+      anchor ++ rest.zipWithIndex.map { case (id, ix) =>
+        // keep counts balanced at 10 per cluster
+        id -> (ix % 3)
+      }
+    val centers = Array(
+      Array.tabulate(dim)(i => if (i == 0) 20.0f else 0.0f),
+      Array.tabulate(dim)(i => if (i == 1) 20.0f else 0.0f),
+      Array.tabulate(dim)(i => if (i == 2) 20.0f else 0.0f))
+    val vecs = ids.map { id =>
+      val c = clusterOf(id)
+      val arr = centers(c).clone()
+      // deterministic jitter ≤ 0.06 per coordinate
+      (0 until dim).foreach { i =>
+        arr(i) = arr(i) + (((id * 31 + i * 7) % 13) - 6) / 100.0f
+      }
+      (id.toLong, c, arr)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = DedupSim.embKmeansOn(df, k = 3).collect()
+    ScratchCache.releaseAll()
+    assert(out.length == 3, out.mkString("; "))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 10L, r.toString)
+      assert(r.getAs[Long]("n_top") == 10L, r.toString) // pure cluster
+      // inertia ≤ 30 rows × 64 dims × (jitter 0.06 + mean shift)²
+      assert(r.getAs[Double]("inertia") < 10.0, r.toString)
+    }
+    // the 3 majority labels are the 3 planted clusters
+    assert(out.map(_.getAs[Int]("top_label")).toSet == Set(0, 1, 2))
+    val out2 = DedupSim.embKmeansOn(df.repartition(7), k = 3).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).sorted.toSeq ==
+      out2.map(_.toString).sorted.toSeq)
+  }
 }
