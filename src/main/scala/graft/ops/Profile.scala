@@ -130,4 +130,110 @@ object Profile {
         min(col("mn")).as("min_num"), max(col("mx")).as("max_num"))
       .orderBy(col("col_name"))
   }
+
+  /** q_validate_rules — declarative data-quality expectations engine
+    * (r12): a 13-rule contract over orders/lineitem/customer evaluated
+    * in one report — not_null, accepted_values, range, key uniqueness
+    * and cross-table referential integrity — each rule a row of
+    * (n_rows, n_viol, viol_rate, pass/fail). The "expectations" pass a
+    * 100 TB warehouse gates every load on (and the reference's
+    * per-source QC counters generalized to reusable rule kinds).
+    *
+    * Plan contract: ALL row-local rules for a table fold into ONE scan
+    * of it (conditional-sum partials collapse map-side; the 1-row
+    * aggregate then explodes into that table's rule rows) — 3 scans
+    * for 9 row-local rules, not 9. Uniqueness rules are dedicated
+    * count-distinct branches (kept OUT of the shared scan: mixing
+    * distinct and conditional aggregates would make Catalyst plan an
+    * Expand that multiplies the scan output — the q_profile_table
+    * lesson). Referential rules are broadcast LEFT joins against the
+    * distinct parent key, violations and totals counted in the same
+    * pass. Everything lands as a ≤13-row union — wire cost is the
+    * scans, never the report.
+    *
+    * The planted expectations are deliberately a mix: r05/r06/r08/r10
+    * FAIL on the shipped testdata (oversized quantities, deep
+    * discounts, duplicate (l_orderkey, l_linenumber) pairs — the
+    * documented non-unique key — and negative balances), the rest
+    * pass; both branches of the status logic are therefore
+    * oracle-exercised. */
+  def validateRules(s: SparkSession, d: String): DataFrame =
+    validateRulesOn(Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d))
+
+  /** Core of q_validate_rules over orders/lineitem/customer frames. */
+  def validateRulesOn(ord: DataFrame, li: DataFrame,
+      cust: DataFrame): DataFrame = {
+    def ruleRow(id: String, tbl: String, rule: String, n: Column,
+        v: Column): Column =
+      struct(lit(id).as("rule_id"), lit(tbl).as("tbl"),
+        lit(rule).as("rule"), n.cast("long").as("n_rows"),
+        v.cast("long").as("n_viol"))
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // one scan per table: every row-local rule is a conditional sum
+    val oRules = ord.agg(count(lit(1)).as("n"),
+        viol(col("o_custkey").isNull).as("v1"),
+        viol(!col("o_orderstatus").isin("F", "O", "P")).as("v2"),
+        viol(col("o_totalprice") <= 0d).as("v3"))
+      .select(explode(array(
+        ruleRow("r01", "orders", "not_null:o_custkey", col("n"), col("v1")),
+        ruleRow("r02", "orders", "accepted:o_orderstatus", col("n"), col("v2")),
+        ruleRow("r03", "orders", "range:o_totalprice>0", col("n"), col("v3"))
+      )).as("r"))
+    val lRules = li.agg(count(lit(1)).as("n"),
+        viol(col("l_quantity") > 45d).as("v1"),
+        viol(col("l_discount") > 0.08d).as("v2"),
+        viol(col("l_shipdate").isNull).as("v3"))
+      .select(explode(array(
+        ruleRow("r05", "lineitem", "range:l_quantity<=45", col("n"), col("v1")),
+        ruleRow("r06", "lineitem", "range:l_discount<=0.08", col("n"), col("v2")),
+        ruleRow("r07", "lineitem", "not_null:l_shipdate", col("n"), col("v3"))
+      )).as("r"))
+    val cRules = cust.agg(count(lit(1)).as("n"),
+        viol(col("c_name").isNull).as("v1"),
+        viol(col("c_acctbal") < 0d).as("v2"),
+        viol(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+          "FURNITURE", "HOUSEHOLD", "MACHINERY")).as("v3"))
+      .select(explode(array(
+        ruleRow("r09", "customer", "not_null:c_name", col("n"), col("v1")),
+        ruleRow("r10", "customer", "range:c_acctbal>=0", col("n"), col("v2")),
+        ruleRow("r11", "customer", "accepted:c_mktsegment", col("n"), col("v3"))
+      )).as("r"))
+    // uniqueness: dedicated distinct branches (violations = excess rows)
+    val oUniq = ord.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd"))
+      .select(ruleRow("r04", "orders", "unique:o_orderkey",
+        col("n"), col("n") - col("nd")).as("r"))
+    val lUniq = li.agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
+      .select(ruleRow("r08", "lineitem", "unique:l_orderkey,l_linenumber",
+        col("n"), col("n") - col("nd")).as("r"))
+    // referential integrity: broadcast LEFT join against the distinct
+    // parent key — total and orphan count in the same pass. A NULL
+    // child key is NOT an orphan (that is the not_null rule's charge;
+    // SQL FK semantics ignore NULLs).
+    val oFk = ord.join(
+        broadcast(cust.select(col("c_custkey")).distinct()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        viol(col("o_custkey").isNotNull && col("c_custkey").isNull).as("v"))
+      .select(ruleRow("r12", "orders", "fk:o_custkey->customer.c_custkey",
+        col("n"), col("v")).as("r"))
+    val lFk = li.join(
+        broadcast(ord.select(col("o_orderkey").as("pk")).distinct()),
+        col("l_orderkey") === col("pk"), "left")
+      .agg(count(lit(1)).as("n"),
+        viol(col("l_orderkey").isNotNull && col("pk").isNull).as("v"))
+      .select(ruleRow("r13", "lineitem", "fk:l_orderkey->orders.o_orderkey",
+        col("n"), col("v")).as("r"))
+    Seq(oRules, lRules, cRules, oUniq, lUniq, oFk, lFk)
+      .reduce(_.unionAll(_))
+      .select(col("r.*"))
+      .select(col("rule_id"), col("tbl"), col("rule"), col("n_rows"),
+        col("n_viol"),
+        round(col("n_viol").cast("double") / col("n_rows"), 6)
+          .as("viol_rate"),
+        when(col("n_viol") === 0, "pass").otherwise("fail").as("status"))
+      .orderBy(col("rule_id"))
+  }
 }

@@ -3105,6 +3105,66 @@ object OracleSql {
     // Exact per-column profile; one SELECT per column UNION ALL'd (the
     // DuckDB twin of the melt — COUNT(DISTINCT c) counts native values,
     // Spark counts their injective string images; same cardinality).
+    // 13-rule expectations report: every rule a scalar aggregate (or
+    // distinct / left-join count) DuckDB replays directly; UNION ALL
+    // mirrors the Spark explode+union assembly row for row
+    "q_validate_rules" ->
+      """WITH r AS (
+        |SELECT 'r01' AS rule_id, 'orders' AS tbl,
+        |  'not_null:o_custkey' AS rule, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_viol
+        |FROM orders
+        |UNION ALL SELECT 'r02', 'orders', 'accepted:o_orderstatus',
+        |  COUNT(*),
+        |  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+        |FROM orders
+        |UNION ALL SELECT 'r03', 'orders', 'range:o_totalprice>0',
+        |  COUNT(*), SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |FROM orders
+        |UNION ALL SELECT 'r04', 'orders', 'unique:o_orderkey',
+        |  COUNT(*), COUNT(*) - COUNT(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL SELECT 'r05', 'lineitem', 'range:l_quantity<=45',
+        |  COUNT(*), SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |FROM lineitem
+        |UNION ALL SELECT 'r06', 'lineitem', 'range:l_discount<=0.08',
+        |  COUNT(*), SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+        |FROM lineitem
+        |UNION ALL SELECT 'r07', 'lineitem', 'not_null:l_shipdate',
+        |  COUNT(*), SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |FROM lineitem
+        |UNION ALL SELECT 'r08', 'lineitem', 'unique:l_orderkey,l_linenumber',
+        |  COUNT(*), COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |FROM lineitem
+        |UNION ALL SELECT 'r09', 'customer', 'not_null:c_name',
+        |  COUNT(*), SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |FROM customer
+        |UNION ALL SELECT 'r10', 'customer', 'range:c_acctbal>=0',
+        |  COUNT(*), SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |FROM customer
+        |UNION ALL SELECT 'r11', 'customer', 'accepted:c_mktsegment',
+        |  COUNT(*), SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE',
+        |    'BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+        |    THEN 1 ELSE 0 END)
+        |FROM customer
+        |UNION ALL SELECT 'r12', 'orders', 'fk:o_custkey->customer.c_custkey',
+        |  COUNT(*), SUM(CASE WHEN o.o_custkey IS NOT NULL
+        |    AND c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |FROM orders o LEFT JOIN
+        |  (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o.o_custkey = c.c_custkey
+        |UNION ALL SELECT 'r13', 'lineitem', 'fk:l_orderkey->orders.o_orderkey',
+        |  COUNT(*), SUM(CASE WHEN l.l_orderkey IS NOT NULL
+        |    AND o.pk IS NULL THEN 1 ELSE 0 END)
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT DISTINCT o_orderkey AS pk FROM orders) o
+        |  ON l.l_orderkey = o.pk)
+        |SELECT rule_id, tbl, rule, CAST(n_rows AS BIGINT) AS n_rows,
+        |CAST(n_viol AS BIGINT) AS n_viol,
+        |ROUND(CAST(n_viol AS DOUBLE) / n_rows, 6) AS viol_rate,
+        |CASE WHEN n_viol = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY rule_id""".stripMargin,
+
     "q_profile_table" -> {
       val planted =
         """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,

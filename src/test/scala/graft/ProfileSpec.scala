@@ -83,4 +83,57 @@ class ProfileSpec extends GraftSuite {
     assert(byName("l_shipdate").getAs[Double]("min_num") > 0)
     assert(byName("l_linestatus").isNullAt(rows.head.fieldIndex("min_num")))
   }
+
+  test("validateRulesOn: every rule kind fires exactly on planted " +
+      "violations and the report is repartition-invariant") {
+    import spark.implicits._
+    // orders: one NULL custkey (r01), one bad status (r02), one
+    // non-positive price (r03), one duplicated orderkey (r04), one
+    // orphan custkey 99 (r12)
+    val ord = Seq(
+      (1L, Option(10L), "F", 100.0),
+      (1L, Option(11L), "O", 50.0),  // dup orderkey
+      (2L, None, "P", 75.0),         // null custkey
+      (3L, Option(10L), "X", 20.0),  // bad status
+      (4L, Option(99L), "F", 0.0)    // orphan fk + price <= 0
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // lineitem: qty 46 (r05), discount 0.09 (r06), null shipdate (r07),
+    // duplicate (orderkey, linenumber) (r08), orphan orderkey 9 (r13)
+    val li = Seq(
+      (1L, 1, 46.0, 0.00, Option(java.sql.Date.valueOf("2024-01-01"))),
+      (1L, 2, 10.0, 0.09, Option(java.sql.Date.valueOf("2024-01-02"))),
+      (1L, 2, 10.0, 0.00, None), // dup key + null shipdate
+      (9L, 1, 5.0, 0.01, Option(java.sql.Date.valueOf("2024-01-03")))
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+      "l_shipdate")
+    // customer: null name (r09), negative balance (r10), bad segment (r11)
+    val cust = Seq(
+      (10L, Option("alice"), 5.0, "BUILDING"),
+      (11L, None, -2.0, "MACHINERY"),    // null name + negative
+      (12L, Option("carol"), 1.0, "BOATS") // bad segment
+    ).toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val out = Profile.validateRulesOn(ord, li, cust).collect()
+    assert(out.length == 13)
+    val v = out.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_viol"),
+        r.getAs[String]("status")))).toMap
+    assert(v("r01") == ((5L, 1L, "fail")))
+    assert(v("r02") == ((5L, 1L, "fail")))
+    assert(v("r03") == ((5L, 1L, "fail")))
+    assert(v("r04") == ((5L, 1L, "fail"))) // 5 rows, 4 distinct keys
+    assert(v("r05") == ((4L, 1L, "fail")))
+    assert(v("r06") == ((4L, 1L, "fail")))
+    assert(v("r07") == ((4L, 1L, "fail")))
+    assert(v("r08") == ((4L, 1L, "fail")))
+    assert(v("r09") == ((3L, 1L, "fail")))
+    assert(v("r10") == ((3L, 1L, "fail")))
+    assert(v("r11") == ((3L, 1L, "fail")))
+    assert(v("r12") == ((5L, 1L, "fail"))) // custkey 99 orphaned
+    assert(v("r13") == ((4L, 1L, "fail"))) // orderkey 9 orphaned
+    // a clean child passes fk: rate 0 and status pass come through
+    val out2 = Profile.validateRulesOn(ord.repartition(5),
+      li.repartition(3), cust.repartition(2)).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      out2.map(_.toString).sorted.toSeq)
+  }
 }
