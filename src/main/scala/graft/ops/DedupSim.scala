@@ -1205,9 +1205,11 @@ object DedupSim {
       .select(col("label"), col("n_vecs"),
         round(col("sp").cast("double") / col("n_vecs"), 6)
           .as("proj_mean"),
-        round(sqrt((col("spp").cast("double")
-          - col("sp").cast("double") * col("sp").cast("double")
-            / col("n_vecs")) / (col("n_vecs") - 1)), 6).as("proj_sd"),
+        when(col("n_vecs") > 1,
+          round(sqrt((col("spp").cast("double")
+            - col("sp").cast("double") * col("sp").cast("double")
+              / col("n_vecs")) / (col("n_vecs") - 1)), 6))
+          .as("proj_sd"),
         round(lit(lambda), 6).as("pc1_lambda"),
         round(lit(lambda / trace), 6).as("pc1_var_share"))
       .orderBy(col("label"))

@@ -566,7 +566,10 @@ object Multimodal {
       var p = pos + 8
       var done = false
       while (!done) {
+        require(p + 8 <= bytes.length, s"not a PNG frame at offset $pos")
         val len = be32(p)
+        require(len >= 0 && p + 12 + len <= bytes.length,
+          s"not a PNG frame at offset $pos")
         val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
           bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
         p += 12 + len // length + type + data + crc

@@ -1476,14 +1476,19 @@ object TextOps {
       }
       r += 1
     }
-    // final pass: accuracy + exact-decimal log-loss with the trained w
+    // final pass: accuracy + exact-decimal log-loss with the trained w.
+    // prob is clamped into [eps, 1-eps] before the log terms: a margin
+    // beyond |~37| saturates the sigmoid to exactly 0.0/1.0 in double,
+    // and 0 * log(0) = NaN would fail the ANSI cast to DECIMAL(28,14).
+    val eps = 1e-15
+    val probC = least(greatest(prob, lit(eps)), lit(1.0 - eps))
     val m = feats.agg(
       count(lit(1)).as("n"),
       sum(col("y").cast(D)).as("npos"),
       sum(((prob >= 0.5).cast("double") === col("y"))
         .cast("long")).as("ncorrect"),
-      sum((-(col("y") * log(prob) +
-        (lit(1.0) - col("y")) * log(lit(1.0) - prob))).cast(D))
+      sum((-(col("y") * log(probC) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - probC))).cast(D))
         .as("nll")).head()
     val n = m.getLong(0)
     val rows = Seq(

@@ -416,6 +416,26 @@ class DedupSimSpec extends GraftSuite {
       out2.map(_.toString).sorted.toSeq)
   }
 
+  test("emb pca: a single-vector label emits NULL proj_sd instead of " +
+      "an ANSI divide-by-zero") {
+    val dim = 64
+    val vecs = (0 until 9).map { v =>
+      val label = if (v == 0) "solo" else "bulk"
+      val arr = Array.tabulate(dim) { i =>
+        if (i == 0) (if (v % 2 == 0) 2.0f else -2.0f)
+        else (((v * 31 + i * 7) % 13) - 6) / 300.0f
+      }
+      (label, arr)
+    }
+    val out = DedupSim.embPcaOn(spark, vecs.toDF("label", "embedding"))
+      .collect()
+    ScratchCache.releaseAll()
+    val byLabel = out.map(r => r.getString(0) -> r).toMap
+    assert(byLabel("solo").getAs[Long]("n_vecs") == 1L)
+    assert(byLabel("solo").isNullAt(byLabel("solo").fieldIndex("proj_sd")))
+    assert(!byLabel("bulk").isNullAt(byLabel("bulk").fieldIndex("proj_sd")))
+  }
+
   test("emb kmeans: planted separated clusters recovered pure, " +
       "inertia jitter-bounded, repartition-invariant") {
     val dim = 64

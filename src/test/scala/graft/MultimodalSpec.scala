@@ -226,6 +226,26 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("png container parse rejects truncated / corrupt payloads with " +
+      "the named diagnostic, never an index error") {
+    val good = Multimodal.videoBytes(14L)
+    // truncated mid-chunk: the walk must fail the bounds require, not AIOOBE
+    val trunc = java.util.Arrays.copyOfRange(good, 0, good.length - 6)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.splitPngFrames(trunc)
+    }
+    assert(e1.getMessage.contains("not a PNG frame"))
+    // corrupt length field: 0xFFFFFFFF is negative as be32 -> must not
+    // walk backward into an infinite loop
+    val corrupt = good.clone()
+    corrupt(8) = 0xff.toByte; corrupt(9) = 0xff.toByte
+    corrupt(10) = 0xff.toByte; corrupt(11) = 0xff.toByte
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.splitPngFrames(corrupt)
+    }
+    assert(e2.getMessage.contains("not a PNG frame"))
+  }
+
   test("frame sampling keeps every 4th frame only") {
     import org.apache.spark.sql.functions.sum
     val sampled = Multimodal.frameSample(spark, sf)
