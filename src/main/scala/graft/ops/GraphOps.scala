@@ -1203,6 +1203,121 @@ object GraphOps {
           .as("modularity"))
   }
 
+  /** q_graph_louvain — ONE-LEVEL LOUVAIN MOVE PASS (Blondel et al.
+    * 2008, level 1) maximizing the Newman modularity that
+    * q_graph_modularity scores (r13): starting from SINGLETON
+    * communities, 4 unrolled synchronous move rounds — each node
+    * evaluates, for every community adjacent to it (plus staying put),
+    * the EXACT-INTEGER modularity gain and adopts the argmax. Wire:
+    * ONE row (n_nodes, n_edges, n_communities, n_moved, q_start,
+    * q_louvain) — q_start is the singleton-partition modularity
+    * (−Σdeg²/4m², the floor the move pass must beat) and
+    * q_louvain ≥ q_start is additionally asserted in GraphOpsSpec
+    * (planted two-clique fixture recovers the cliques exactly).
+    *
+    * EXACTNESS / DETERMINISM (the whole key is oracle-checked): the
+    * per-candidate gain is compared through the scaled integer
+    * 2m·k_{i,c} − k_i·(Σtot_c − [c = cur]·k_i) — every term an exact
+    * DECIMAL(38,0) product of integer counts, so no float enters a
+    * comparison; the winner is max(struct(gain, is_current, −c)) —
+    * highest gain, then prefer staying, then smallest community id —
+    * and ONLY the active half of the nodes ((p div 4) parity matching
+    * the round parity; all part-node ids here are ≡0 mod 4) applies
+    * its move each round, the deterministic half-graph coloring that
+    * stops the classic synchronous two-node swap oscillation.
+    *
+    * Scale shape: per round one broadcast-sized label join against the
+    * checkpointed sym edges (the LPA round contract), one (u, lab)
+    * neighbor-community count, one |labels|-sized community-degree
+    * agg, and a per-node argmax — no data-sized exchange beyond the
+    * LPA precedent; rounds are localCheckpoint-truncated so the plan
+    * never re-derives round k−1. The m2 scalar is one count job. */
+  def louvain(s: SparkSession, d: String): DataFrame =
+    louvainOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_louvain over any (o, p) membership frame. */
+  def louvainOn(membership: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    def trunc(df: DataFrame): DataFrame = {
+      val t = df.localCheckpoint(false)
+      ScratchCache.defer(() => unpersistCheckpoint(t))
+      t
+    }
+    val sym = trunc(ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")))
+    val deg = ScratchCache.cache(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
+    val m2 = sym.count() // 2m, one scalar count job
+    val D = DecimalType(38, 0)
+    var lab = deg.select(col("u").as("node"), col("u").as("lab"))
+    for (r <- 1 to 4) {
+      val ctot = lab.join(deg, lab("node") === deg("u"))
+        .groupBy(col("lab")).agg(sum(col("dg")).as("tot"))
+        .select(col("lab").as("c"), col("tot"))
+      val nbr = sym
+        .join(lab.select(col("node").as("v"), col("lab").as("c")), "v")
+        .groupBy(col("u"), col("c")).agg(count(lit(1)).as("kuc"))
+      // candidate set = adjacent communities ∪ the node's own (kuc=0
+      // when no neighbor shares it — the singleton-start case)
+      val cand = nbr.unionByName(
+          lab.select(col("node").as("u"), col("lab").as("c"),
+            lit(0L).as("kuc")))
+        .groupBy(col("u"), col("c")).agg(max(col("kuc")).as("kuc"))
+      val winner = cand
+        .join(lab.select(col("node").as("u"), col("lab").as("cur")), "u")
+        .join(broadcast(ctot), "c")
+        .join(deg, "u")
+        .select(col("u"), col("cur"), col("c"),
+          ((lit(m2).cast(D) * col("kuc").cast(D)).cast(D)
+            - (col("dg").cast(D) *
+              (col("tot") - when(col("c") === col("cur"), col("dg"))
+                .otherwise(lit(0L))).cast(D)).cast(D)).cast(D).as("gain"),
+          when(col("c") === col("cur"), 1L).otherwise(0L).as("is_cur"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("gain"), col("is_cur"),
+          (col("c") * -1).as("nc"))).as("w"))
+        .select(col("u").as("node"), (col("w.nc") * -1).as("best"))
+      lab = trunc(lab.join(winner, "node")
+        .select(col("node"),
+          when(expr("(node div 4) % 2") === lit(r % 2), col("best"))
+            .otherwise(col("lab")).as("lab")))
+    }
+    // score start (singletons: i2 = 0) and final partitions
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val lu = lab.select(col("node").as("u"), col("lab").as("lab_u"))
+    val lv = lab.select(col("node").as("v"), col("lab").as("lab_v"))
+    val em = sym.join(lu, "u").join(lv, "v")
+      .agg(sum(when(col("lab_u") === col("lab_v"), 1L).otherwise(0L))
+        .as("i2"))
+      .withColumn("jk", k0(col("i2")))
+    val dc = deg.join(lu, "u")
+      .groupBy(col("lab_u")).agg(sum(col("dg")).as("degc"))
+    val fin = dc.agg(count(lit(1)).as("n_communities"),
+        sum((col("degc").cast(D) * col("degc")).cast(D)).as("sumdeg2"))
+      .withColumn("jk", k0(col("n_communities")))
+    val start = deg.agg(count(lit(1)).as("n_nodes"),
+        sum((col("dg").cast(D) * col("dg")).cast(D)).as("sumdg2"))
+      .withColumn("jk", k0(col("n_nodes")))
+    val moved = lab.filter(col("node") =!= col("lab"))
+      .agg(count(lit(1)).as("n_moved")).withColumn("jk", k0(col("n_moved")))
+    em.join(broadcast(fin), "jk").join(broadcast(start), "jk")
+      .join(broadcast(moved), "jk")
+      .select(col("n_nodes"), lit(m2 / 2).as("n_edges"),
+        col("n_communities"), col("n_moved"),
+        round(lit(0.0) - col("sumdg2").cast("double")
+          / (lit(m2).cast("double") * lit(m2).cast("double")), 6)
+          .as("q_start"),
+        round(col("i2").cast("double") / lit(m2).cast("double")
+          - col("sumdeg2").cast("double")
+            / (lit(m2).cast("double") * lit(m2).cast("double")), 6)
+          .as("q_louvain"))
+  }
+
   /** q_graph_assortativity — DEGREE ASSORTATIVITY (Newman 2002) of
     * the undirected co-purchase graph (r12): the Pearson correlation
     * of (deg u, deg v) over every directed edge of the symmetric edge

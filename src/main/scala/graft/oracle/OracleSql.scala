@@ -897,6 +897,28 @@ object OracleSql {
         |ORDER BY degree DESC, ntype, node LIMIT 20""".stripMargin,
 
     // ---- §2.9 dedup / similarity / text ----
+    "q_dedup_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, source, text || ' rev2' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, source, text || ' rev2' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |idx AS (SELECT DISTINCT md5(text) AS sig FROM documents),
+        |sgn AS (SELECT doc_id, source, md5(text) AS sig FROM batch),
+        |led AS (
+        |  SELECT s.doc_id, s.source,
+        |    CASE WHEN i.sig IS NOT NULL THEN 'dup_index'
+        |         WHEN s.doc_id <> MIN(s.doc_id) OVER (PARTITION BY s.sig)
+        |           THEN 'dup_batch'
+        |         ELSE 'kept' END AS decision
+        |  FROM sgn s LEFT JOIN idx i ON s.sig = i.sig)
+        |SELECT doc_id, source, decision FROM led
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT source, COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(text)) AS n_distinct,
@@ -3293,6 +3315,65 @@ object OracleSql {
     // chain + three exact-integer aggregates; Q is one shared double
     // expression over exact inputs (HUGEINT/DECIMAL sums), so both
     // engines agree bit-for-bit
+    "q_graph_louvain" -> {
+      val rounds = 4
+      val base =
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+          |  JOIN op b ON a.o = b.o AND a.p < b.p),
+          |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          |deg AS MATERIALIZED (SELECT u, COUNT(*) AS dg FROM s0 GROUP BY u),
+          |m AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM s0),
+          |l0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM deg)""".stripMargin
+      val ctes = (1 to rounds).map { k =>
+        s"""ct$k AS (SELECT l.lab AS c, SUM(d.dg) AS tot FROM l${k - 1} l
+           |  JOIN deg d ON l.node = d.u GROUP BY 1),
+           |cd$k AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+           |  SELECT s0.u, l.lab AS c, COUNT(*) AS kuc FROM s0
+           |    JOIN l${k - 1} l ON s0.v = l.node GROUP BY 1, 2
+           |  UNION ALL SELECT node AS u, lab AS c, 0 AS kuc FROM l${k - 1})
+           |  GROUP BY 1, 2),
+           |wn$k AS (SELECT u, c AS best FROM (
+           |  SELECT cd.u, cd.c,
+           |    ROW_NUMBER() OVER (PARTITION BY cd.u ORDER BY
+           |      (CAST(m.m2 AS HUGEINT) * cd.kuc
+           |       - CAST(d.dg AS HUGEINT)
+           |         * (ct.tot - CASE WHEN cd.c = l.lab THEN d.dg ELSE 0 END))
+           |        DESC,
+           |      CASE WHEN cd.c = l.lab THEN 1 ELSE 0 END DESC,
+           |      cd.c ASC) AS rk
+           |  FROM cd$k cd JOIN l${k - 1} l ON cd.u = l.node
+           |    JOIN ct$k ct ON cd.c = ct.c
+           |    JOIN deg d ON cd.u = d.u CROSS JOIN m)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (SELECT l.node,
+           |  CASE WHEN (l.node // 4) % 2 = ${k % 2} THEN w.best
+           |    ELSE l.lab END AS lab
+           |  FROM l${k - 1} l JOIN wn$k w ON l.node = w.u)""".stripMargin
+      }
+      (base +: ctes).mkString("", ",\n", ",\n") +
+        s"""dc AS (SELECT l.lab AS lab_u, SUM(d.dg) AS degc FROM deg d
+           |  JOIN l$rounds l ON d.u = l.node GROUP BY 1),
+           |em AS (SELECT SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS i2
+           |  FROM s0 JOIN l$rounds a ON s0.u = a.node
+           |  JOIN l$rounds b ON s0.v = b.node)
+           |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           |CAST((SELECT m2 FROM m) // 2 AS BIGINT) AS n_edges,
+           |(SELECT COUNT(*) FROM dc) AS n_communities,
+           |(SELECT COUNT(*) FROM l$rounds WHERE node <> lab) AS n_moved,
+           |ROUND(0.0 - CAST((SELECT SUM(CAST(dg AS HUGEINT) * dg) FROM deg)
+           |    AS DOUBLE)
+           |  / (CAST((SELECT m2 FROM m) AS DOUBLE) * (SELECT m2 FROM m)), 6)
+           |  AS q_start,
+           |ROUND(CAST(i2 AS DOUBLE) / (SELECT m2 FROM m)
+           |  - CAST((SELECT SUM(CAST(degc AS HUGEINT) * degc) FROM dc)
+           |      AS DOUBLE)
+           |    / (CAST((SELECT m2 FROM m) AS DOUBLE) * (SELECT m2 FROM m)), 6)
+           |  AS q_louvain
+           |FROM em""".stripMargin
+    },
+
     "q_graph_modularity" -> {
       val rounds = 4
       val base =

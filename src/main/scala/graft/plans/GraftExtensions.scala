@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseRedundantCase)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
   }
 }
 
@@ -63,11 +64,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1))))
 
+  /** `dot_product(array<double>, array<double>) -> double` — the
+    * codegen sibling for k-means / IVF scoring (left-to-right fold,
+    * bit-exact with the HOF formulation and DuckDB). */
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+    arity("dot_product", 2)(c => graft.functions.DotProduct(c(0), c(1))))
+
   /** Runtime registration for an existing session (tests, notebooks). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      arity("dot_product", 2)(c => graft.functions.DotProduct(c(0), c(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min_est",

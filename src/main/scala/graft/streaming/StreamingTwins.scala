@@ -113,6 +113,51 @@ class FunnelStagesProcessor
   }
 }
 
+/** transformWithState port of [[StreamingTwins.attributionCredits]]
+  * (r13 migration — the first twin that NEEDS the new API): the same
+  * last-touch credit logic, with the carried TouchState in an explicit
+  * ValueState that can take a DECLARATIVE TTL. A marketing-attribution
+  * deployment does not credit a touch forever — "a click older than N
+  * days earns nothing" — and under flatMapGroupsWithState that policy
+  * is hand-rolled timeout bookkeeping (per-key timers + manual
+  * expiry-vs-data interleaving). Here it is one TTLConfig: the STORE
+  * evicts a touch not refreshed within the TTL, so a purchase arriving
+  * after expiry reads empty state and credits '(none)' with the
+  * first-event sentinel gap — no user code ever checks a clock.
+  * ttlMs <= 0 runs with TTLConfig.NONE and is row-identical to the
+  * flatMapGroupsWithState twin (A/B'd in StreamingSpec, the r12
+  * funnel-probe method); TTL eviction itself is spec'd with a
+  * microscopic TTL across two triggers. Requires RocksDB state store;
+  * TTL requires TimeMode.ProcessingTime. */
+class AttributionCreditsProcessor(ttlMs: Long = -1L)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String), (Long, String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[TouchState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TouchState]("touch_state",
+      Encoders.product[TouchState],
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    var s = Option(st.get()).getOrElse(TouchState("(none)", -1L))
+    val out = rows.toSeq.sortBy(r => (r._3, r._2))
+      .flatMap { case (_, _, us, et) =>
+        if (et != "purchase") { s = TouchState(et, us); None }
+        else Some((key, s.touchType, us,
+          if (s.touchUs < 0) Long.MinValue else us - s.touchUs))
+      }
+    st.update(s)
+    out.iterator
+  }
+}
+
 object StreamingTwins {
   private val D = DecimalType(12, 2)
 
@@ -377,6 +422,29 @@ object StreamingTwins {
           state.update(st)
           out.iterator
       }(Encoders.product[TouchState],
+        Encoders.product[(Long, String, Long, Long)])
+      .toDF("user_id", "touch_type", "purchase_us", "gap_us")
+  }
+
+  /** [[attributionCredits]] on the transformWithState API
+    * ([[AttributionCreditsProcessor]]) — r13 migration. ttlMs > 0
+    * turns on declarative state TTL (processing-time), the capability
+    * the old API could not express without hand-rolled timers;
+    * ttlMs <= 0 is row-identical to the flatMapGroupsWithState twin.
+    * Requires RocksDB state store. */
+  def attributionCreditsTws(events: DataFrame, ttlMs: Long = -1L)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)](
+        Encoders.product[(Long, Long, Long, String)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new AttributionCreditsProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime else TimeMode.None,
+        OutputMode.Append)(
         Encoders.product[(Long, String, Long, Long)])
       .toDF("user_id", "touch_type", "purchase_us", "gap_us")
   }

@@ -79,6 +79,51 @@ class AnnLshSpec extends GraftSuite {
       s"IVF recall below the small-sf floor at gen-sf1: ${(brute & ivf).size}/10")
   }
 
+  test("IVF quantizer is learned from vectors alone: recall floor " +
+      "holds on a constant-label corpus") {
+    // r13: the coarse quantizer is k-means (k-means|| seeded), so a
+    // corpus whose label column is constant — where the old per-label
+    // quantizer degenerated to ONE list and probing was meaningless —
+    // must still meet the same recall floor.
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", lit("x").as("label"), $"embedding")
+    val brute = DedupSim.simCosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = DedupSim.simAnnIvfOn(e, queryVecId = 0L).collect()
+      .map(_.getLong(0)).toSet
+    graft.ops.ScratchCache.releaseAll()
+    assert(ivf.size == 10)
+    assert((brute & ivf).size >= 3, s"recall too low: ${(brute & ivf).size}/10")
+  }
+
+  test("persisted IVF index: probe equals the in-memory search and the " +
+      "list scan is partition-pruned to nprobe directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // build (or reuse) the artifact, then probe from the re-read files
+    val viaIndex = DedupSim.simAnnIvfIndex(spark, sf)
+    val idxRows = viaIndex.collect().map(_.toSeq).toSeq
+    val memRows = DedupSim.simAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    graft.ops.ScratchCache.releaseAll()
+    assert(idxRows == memRows,
+      s"index probe diverged from in-memory search:\n$idxRows\n$memRows")
+    // plan assertion: the inverted-list scan carries a STATIC list_id
+    // partition filter and lists only nprobe=2 of the 10 directories
+    val scans = viaIndex.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lists"))
+      => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the lists")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("list_id")),
+      s"no list_id partition filter in: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned list directories, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
+    // and the artifact itself holds all 10 inverted lists
+    val all = spark.read.parquet(DedupSim.ivfIndexDir(sf) + "/lists")
+    assert(all.select($"list_id").distinct().count() == 10)
+  }
+
   test("IVF ANN recall vs brute force is substantial") {
     val brute = DedupSim.simCosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet

@@ -5,6 +5,64 @@ import graft.ops._
 class DedupSimSpec extends GraftSuite {
   import spark.implicits._
 
+  test("incremental dedup: admission against the standing index equals " +
+      "the from-scratch dedup, and the admission plan never rescans " +
+      "history") {
+    import org.apache.spark.sql.functions._
+    val hist = Seq(
+      (1L, "a", "alpha beta"), (2L, "a", "gamma delta"),
+      (3L, "b", "epsilon zeta"), (4L, "b", "eta theta"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (11L, "a", "gamma delta"),   // dup_index (hist 2)
+      (12L, "a", "new text one"),  // kept
+      (13L, "b", "new text two"),  // kept, then duplicated in-batch:
+      (14L, "b", "new text two"),  // dup_batch (13 first)
+      (15L, "b", "epsilon zeta"))  // dup_index (hist 3)
+      .toDF("doc_id", "source", "text")
+    val index = hist.select(md5(col("text")).as("sig")).distinct()
+    val admitted = DedupSim.dedupIncrAdmit(batch, index)
+    val got = admitted.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq(11L -> "dup_index", 12L -> "kept", 13L -> "kept",
+      14L -> "dup_batch", 15L -> "dup_index"))
+    // from-scratch equivalence: global first-wins dedup over
+    // history ∪ batch (history ids ordered before batch ids),
+    // restricted to the batch — kept there ⟺ kept incrementally
+    val scratch = hist.unionByName(batch)
+      .withColumn("sig", md5(col("text")))
+      .withColumn("first_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
+      .filter(col("doc_id") >= 11L)
+      .select(col("doc_id"),
+        (col("doc_id") === col("first_id")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    got.foreach { case (id, dec) =>
+      assert(scratch(id) == (dec == "kept"),
+        s"doc $id: incremental=$dec, from-scratch keep=${scratch(id)}")
+    }
+    // the admission ledger grows the index: admitting the SAME batch
+    // against index ∪ kept-sigs must re-classify every kept doc as
+    // dup_index (idempotent re-ingest)
+    val keptSigs = batch.join(admitted.filter(col("decision") === "kept")
+        .select(col("doc_id")), "doc_id")
+      .select(md5(col("text")).as("sig"))
+    val again = DedupSim.dedupIncrAdmit(batch,
+        index.unionByName(keptSigs).distinct())
+      .collect().map(r => r.getString(2)).toSet
+    assert(again == Set("dup_index"))
+    // and the REAL key's admission plan reads the bucketed index table,
+    // never the documents parquet, on the history side
+    val d = sf
+    DedupSim.dedupIncr(spark, d).collect() // builds the index table
+    val plan = DedupSim.dedupIncrAdmit(
+      DedupSim.dedupIncrBatch(Tables.documents(spark, d)),
+      spark.table("graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dedup_idx"),
+      "admission plan must scan the standing index table")
+  }
+
   test("near-dup finds planted exact duplicates (recall on dups = 1)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(

@@ -241,6 +241,36 @@ class GraphOpsSpec extends GraftSuite {
     assert(hist.toSeq == Seq((4L, 2L)))
   }
 
+  test("louvain: two planted cliques recovered exactly, modularity " +
+      "improves over the singleton start") {
+    import spark.implicits._
+    // two 4-cliques (one order each) joined by one bridge order; the
+    // move pass must merge each clique into one community: m = 13,
+    // 2m = 26, intra = 24/26, deg_A = deg_B = 13 ->
+    // Q = 24/26 - 2*169/676 = 0.423077, vs q_start = -sum(dg^2)/4m^2
+    val membership = (Seq.tabulate(4)(i => (1L, 10L + i)) ++
+      Seq.tabulate(4)(i => (2L, 20L + i)) ++
+      Seq((3L, 10L), (3L, 20L))).toDF("o", "p")
+    val r = GraphOps.louvainOn(membership).collect()
+    ScratchCache.releaseAll()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") == 8L)
+    assert(row.getAs[Long]("n_edges") == 13L)
+    assert(row.getAs[Long]("n_communities") == 2L, row.toString)
+    assert(row.getAs[Double]("q_louvain") == 0.423077, row.toString)
+    assert(row.getAs[Double]("q_louvain") > row.getAs[Double]("q_start"))
+  }
+
+  test("louvain: q_louvain >= q_start on the real co-purchase graph") {
+    val row = GraphOps.louvain(spark, sf).collect().head
+    ScratchCache.releaseAll()
+    assert(row.getAs[Double]("q_louvain") >= row.getAs[Double]("q_start"),
+      row.toString)
+    assert(row.getAs[Long]("n_communities") <= row.getAs[Long]("n_nodes"))
+    assert(row.getAs[Long]("n_moved") > 0L, row.toString)
+  }
+
   test("assortativity: star graph is perfectly disassortative, " +
       "degenerate equal-degree graph emits NULL") {
     import spark.implicits._

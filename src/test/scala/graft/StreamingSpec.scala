@@ -429,6 +429,88 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("attribution twin A/B: transformWithState port emits exactly the " +
+      "flatMapGroupsWithState rows (multi-trigger)") {
+    // r13 migration probe, the funnel-probe method: same planted log,
+    // same two-trigger split, BOTH stateful APIs — row-identical
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0),
+      Ev(4, ts("2024-01-01 09:00:00"), 2, "purchase", 0.0), // (none)
+      Ev(5, ts("2024-01-01 09:30:00"), 2, "view", 0.0),
+      Ev(6, ts("2024-01-01 09:30:00"), 2, "purchase", 0.0), // same-ts view
+      Ev(7, ts("2024-01-01 08:00:00"), 3, "error", 0.0),
+      Ev(8, ts("2024-01-01 08:30:00"), 3, "purchase", 0.0),
+      Ev(9, ts("2024-01-01 08:40:00"), 3, "purchase", 0.0))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : Set[(Long, String, Long, Long)] = {
+        val ms = MemoryStream[Ev]
+        val q = build(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (first, second) = log.partition(_.event_id <= 5)
+          ms.addData(first: _*); q.processAllAvailable()
+          ms.addData(second: _*); q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3))).toSet
+        } finally q.stop()
+      }
+      val viaFmgs = run("attab_fmgs", StreamingTwins.attributionCredits)
+      val viaTws = run("attab_tws",
+        df => StreamingTwins.attributionCreditsTws(df))
+      assert(viaTws == viaFmgs, s"tws=$viaTws fmgs=$viaFmgs")
+      assert(viaTws.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("attribution twin TTL: a stale touch is evicted by the store and " +
+      "a later purchase credits '(none)'") {
+    // the capability that NEEDS transformWithState: declarative state
+    // TTL. Touch in trigger 1, wait past the TTL, purchase in trigger
+    // 2 — the store must have evicted the touch (no user-code timers).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode schedules continuous no-data maintenance
+    // batches (TTL/timer advancement); with them on, the two-trigger
+    // memory-stream harness churns batches instead of idling
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      def run(ttlMs: Long, name: String): Map[Long, (String, Long)] = {
+        val ms = MemoryStream[Ev]
+        val q = StreamingTwins.attributionCreditsTws(ms.toDF(), ttlMs)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0))
+          q.processAllAvailable()
+          Thread.sleep(400) // comfortably past the 50 ms TTL
+          ms.addData(Ev(2, ts("2024-01-01 10:10:00"), 1, "purchase", 0.0))
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+            .toMap
+        } finally q.stop()
+      }
+      val expired = run(ttlMs = 50L, "attttl_on")
+      assert(expired(1L) == ("(none)", Long.MinValue), expired.toString)
+      // control: same timeline without TTL still credits the touch
+      val kept = run(ttlMs = -1L, "attttl_off")
+      assert(kept(1L)._1 == "click", kept.toString)
+      assert(kept(1L)._2 == 600L * 1000000L) // 10 min in µs
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("attribution batched twin: hot user (10k events in one trigger) " +
       "rides the window sort, credits match the batch report") {
     // ONE user floods a single trigger with 10k events — the case the
