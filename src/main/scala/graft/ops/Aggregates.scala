@@ -787,4 +787,53 @@ object Aggregates {
         expr("roaring_and_card(bm_p, bm)").as("n_retained"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** q_agg_countmin — COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005)
+    * point-frequency estimation, the guaranteed-overestimate sibling
+    * of the Misra–Gries [[aggFreqOn]] (which underestimates): d=4
+    * hash rows × w=64 counters, est(x) = min_i counter[i][h_i(x)] ≥
+    * true(x) always, E[overcount] ≤ 2N/w per row. Hashes are
+    * DETERMINISTIC affine maps h_i(x) = ((a_i·((x+1) mod p) + b_i)
+    * mod p) mod w with p = 2^31−1 — integer-exact in both engines, so
+    * unlike the xxhash-based native aggregate
+    * ([[graft.functions.CountMinEstimate]], the codegen'd production
+    * path, spec-bounded in CountMinSpec) this ledger is fully DuckDB-
+    * replayable and the oracle checks estimate VALUES, not just
+    * bounds. Scale shape: the sketch build is one posexplode(×d) +
+    * hash-agg with map-side combine down to ≤ d·w=256 partial rows
+    * per task — constant-size state at any input scale, and two
+    * sketches merge by (row, bucket) counter addition (spec-proved),
+    * the mergeability that makes it a per-shard → global rollup at
+    * 100 TB. Probes (suppkeys 1..15) broadcast against the sketch.
+    * Wire: (k, exact_cnt, cms_est, overcount) — overcount ≥ 0 is the
+    * CMS invariant, exact equality for lightly-loaded buckets. */
+  def aggCountMin(s: SparkSession, d: String): DataFrame =
+    aggCountMinOn(Tables.lineitem(s, d)
+      .select(col("l_suppkey").cast("long").as("x")))
+
+  /** Core of q_agg_countmin over any single-long-column (x) frame. */
+  def aggCountMinOn(xs: DataFrame): DataFrame = {
+    val p = 2147483647L // 2^31 − 1; a·((x+1) mod p) + b < 10^5·2^31 « 2^63
+    val w = 64L
+    val as = Seq(31L, 131L, 1031L, 10007L)
+    val bs = Seq(7L, 17L, 29L, 47L)
+    def bucket(i: Int, x: Column): Column =
+      pmod(pmod(lit(as(i)) * pmod(x + lit(1L), lit(p)) + lit(bs(i)), lit(p)),
+        lit(w))
+    val sketch = xs
+      .select(posexplode(array(as.indices.map(i => bucket(i, col("x"))): _*)))
+      .groupBy(col("pos").as("hrow"), col("col").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = xs.filter(col("x") <= 15)
+      .groupBy(col("x").as("k")).agg(count(lit(1)).as("exact_cnt"))
+    probes
+      .select(col("k"), col("exact_cnt"),
+        posexplode(array(as.indices.map(i => bucket(i, col("k"))): _*)))
+      .join(broadcast(sketch),
+        col("pos") === col("hrow") && col("col") === col("bkt"))
+      .groupBy(col("k"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("k"))
+  }
 }

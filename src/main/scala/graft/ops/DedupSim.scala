@@ -1630,4 +1630,128 @@ object DedupSim {
         col("n_top"), col("inertia"))
       .orderBy(col("cid"))
   }
+
+  /** q_emb_pq — PRODUCT QUANTIZATION codebook training (Jégou, Douze
+    * & Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): the 64-dim vectors split into m=4 contiguous 16-dim
+    * subspaces, each subspace k-means-quantized to k=4 codes → every
+    * vector compresses to m small codes (here 4×2 bits vs 64×4 bytes,
+    * a 256× storage cut — the memory trick that makes billion-vector
+    * ANN feasible; production uses m=8..64, k=256, same algebra).
+    * Training mirrors [[embKmeansOn]] EXACTLY (md5 sort-limit seeds,
+    * one Lloyd update with DECIMAL(25,12)-exact dim sums rounded to 6
+    * dp, reassign) but with `sub` added to every key — all m
+    * subspace trainings run in ONE plan, no per-subspace loop: the
+    * seed join, the k·m-row broadcast assign, the (sub, cid, dim)
+    * hash-agg update. Scale shape identical to kmeans: only (vec_id,
+    * sub, cid, score) rows ever shuffle, centroids stay broadcast to
+    * k·m ~ 10^5. The ADC search path (asymmetric distance: query vs
+    * per-code lookup tables) and the merge with the IVF lists rides
+    * in DedupSimSpec — recall-bounded vs brute force, the
+    * [[simAnnIvf]] discipline. Wire: per (sub, code) cell sizes and
+    * exact-decimal reconstruction error — the codebook quality
+    * ledger, fully DuckDB-replayable. */
+  def embPq(s: SparkSession, d: String): DataFrame =
+    embPqOn(Tables.embeddings(s, d), m = 4, k = 4)
+
+  /** PQ model shared by [[embPqOn]] and [[embPqAdcTopK]]: returns
+    * (subs, codebook, codes) — subs = cached (vec_id, sub, v, xx)
+    * slices, codebook = (sub, cid, cv, cc) after one Lloyd update,
+    * codes = (vec_id, sub, cid, sc) final assignments. */
+  private def embPqModel(embDf: DataFrame, m: Int,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val base = embDf.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("fv"))
+    // (vec_id, sub, v): one row per vector per subspace slice
+    val subs = ScratchCache.cache(base
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("fv"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(fv, 1 + CAST(sub * $sd AS INT), $sd)").as("v"))
+      .withColumn("xx", dot("v", "v")))
+    // k seed vectors by md5 order — the SAME seed rows feed every
+    // subspace (their per-subspace slices differ, so codebooks do too)
+    val hw = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = base.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(hw) - 1).cast("long"))
+      .select(col("vec_id"), col("cid"))
+    val c1 = subs.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("cid"), col("v").as("cv"))
+      .withColumn("cc", dot("cv", "cv"))
+    // assignment: m·k-row broadcast equi-join on sub, partial-agg min
+    def assign(cents: DataFrame): DataFrame =
+      subs.select(col("vec_id"), col("sub").as("sb"), col("v"))
+        .join(broadcast(cents), col("sb") === col("sub"))
+        .select(col("vec_id"), col("sb").as("sub"), col("cid"),
+          (col("cc") - lit(2.0) * dot("v", "cv")).as("sc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("sc"), col("cid"))).as("mn"))
+        .select(col("vec_id"), col("sub"),
+          col("mn.cid").as("cid"), col("mn.sc").as("sc"))
+    val a1 = assign(c1)
+    val c2 = subs.join(a1.select(col("vec_id"), col("sub"), col("cid")),
+        Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(emb(col("col"))).cast(DecimalType(38, 12)).as("sv"))
+      .withColumn("mv", round(col("sv").cast("double") / col("n"), 6))
+      .groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+        .as("cv"))
+      .withColumn("cc", dot("cv", "cv"))
+    val a2 = assign(c2)
+    (subs, c2, a2)
+  }
+
+  /** Core of q_emb_pq over any (vec_id, embedding) frame; dim must be
+    * divisible by m. */
+  def embPqOn(embDf: DataFrame, m: Int, k: Int): DataFrame = {
+    val (subs, _, codes) = embPqModel(embDf, m, k)
+    subs.join(codes, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"),
+        round(col("xx") + col("sc"), 6).cast(DecimalType(20, 6)).as("d2"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2")).cast(DecimalType(38, 6)).cast("double"), 6)
+          .as("recon_err"))
+      .orderBy(col("sub"), col("cid"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k search over the PQ
+    * codes — the Jégou et al. §IV search path: the query builds an
+    * m·k LOOKUP TABLE of per-subspace query→centroid partial
+    * distances (cc − 2·q_sub·c — the ‖q_sub‖² term is rank-constant
+    * and dropped), then every database vector's approximate distance
+    * is the SUM of m table lookups keyed by its codes. Scale shape:
+    * the LUT is broadcast (m·k rows), the lookup is one broadcast
+    * equi-join against the (vec_id, sub, cid) code table + a vec_id
+    * hash-agg — no full vectors touched at query time, which is the
+    * entire point of PQ at 100 TB (the code table is ~256× smaller
+    * than the vectors). Spec-bounded recall vs brute force
+    * (DedupSimSpec); approximate by design, so no SQL oracle. */
+  def embPqAdcTopK(embDf: DataFrame, m: Int, k: Int, queryVecId: Long,
+      topK: Int): DataFrame = {
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val (subs, codebook, codes) = embPqModel(embDf, m, k)
+    val q = subs.filter(col("vec_id") === queryVecId)
+      .select(col("sub").as("qsub"), col("v").as("qv"))
+    val lut = codebook.join(broadcast(q), col("sub") === col("qsub"))
+      .select(col("sub"), col("cid"),
+        (col("cc") - lit(2.0) * dot("qv", "cv")).as("qd"))
+    codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(topK)
+  }
 }

@@ -478,6 +478,67 @@ object GraphOps {
       .orderBy(col("dist"))
   }
 
+  /** q_graph_closeness — LANDMARK harmonic closeness centrality over
+    * the undirected co-purchase graph: multi-source BFS from the K
+    * smallest node ids (the standard landmark approximation — exact
+    * all-pairs closeness is O(V·E) and off the table at 100 TB; K
+    * fixed landmarks bound frontier state to K·V rows and the answer
+    * converges as K grows, Eppstein–Wang-style sampling), then
+    * harmonic score Σ 1/d(landmark, node) per node. Harmonic (not
+    * classic reciprocal-of-sum) closeness so unreached landmarks
+    * contribute 0 instead of poisoning the sum with ∞ — the standard
+    * disconnected-graph fix (Boldi & Vigna, "Axioms for Centrality").
+    *
+    * EXACT integer arithmetic on the wire: with hops bounded at 3,
+    * 1/d is scaled by LCM(1,2,3)=6 → `6 div d` ∈ {6,3,2} — no float
+    * sum ordering to diverge between engines. Scale shape: each BFS
+    * round is one frontier⋈edges equi join + a (lmk, node) min
+    * hash-agg, frontiers ScratchCache'd (two DAG consumers each);
+    * landmark count and hop depth are fixed constants, so state is
+    * O(K·V) and rounds are O(depth) — the [[ssspOn]] discipline with
+    * a landmark key column added. Wire: top-20 nodes by harmonic
+    * score, ties broken by node id. */
+  def closeness(s: SparkSession, d: String): DataFrame =
+    closenessOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      nLandmarks = 8, maxHop = 3)
+
+  /** Core of q_graph_closeness over any (o, p) membership frame.
+    * maxHop must stay ≤ 3 so the LCM-6 exact scaling holds. */
+  def closenessOn(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): DataFrame = {
+    require(maxHop >= 1 && maxHop <= 3, s"maxHop must be in [1,3]: $maxHop")
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    val sym = ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .pipe(ScratchCache.cache)
+    // K smallest node ids: global sort-limit plans TakeOrderedAndProject
+    // (K rows to the driver, no full sort) — deterministic landmarks
+    val lm = sym.select(col("u").as("lmk")).distinct()
+      .orderBy(col("lmk")).limit(nLandmarks)
+    val src = lm.select(col("lmk"), col("lmk").as("node"),
+      lit(0L).as("hop"))
+    // multi-source BFS keyed by (lmk, node); rename before the expand
+    // join — the frontier's lineage contains sym after round 1
+    val rounds = Iterator.iterate(src.pipe(ScratchCache.cache), maxHop + 1) { f =>
+      f.select(col("lmk").as("fl"), col("node").as("fn"),
+          col("hop").as("fh"))
+        .join(sym, col("fn") === col("u"))
+        .select(col("fl").as("lmk"), col("v").as("node"),
+          (col("fh") + lit(1L)).as("hop"))
+        .unionByName(f.select(col("lmk"), col("node"), col("hop")))
+        .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop"))
+        .pipe(ScratchCache.cache)
+    }.toSeq
+    rounds.last.filter(col("hop") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("CAST(6 AS BIGINT) div hop")).as("harmonic6"),
+        count(lit(1)).as("n_landmarks"))
+      .orderBy(col("harmonic6").desc, col("node")).limit(20)
+  }
+
   /** q_graph_diff — VERSION-TO-VERSION graph reconciliation, the QC a
     * regenerate-per-source-version pipeline runs before promoting a new
     * merged graph (the reference rebuilds its graph whenever a source

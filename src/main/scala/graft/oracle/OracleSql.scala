@@ -654,6 +654,31 @@ object OracleSql {
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM m GROUP BY 1 ORDER BY dist""".stripMargin,
 
+    // landmark harmonic closeness: BFS from the 8 smallest node ids
+    // (depth-guarded recursive UNION dedups (lmk, node, hop) states),
+    // then the exact-integer 6//d harmonic fold — LCM(1,2,3)=6 keeps
+    // the reciprocal sum integral in both engines
+    "q_graph_closeness" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |lm AS (SELECT u AS lmk FROM (
+        |  SELECT DISTINCT u FROM sym ORDER BY u LIMIT 8)),
+        |bfs AS (
+        |  SELECT lmk, lmk AS node, 0 AS hop FROM lm
+        |  UNION
+        |  SELECT bfs.lmk, sym.v AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |),
+        |mh AS (SELECT lmk, node, MIN(hop) AS hop FROM bfs GROUP BY 1, 2)
+        |SELECT node, CAST(SUM(6 // hop) AS BIGINT) AS harmonic6,
+        |COUNT(*) AS n_landmarks
+        |FROM mh WHERE hop > 0 GROUP BY node
+        |ORDER BY harmonic6 DESC, node LIMIT 20""".stripMargin,
+
     // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
     // unrolled round counts the degree-qualified keep set, then
     // restricts the edges to keep×keep
@@ -2184,6 +2209,28 @@ object OracleSql {
         |FROM t JOIN m ON t.event_type = m.event_type
         |ORDER BY t.event_type""".stripMargin,
 
+    // count-min twin: the affine hashes are integer-exact, so DuckDB
+    // rebuilds the SAME d×w counter table and replays the min-over-
+    // rows estimate VALUE for value — not a bound check, an equality
+    "q_agg_countmin" ->
+      """WITH params AS (SELECT * FROM (VALUES
+        |  (0, 31, 7), (1, 131, 17), (2, 1031, 29), (3, 10007, 47))
+        |  AS t(i, a, b)),
+        |sk AS (SELECT p.i,
+        |  ((p.a * ((l.l_suppkey + 1) % 2147483647) + p.b)
+        |    % 2147483647) % 64 AS bkt, COUNT(*) AS cnt
+        |  FROM lineitem l CROSS JOIN params p GROUP BY 1, 2),
+        |probes AS (SELECT l_suppkey AS k, COUNT(*) AS exact_cnt
+        |  FROM lineitem WHERE l_suppkey <= 15 GROUP BY 1),
+        |pb AS (SELECT pr.k, pr.exact_cnt, p.i,
+        |  ((p.a * ((pr.k + 1) % 2147483647) + p.b)
+        |    % 2147483647) % 64 AS bkt
+        |  FROM probes pr CROSS JOIN params p)
+        |SELECT pb.k, pb.exact_cnt, MIN(sk.cnt) AS cms_est,
+        |MIN(sk.cnt) - pb.exact_cnt AS overcount
+        |FROM pb JOIN sk ON pb.i = sk.i AND pb.bkt = sk.bkt
+        |GROUP BY pb.k, pb.exact_cnt ORDER BY pb.k""".stripMargin,
+
     // two-pass MG heavy hitters: the sketch only PRUNES (guaranteed
     // superset) and pass 2 recounts exactly, so the twin is the plain
     // full-vocabulary GROUP BY + the same integer threshold
@@ -2459,6 +2506,54 @@ object OracleSql {
         |  FROM fin GROUP BY cid, label) WHERE rk = 1)
         |SELECT sz.cid, sz.n_vecs, tl.top_label, tl.n_top, sz.inertia
         |FROM sz JOIN tl ON sz.cid = tl.cid ORDER BY sz.cid""".stripMargin,
+
+    // product-quantization twin: the q_emb_kmeans replay with a `sub`
+    // dimension added to every key — same md5 seeds, same
+    // DECIMAL(25,12) dim sums rounded to 6 dp, same reassign — over
+    // each of the four 16-dim list slices
+    "q_emb_pq" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+        |  FROM embeddings),
+        |sx AS (SELECT vec_id, s.sub,
+        |  list_slice(fv, 1 + CAST(s.sub * 16 AS INT),
+        |    CAST((s.sub + 1) * 16 AS INT)) AS v
+        |  FROM base, (SELECT unnest(range(0, 4)) AS sub) s),
+        |e AS (SELECT vec_id, sub, v, list_dot_product(v, v) AS xx FROM sx),
+        |s0 AS (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid
+        |  FROM s0),
+        |c1 AS (SELECT e.sub, s.cid, e.v AS cv,
+        |  list_dot_product(e.v, e.v) AS cc
+        |  FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+        |p1 AS (SELECT e.vec_id, e.sub, c.cid,
+        |  c.cc - 2.0 * list_dot_product(e.v, c.cv) AS sc
+        |  FROM e JOIN c1 c ON e.sub = c.sub),
+        |a1 AS (SELECT vec_id, sub, cid, sc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY sc, cid) AS rk FROM p1) WHERE rk = 1),
+        |m AS (SELECT a.sub, a.cid, dims.dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.v[CAST(dims.dim AS INT)] AS DECIMAL(25,12)))
+        |    AS DECIMAL(38,12)) AS sv
+        |  FROM a1 a JOIN e ON e.vec_id = a.vec_id AND e.sub = a.sub,
+        |  (SELECT unnest(range(1, 17)) AS dim) dims
+        |  GROUP BY a.sub, a.cid, dims.dim),
+        |c2 AS (SELECT sub, cid, list(ROUND(CAST(sv AS DOUBLE) / n, 6)
+        |    ORDER BY dim) AS cv FROM m GROUP BY sub, cid),
+        |c2c AS (SELECT sub, cid, cv, list_dot_product(cv, cv) AS cc FROM c2),
+        |p2 AS (SELECT e.vec_id, e.sub, c.cid,
+        |  c.cc - 2.0 * list_dot_product(e.v, c.cv) AS sc
+        |  FROM e JOIN c2c c ON e.sub = c.sub),
+        |a2 AS (SELECT vec_id, sub, cid, sc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY sc, cid) AS rk FROM p2) WHERE rk = 1),
+        |fin AS (SELECT a.sub, a.cid,
+        |  CAST(ROUND(e.xx + a.sc, 6) AS DECIMAL(20,6)) AS d2
+        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id AND e.sub = a.sub)
+        |SELECT sub, cid, COUNT(*) AS n_vecs,
+        |ROUND(CAST(CAST(SUM(d2) AS DECIMAL(38,6)) AS DOUBLE), 6) AS recon_err
+        |FROM fin GROUP BY sub, cid ORDER BY sub, cid""".stripMargin,
 
     // one-pass Gram state vs the naive pair self-join: the oracle
     // recomputes every Σq(i)q(j) from scratch — integer-exact, so any

@@ -532,4 +532,39 @@ class AggregatesSpec extends GraftSuite {
     // payload each plus container headers, nowhere near dense 8 KiB each
     assert(rb.serialize.length < b.size * 24)
   }
+
+  test("countmin ledger: estimates bound exact counts from above, " +
+      "collide where planted, and survive any partitioning") {
+    import spark.implicits._
+    // probe keys 1..5 with distinct counts, plus per-hash-row planted
+    // colliders against probe 3: est(3) = min_i counter[i][h_i(3)]
+    // only overcounts when EVERY row's bucket is polluted, so plant
+    // one heavy background key per row (found by brute force — each
+    // single-row collision is a ~1/64 search, deterministic).
+    def bucket(a: Long, b: Long, x: Long): Long =
+      ((a * ((x + 1) % 2147483647L) + b) % 2147483647L) % 64L
+    val params = Seq((31L, 7L), (131L, 17L), (1031L, 29L), (10007L, 47L))
+    val colliders = params.map { case (a, b) =>
+      (16L to 100000L).find(x => bucket(a, b, x) == bucket(a, b, 3L)).get
+    }
+    val xs = (Seq.fill(3)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(7)(4L) ++ Seq.fill(1)(5L) ++
+      colliders.flatMap(c => Seq.fill(100)(c))).toDF("x")
+    val out = Aggregates.aggCountMinOn(xs).collect()
+    val rows = out.map(r => (r.getAs[Long]("k"), r.getAs[Long]("exact_cnt"),
+      r.getAs[Long]("cms_est"), r.getAs[Long]("overcount")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { case (k, exact, est, over) =>
+      assert(est >= exact, s"k=$k: CMS must never underestimate")
+      assert(over == est - exact)
+    }
+    assert(rows.map(_._2).toSeq == Seq(3L, 5L, 2L, 7L, 1L))
+    // every row's bucket for key 3 is polluted by ≥100 planted rows,
+    // so the min over rows cannot dodge the overcount
+    val k3 = rows.find(_._1 == 3L).get
+    assert(k3._4 >= 100L, s"planted collision missing: $k3")
+    // partition-independence == mergeability of the counter table
+    val out2 = Aggregates.aggCountMinOn(xs.repartition(13)).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
 }

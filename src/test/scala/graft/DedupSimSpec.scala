@@ -544,4 +544,66 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).sorted.toSeq ==
       out2.map(_.toString).sorted.toSeq)
   }
+
+  test("pq: ledger cells partition every vector in every subspace, " +
+      "beat the single-centroid SSE, and are repartition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      (i.toLong, 0, Seq.fill(64)((rnd.nextGaussian() * 2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = DedupSim.embPqOn(df, m = 4, k = 4).collect()
+    ScratchCache.releaseAll()
+    val bySub = out.groupBy(_.getAs[Long]("sub"))
+    assert(bySub.keySet == Set(0L, 1L, 2L, 3L))
+    bySub.foreach { case (sub, rows) =>
+      // every vector coded exactly once per subspace; ≤ k cells
+      assert(rows.map(_.getAs[Long]("n_vecs")).sum == n.toLong, s"sub $sub")
+      assert(rows.length <= 4 && rows.nonEmpty, s"sub $sub")
+      rows.foreach(r => assert(r.getAs[Double]("recon_err") >= 0.0))
+    }
+    // Lloyd quality: per-subspace total reconstruction error must beat
+    // quantizing everything to the single subspace MEAN (k=1 SSE) —
+    // computed here in plain Scala on the same slices
+    val dv = vecs.map(_._3.map(_.toDouble).toArray)
+    (0 until 4).foreach { sub =>
+      val slices = dv.map(_.slice(sub * 16, sub * 16 + 16))
+      val mean = (0 until 16).map(d => slices.map(_(d)).sum / n).toArray
+      val sse1 = slices.map(s => s.zip(mean)
+        .map { case (x, c) => (x - c) * (x - c) }.sum).sum
+      val ssePq = bySub(sub.toLong).map(_.getAs[Double]("recon_err")).sum
+      assert(ssePq <= sse1 + 1e-6, s"sub $sub: pq $ssePq vs k=1 $sse1")
+    }
+    val out2 = DedupSim.embPqOn(df.repartition(7), m = 4, k = 4).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
+  test("pq adc: lookup-table search recalls the brute-force top-10 on " +
+      "clustered vectors") {
+    // 6 tight 64-dim clusters of 15: the query's true top-10 all sit
+    // in its own cluster, and PQ codes separate clusters cleanly, so
+    // ADC (which never touches the full vectors at query time) must
+    // recover most of them. Bound mirrors the IVF recall floor (≥3).
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian() * 8))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, 0,
+        c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val adc = DedupSim.embPqAdcTopK(df, m = 4, k = 8, queryVecId = 0L,
+        topK = 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    ScratchCache.releaseAll()
+    val q = vecs(0)._3.map(_.toDouble).toArray
+    val exact = vecs.drop(1).map { case (id, _, v) =>
+      val d = v.map(_.toDouble).zip(q)
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    assert(adc.size == 10)
+    assert((adc & exact).size >= 3, s"recall ${(adc & exact).size}/10")
+  }
 }

@@ -435,6 +435,23 @@ class GraphOpsSpec extends GraftSuite {
     assert(out == Map(0L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("closeness: landmark harmonic scores on a planted chain are " +
+      "exact integers and rank the center first") {
+    import spark.implicits._
+    // chain 1-2-3-4-5; landmarks = {1, 2} (the 2 smallest), maxHop=3.
+    // d(1,·): 2→1 3→2 4→3 (5 unreached); d(2,·): 1→1 3→1 4→2 5→3.
+    // harmonic6 (6 div d, d>0): n1=6, n2=6, n3=3+6=9, n4=2+3=5, n5=2
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 4L), (4L, 4L), (4L, 5L)).toDF("o", "p")
+    val out = GraphOps.closenessOn(m, nLandmarks = 2, maxHop = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("harmonic6"),
+        r.getAs[Long]("n_landmarks")))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq((3L, 9L, 2L), (1L, 6L, 1L), (2L, 6L, 1L),
+      (4L, 5L, 2L), (5L, 2L, 1L)))
+  }
+
   test("graph diff: every change class lands exactly once on a fixture") {
     import spark.implicits._
     val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
