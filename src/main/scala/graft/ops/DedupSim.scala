@@ -1754,4 +1754,73 @@ object DedupSim {
       .agg(sum(col("qd")).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id")).limit(topK)
   }
+
+  /** q_sim_ann_ivfpq — IVFADC, the PRODUCTION billion-vector ANN
+    * layout (Jégou-Douze-Schmid TPAMI'11 §V, the FAISS IVF+PQ
+    * architecture): the LEARNED coarse quantizer ([[learnedCentroids]],
+    * k-means‖ seeding) splits the corpus into nlists=10 inverted
+    * lists; every vector stores only its list id + the PQ CODES OF ITS
+    * RESIDUAL v − c_list (residual encoding concentrates the PQ error
+    * budget on the within-cell displacement — §V.A); a query probes
+    * the nprobe=2 nearest lists, builds ONE 2·m·k-row ADC lookup
+    * table from its per-list residuals, and ranks candidates by the
+    * sum of m table lookups. The three scale facts that make this THE
+    * 100 TB answer: (1) search touches nprobe/nlists of the corpus,
+    * (2) ranked candidates are CODES (m small ints), never vectors —
+    * the working set shrinks ~256×, (3) the LUT is O(nprobe·m·k) and
+    * broadcast. Composes this round's two pieces end-to-end:
+    * [[ivfAssign]] lists + [[embPqModel]] codebooks trained on the
+    * pooled residuals. No oracle (quantizer is float-iteration-
+    * dependent, like q_sim_ann_ivf); recall vs brute force spec'd in
+    * AnnLshSpec. */
+  def simAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    simAnnIvfPqOn(Tables.embeddings(s, d), queryVecId = 0L)
+
+  /** Core of q_sim_ann_ivfpq over any (vec_id, label, embedding)
+    * frame. */
+  def simAnnIvfPqOn(embeddings: DataFrame, queryVecId: Long): DataFrame = {
+    val s = embeddings.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val dot = (a: String, b: String) => expr(s"dot_product($a, $b)")
+    val cent = ScratchCache.cache(learnedCentroids(embeddings, k = 10))
+    val assigned = ScratchCache.cache(ivfAssign(embeddings, cent))
+    // residual encode: r = v − c_list, then PQ codebooks over the
+    // POOLED residuals (one codebook set, not per-list — §V.A)
+    val resid = assigned.join(broadcast(cent), "list_id")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (x, c) -> x - c)").as("embedding"))
+    val (_, codebook, codes) = embPqModel(resid, m = 4, k = 4)
+    // probe: nprobe=2 centroid-nearest lists by L2 (the train metric;
+    // cc − 2⟨q,c⟩ is rank-equal to the true distance, ‖q‖² constant)
+    val qlists = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), k0(col("vec_id")).as("k"))
+      .join(broadcast(cent.withColumn("k", k0(col("list_id")))), "k")
+      .select(col("list_id"), col("qv"), col("cv"),
+        round(dot("cv", "cv") - lit(2.0) * dot("qv", "cv"), 6).as("qd2"))
+      .orderBy(col("qd2"), col("list_id")).limit(2)
+    // per-list query residual slices × codebook → the ADC LUT
+    // (nprobe·m·k = 32 rows): qd = ‖qr_sub‖² + cc − 2⟨qr_sub, code⟩
+    val qr = qlists
+      .select(col("list_id"),
+        expr("zip_with(qv, cv, (x, c) -> x - c)").as("qres"))
+      .select(col("list_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub"), col("qres"))
+      .select(col("list_id"), col("sub"),
+        expr("slice(qres, 1 + CAST(sub * 16 AS INT), 16)").as("qs"))
+      .withColumn("qq", dot("qs", "qs"))
+    val lut = qr.join(codebook, Seq("sub"))
+      .select(col("list_id"), col("sub"), col("cid"),
+        (col("qq") + col("cc") - lit(2.0) * dot("qs", "cv")).as("qd"))
+    // candidates = probed lists only; ranked from CODES + LUT, the
+    // vectors themselves are never read past the encode
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"), col("list_id"))
+      .join(broadcast(qlists.select(col("list_id"))), "list_id")
+      .join(codes.select(col("vec_id"), col("sub"), col("cid")), "vec_id")
+      .join(broadcast(lut), Seq("list_id", "sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        round(sum(col("qd")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+  }
 }

@@ -135,4 +135,30 @@ class AnnLshSpec extends GraftSuite {
     // sanity floor for this synthetic data)
     assert((brute & ivf).size >= 3, s"recall too low: ${(brute & ivf).size}/10")
   }
+
+  test("IVFADC: residual-PQ code search recalls brute-force L2 " +
+      "neighbors on clustered vectors") {
+    // 6 tight clusters; the query's true top-10 sit in its own
+    // cluster. IVFADC never reads a full vector past the encode —
+    // candidates are ranked from codes + the 32-row LUT alone — so
+    // meaningful recall here proves the whole compressed path.
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian() * 8))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, i % 3,
+        c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = DedupSim.simAnnIvfPqOn(df, queryVecId = 0L).collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(got.length == 10)
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    val q = vecs(0)._3.map(_.toDouble).toArray
+    val exact = vecs.drop(1).map { case (id, _, v) =>
+      (id, v.map(_.toDouble).zip(q)
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    assert((ids & exact).size >= 3, s"recall ${(ids & exact).size}/10")
+  }
 }
