@@ -504,11 +504,13 @@ object GraphOps {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
       nLandmarks = 8, maxHop = 3)
 
-  /** Core of q_graph_closeness over any (o, p) membership frame.
-    * maxHop must stay ≤ 3 so the LCM-6 exact scaling holds. */
-  def closenessOn(membership: DataFrame, nLandmarks: Int,
-      maxHop: Int): DataFrame = {
-    require(maxHop >= 1 && maxHop <= 3, s"maxHop must be in [1,3]: $maxHop")
+  /** Shared landmark BFS under q_graph_closeness and
+    * q_graph_betweenness: (lm, mh) where lm = the nLandmarks smallest
+    * node ids and mh = (lmk, node, hop) min-hop distances within
+    * maxHop. Frontier rounds are the [[ssspOn]] discipline with a
+    * landmark key column; state is O(K·V). */
+  private def landmarkHops(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): (DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
     val sym = ec.unionByName(
@@ -532,11 +534,65 @@ object GraphOps {
         .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop"))
         .pipe(ScratchCache.cache)
     }.toSeq
-    rounds.last.filter(col("hop") > 0)
+    (lm, rounds.last)
+  }
+
+  /** Core of q_graph_closeness over any (o, p) membership frame.
+    * maxHop must stay ≤ 3 so the LCM-6 exact scaling holds. */
+  def closenessOn(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): DataFrame = {
+    require(maxHop >= 1 && maxHop <= 3, s"maxHop must be in [1,3]: $maxHop")
+    val (_, mh) = landmarkHops(membership, nLandmarks, maxHop)
+    mh.filter(col("hop") > 0)
       .groupBy(col("node"))
       .agg(sum(expr("CAST(6 AS BIGINT) div hop")).as("harmonic6"),
         count(lit(1)).as("n_landmarks"))
       .orderBy(col("harmonic6").desc, col("node")).limit(20)
+  }
+
+  /** q_graph_betweenness — LANDMARK-PAIR coverage betweenness (r13):
+    * node v scores one point for every landmark pair (s < t) whose
+    * shortest-path distance v sits on — d(s,v) + d(v,t) = d(s,t) with
+    * v ∉ {s, t} — the membership-counting variant of betweenness over
+    * a fixed landmark sample (counts PRESENCE on a shortest path, not
+    * Brandes' σ-fraction — fractions would put floats on the wire;
+    * presence is exact integers both engines replay). Sampling
+    * sources/targets is the standard scale answer (Brandes–Pich 2007):
+    * exact betweenness is O(V·E) and off the table at 100 TB; K fixed
+    * landmarks bound everything to the [[landmarkHops]] BFS plus ONE
+    * K²-pair broadcast and one (t, v) equi-join. The bounded-hop
+    * truncation is exact for this predicate: equality forces both
+    * legs ≤ d(s,t) ≤ maxHop. Wire: top-20 (node, n_pairs) ties broken
+    * by node id. */
+  def betweenness(s: SparkSession, d: String): DataFrame =
+    betweennessOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      nLandmarks = 8, maxHop = 3)
+
+  /** Core of q_graph_betweenness over any (o, p) membership frame. */
+  def betweennessOn(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): DataFrame = {
+    val (lm, mhRaw) = landmarkHops(membership, nLandmarks, maxHop)
+    val mh = mhRaw.pipe(ScratchCache.cache) // 3 consumers below
+    // landmark-pair distances d(s,t), s < t, from s's own BFS row
+    val pairs = mh.join(broadcast(lm.select(col("lmk").as("t"))),
+        col("node") === col("t"))
+      .filter(col("lmk") < col("t"))
+      .select(col("lmk").as("s"), col("t"), col("hop").as("dst"))
+    val sv = mh.select(col("lmk").as("s"), col("node").as("vn"),
+      col("hop").as("d_sv"))
+    val vt = mh.select(col("lmk").as("t"), col("node").as("vn"),
+      col("hop").as("d_vt"))
+    // fan sv against the ≤K²/2 pair table (broadcast), close the
+    // triangle with one (t, vn) equi-join, keep exact equalities
+    sv.join(broadcast(pairs), "s")
+      .join(vt, Seq("t", "vn"))
+      .filter(col("d_sv") + col("d_vt") === col("dst") &&
+        col("vn") =!= col("s") && col("vn") =!= col("t"))
+      .groupBy(col("vn").as("node"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("node")).limit(20)
   }
 
   /** q_graph_diff — VERSION-TO-VERSION graph reconciliation, the QC a

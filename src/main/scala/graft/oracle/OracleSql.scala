@@ -679,6 +679,37 @@ object OracleSql {
         |FROM mh WHERE hop > 0 GROUP BY node
         |ORDER BY harmonic6 DESC, node LIMIT 20""".stripMargin,
 
+    // landmark-pair coverage betweenness: same landmark BFS, then the
+    // exact-integer triangle equality d(s,v)+d(v,t)=d(s,t) over the
+    // K²/2 pair table — presence counting, no σ-fractions, no floats
+    "q_graph_betweenness" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |lm AS (SELECT u AS lmk FROM (
+        |  SELECT DISTINCT u FROM sym ORDER BY u LIMIT 8)),
+        |bfs AS (
+        |  SELECT lmk, lmk AS node, 0 AS hop FROM lm
+        |  UNION
+        |  SELECT bfs.lmk, sym.v AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |),
+        |mh AS (SELECT lmk, node, MIN(hop) AS hop FROM bfs GROUP BY 1, 2),
+        |pr AS (SELECT mh.lmk AS s, mh.node AS t, mh.hop AS dst
+        |  FROM mh JOIN lm ON mh.node = lm.lmk WHERE mh.lmk < mh.node),
+        |sv AS (SELECT lmk AS s, node AS vn, hop AS d_sv FROM mh),
+        |vt AS (SELECT lmk AS t, node AS vn, hop AS d_vt FROM mh)
+        |SELECT sv.vn AS node, COUNT(*) AS n_pairs
+        |FROM pr JOIN sv ON sv.s = pr.s
+        |JOIN vt ON vt.t = pr.t AND vt.vn = sv.vn
+        |WHERE sv.d_sv + vt.d_vt = pr.dst
+        |  AND sv.vn <> pr.s AND sv.vn <> pr.t
+        |GROUP BY sv.vn
+        |ORDER BY n_pairs DESC, node LIMIT 20""".stripMargin,
+
     // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
     // unrolled round counts the degree-qualified keep set, then
     // restricts the edges to keep×keep

@@ -452,6 +452,21 @@ class GraphOpsSpec extends GraftSuite {
       (4L, 5L, 2L), (5L, 2L, 1L)))
   }
 
+  test("betweenness: landmark-pair coverage counts both diamond middles " +
+      "and nothing else") {
+    import spark.implicits._
+    // diamond 1-3-2 / 1-4-2 plus a 2-5 tail; landmarks = {1, 2}:
+    // d(1,2)=2, so BOTH middles 3 and 4 satisfy d(1,v)+d(v,2)=2;
+    // the tail node 5 has d(1,5)+d(5,2)=3+1=4 and must not appear.
+    val m = Seq((1L, 1L), (1L, 3L), (2L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 2L), (4L, 4L), (5L, 2L), (5L, 5L)).toDF("o", "p")
+    val out = GraphOps.betweennessOn(m, nLandmarks = 2, maxHop = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_pairs")))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq((3L, 1L), (4L, 1L)))
+  }
+
   test("graph diff: every change class lands exactly once on a fixture") {
     import spark.implicits._
     val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
