@@ -1755,6 +1755,76 @@ object DedupSim {
       .orderBy(col("adc_dist"), col("vec_id")).limit(topK)
   }
 
+  /** q_sample_coreset — LIGHTWEIGHT CORESET sampling for k-means
+    * (Bachem, Lucic & Krause, "Scalable k-Means Clustering via
+    * Lightweight Coresets", KDD 2018): importance q(x) = ½/n +
+    * ½·d²(x,μ)/Σd² mixes uniform mass with distance-to-the-mean mass,
+    * each point kept independently with probability min(1, m·q(x))
+    * and Horvitz–Thompson weight 1/(m·q(x)) — the weighted subsample
+    * is a provable (ε, k)-coreset, THE curation primitive for running
+    * k-means/SemDeDup-style analyses on a 100 TB embedding corpus
+    * without touching most of it. Two passes, both trivially
+    * distributed: (1) exact-decimal mean + Σd² (the q_emb_kmeans
+    * centroid discipline — 6-dp-rounded mean components, DECIMAL(20,6)
+    * d², DECIMAL(38,6) sum, so the probabilities are bit-identical
+    * under any partitioning), (2) a broadcast-stats filter. The
+    * selector u(x) is a Lehmer-style affine hash mod 2³¹−1 — exact
+    * integers, so selection REPLAYS IN DUCKDB and the oracle checks
+    * the exact chosen set + weights (a seeded-RNG formulation could
+    * never be cross-engine-checked). Wire: (vec_id, label, w) of the
+    * selected points. */
+  def sampleCoreset(s: SparkSession, d: String): DataFrame =
+    sampleCoresetOn(Tables.embeddings(s, d), m = 100)
+
+  /** Core of q_sample_coreset over any (vec_id, label, embedding)
+    * frame; m = target sample size. */
+  def sampleCoresetOn(embDf: DataFrame, m: Int): DataFrame = {
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val p = 2147483647L
+    val e = ScratchCache.cache(embDf.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("xx", dot("v", "v")))
+    // pass 1a: exact-decimal per-dim mean, 6-dp components
+    val muRow = e.select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(emb(col("col"))).cast(DecimalType(38, 12)).as("sv"))
+      .withColumn("mv", round(col("sv").cast("double") / col("n"), 6))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+        .as("mu"), first(col("n")).as("n"))
+      .withColumn("mm", dot("mu", "mu"))
+    // pass 1b: d²(x, μ) exact on the wire; float slop clamped at 0
+    val d2 = e.join(broadcast(muRow.withColumn("j", k0(col("n")))),
+        k0(col("vec_id")) === col("j"))
+      .select(col("vec_id"), col("label"), col("n"),
+        greatest(lit(0.0),
+          round(col("xx") + col("mm") - lit(2.0) * dot("v", "mu"), 6))
+          .cast(DecimalType(20, 6)).as("d2"))
+      .pipe(ScratchCache.cache)
+    val sRow = d2.agg(sum(col("d2")).cast(DecimalType(38, 6)).as("st"),
+      first(col("n")).as("n2"))
+    // pass 2: broadcast-stats selection; u and q replay exactly
+    d2.join(broadcast(sRow.withColumn("j2", k0(col("n2")))),
+        k0(col("vec_id")) === col("j2"))
+      .withColumn("q", lit(0.5) / col("n").cast("double") +
+        when(col("st").cast("double") > 0.0,
+          lit(0.5) * col("d2").cast("double") / col("st").cast("double"))
+          .otherwise(lit(0.0)))
+      // 3-step Lehmer chain (48271, the MINSTD multiplier, mod 2³¹−1):
+      // one affine step leaves u ≈ 48271·id/p — tiny for small ids, so
+      // EVERYTHING under id ~ 10⁴ would be selected; three steps mix
+      // small ids across [0,1) while staying exact 63-bit integer math
+      .withColumn("hv", pmod(lit(48271L) * pmod(lit(48271L) *
+        pmod(lit(48271L) * pmod(col("vec_id") + lit(1L), lit(p)),
+          lit(p)), lit(p)), lit(p)))
+      .withColumn("u", col("hv").cast("double") / lit(p.toDouble))
+      .filter(col("u") < lit(m.toDouble) * col("q"))
+      .select(col("vec_id"), col("label"),
+        round(lit(1.0) / (lit(m.toDouble) * col("q")), 6).as("w"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q_sim_ann_ivfpq — IVFADC, the PRODUCTION billion-vector ANN
     * layout (Jégou-Douze-Schmid TPAMI'11 §V, the FAISS IVF+PQ
     * architecture): the LEARNED coarse quantizer ([[learnedCentroids]],

@@ -2538,6 +2538,44 @@ object OracleSql {
         |SELECT sz.cid, sz.n_vecs, tl.top_label, tl.n_top, sz.inertia
         |FROM sz JOIN tl ON sz.cid = tl.cid ORDER BY sz.cid""".stripMargin,
 
+    // lightweight-coreset twin: the mean/Σd² stats replay through the
+    // same decimal quantization points as the kmeans twin, and the
+    // Lehmer-hash selector is exact integers — so DuckDB reproduces
+    // the EXACT selected set and weights, not a distributional check
+    "q_sample_coreset" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                   CAST(embedding AS DOUBLE[])) AS xx
+        |  FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |md AS (SELECT dims.dim,
+        |  CAST(SUM(CAST(e.v[CAST(dims.dim AS INT)] AS DECIMAL(25,12)))
+        |    AS DECIMAL(38,12)) AS sv
+        |  FROM e, (SELECT unnest(range(1, 65)) AS dim) dims
+        |  GROUP BY dims.dim),
+        |mu AS (SELECT list(ROUND(CAST(sv AS DOUBLE) / (SELECT n FROM nn), 6)
+        |    ORDER BY dim) AS mu FROM md),
+        |mm AS (SELECT mu, list_dot_product(mu, mu) AS mm FROM mu),
+        |dd AS (SELECT e.vec_id, e.label,
+        |  CAST(GREATEST(0.0, ROUND(e.xx + m.mm
+        |    - 2.0 * list_dot_product(e.v, m.mu), 6))
+        |    AS DECIMAL(20,6)) AS d2
+        |  FROM e, mm m),
+        |ss AS (SELECT CAST(SUM(d2) AS DECIMAL(38,6)) AS st FROM dd),
+        |qq AS (SELECT dd.vec_id, dd.label,
+        |  0.5 / (SELECT n FROM nn) + CASE WHEN CAST(ss.st AS DOUBLE) > 0
+        |    THEN 0.5 * CAST(dd.d2 AS DOUBLE) / CAST(ss.st AS DOUBLE)
+        |    ELSE 0.0 END AS q
+        |  FROM dd, ss),
+        |uu AS (SELECT vec_id, label, q,
+        |  CAST((48271 * ((48271 * ((48271 * ((vec_id + 1) % 2147483647))
+        |    % 2147483647)) % 2147483647)) % 2147483647
+        |    AS DOUBLE) / 2147483647.0 AS u
+        |  FROM qq)
+        |SELECT vec_id, label, ROUND(1.0 / (100.0 * q), 6) AS w
+        |FROM uu WHERE u < 100.0 * q ORDER BY vec_id""".stripMargin,
+
     // product-quantization twin: the q_emb_kmeans replay with a `sub`
     // dimension added to every key — same md5 seeds, same
     // DECIMAL(25,12) dim sums rounded to 6 dp, same reassign — over

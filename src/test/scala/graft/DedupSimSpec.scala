@@ -580,6 +580,32 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("coreset: the far outlier is certainly selected with a small " +
+      "Horvitz-Thompson weight, and selection is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    // 80 tight points around 0 + one far outlier owning nearly all of
+    // Σd²: m·q(outlier) ≈ 20·0.5 » 1, so selection is certain, and
+    // its weight ≈ 1/(m·q) ≈ 0.1 — the distance-aware mass is the
+    // whole point of the lightweight coreset vs uniform sampling.
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, 0, Seq.fill(64)((rnd.nextGaussian() * 0.1).toFloat))
+    } :+ ((99L, 1, Seq.fill(64)(50.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = DedupSim.sampleCoresetOn(df, m = 20).collect()
+    ScratchCache.releaseAll()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("vec_id")).contains(99L),
+      "outlier must be selected")
+    out.foreach(r => assert(r.getAs[Double]("w") > 0.0))
+    val wOut = out.find(_.getAs[Long]("vec_id") == 99L).get
+      .getAs[Double]("w")
+    assert(wOut < 0.2, s"outlier weight $wOut should be ≈ 1/(m·q) ≈ 0.1")
+    val out2 = DedupSim.sampleCoresetOn(df.repartition(7), m = 20)
+      .collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("pq adc: lookup-table search recalls the brute-force top-10 on " +
       "clustered vectors") {
     // 6 tight 64-dim clusters of 15: the query's true top-10 all sit
