@@ -404,16 +404,15 @@ object GraphOps {
   def pathsOn(membership: DataFrame): DataFrame = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .pipe(ScratchCache.cache)
+    val sym = trunc(ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v"))))
     val src = op.agg(min(col("p")).as("node"))
-    // unrolled frontier expansion, each hop cached so execution is
-    // linear in depth (every frontier has two consumers in the DAG)
-    val hops = Iterator.iterate(src.pipe(ScratchCache.cache), 4) { f =>
-      f.join(sym, f("node") === sym("u"))
-        .select(col("v").as("node")).distinct()
-        .pipe(ScratchCache.cache)
+    // unrolled frontier expansion, each hop lineage-truncated ([[trunc]])
+    // so execution AND the analyzed plan are linear in depth (every
+    // frontier has two consumers in the DAG: next hop's seed + final union)
+    val hops = Iterator.iterate(trunc(src), 4) { f =>
+      trunc(f.join(sym, f("node") === sym("u"))
+        .select(col("v").as("node")).distinct())
     }.toSeq
     hops.zipWithIndex
       .map { case (f, h) => f.withColumn("hop", lit(h.toLong)) }
@@ -454,24 +453,24 @@ object GraphOps {
   def ssspOn(membership: DataFrame): DataFrame = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = ec.unionByName(
+    val sym = trunc(ec.unionByName(
         ec.select(col("v").as("u"), col("u").as("v")))
-      .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L)))
-      .pipe(ScratchCache.cache)
+      .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L))))
     val src = op.agg(min(col("p")).as("node"))
       .withColumn("dist", lit(0L))
     // 4 unrolled min-plus relaxation rounds; dist_k(v) = cheapest
-    // ≤ k-hop path cost by induction
-    val rounds = Iterator.iterate(src.pipe(ScratchCache.cache), 5) { dcur =>
+    // ≤ k-hop path cost by induction; each round lineage-truncated
+    // ([[trunc]] — a round references the previous one TWICE, so a
+    // cache-only chain grows the analyzed plan 2^rounds)
+    val rounds = Iterator.iterate(trunc(src), 5) { dcur =>
       // rename before the relax join: dcur's lineage contains sym (via
       // the previous round), so attribute-based dcur("dist")/sym("w")
       // references would be ambiguous self-join attributes
-      dcur.select(col("node").as("dn"), col("dist").as("dd"))
+      trunc(dcur.select(col("node").as("dn"), col("dist").as("dd"))
         .join(sym, col("dn") === col("u"))
         .select(col("v").as("node"), (col("dd") + col("w")).as("dist"))
         .unionByName(dcur.select(col("node"), col("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .pipe(ScratchCache.cache)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }.toSeq
     rounds.last
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
@@ -513,9 +512,8 @@ object GraphOps {
       maxHop: Int): (DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .pipe(ScratchCache.cache)
+    val sym = trunc(ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v"))))
     // K smallest node ids: global sort-limit plans TakeOrderedAndProject
     // (K rows to the driver, no full sort) — deterministic landmarks
     val lm = sym.select(col("u").as("lmk")).distinct()
@@ -523,16 +521,18 @@ object GraphOps {
     val src = lm.select(col("lmk"), col("lmk").as("node"),
       lit(0L).as("hop"))
     // multi-source BFS keyed by (lmk, node); rename before the expand
-    // join — the frontier's lineage contains sym after round 1
-    val rounds = Iterator.iterate(src.pipe(ScratchCache.cache), maxHop + 1) { f =>
-      f.select(col("lmk").as("fl"), col("node").as("fn"),
+    // join — the frontier's lineage contains sym after round 1. Each
+    // round lineage-truncated ([[trunc]]): a round references the
+    // previous one twice (expand join + min-hop union), so a cache-only
+    // chain grows the analyzed plan 2^rounds copies of the pair build
+    val rounds = Iterator.iterate(trunc(src), maxHop + 1) { f =>
+      trunc(f.select(col("lmk").as("fl"), col("node").as("fn"),
           col("hop").as("fh"))
         .join(sym, col("fn") === col("u"))
         .select(col("fl").as("lmk"), col("v").as("node"),
           (col("fh") + lit(1L)).as("hop"))
         .unionByName(f.select(col("lmk"), col("node"), col("hop")))
-        .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop"))
-        .pipe(ScratchCache.cache)
+        .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop")))
     }.toSeq
     (lm, rounds.last)
   }
@@ -574,7 +574,8 @@ object GraphOps {
   def betweennessOn(membership: DataFrame, nLandmarks: Int,
       maxHop: Int): DataFrame = {
     val (lm, mhRaw) = landmarkHops(membership, nLandmarks, maxHop)
-    val mh = mhRaw.pipe(ScratchCache.cache) // 3 consumers below
+    val mh = mhRaw // already a truncated checkpoint; 3 consumers below
+                   // all read its materialized blocks directly
     // landmark-pair distances d(s,t), s < t, from s's own BFS row
     val pairs = mh.join(broadcast(lm.select(col("lmk").as("t"))),
         col("node") === col("t"))
@@ -693,15 +694,17 @@ object GraphOps {
   /** Core of q_onto_closure over any (subject, object) is_a edge
     * frame: (term, anc, depth) rows, depth = min hops, depth ≤ maxDepth. */
   def ontoClosureOn(edges: DataFrame, maxDepth: Int): DataFrame = {
-    val e = ScratchCache.cache(
+    val e = trunc(
       edges.select(col("subject").as("es"), col("object").as("eo"))
         .distinct())
+    // rounds lineage-truncated ([[trunc]]): each is consumed twice
+    // (next hop's seed + final union), so a cache-only chain grows the
+    // analyzed plan 2^depth
     val hops = Iterator.iterate(
-      e.select(col("es").as("term"), col("eo").as("anc"))
-        .pipe(ScratchCache.cache), maxDepth) { f =>
-      f.join(broadcast(e), col("anc") === col("es"))
-        .select(col("term"), col("eo").as("anc")).distinct()
-        .pipe(ScratchCache.cache)
+      trunc(e.select(col("es").as("term"), col("eo").as("anc"))),
+      maxDepth) { f =>
+      trunc(f.join(broadcast(e), col("anc") === col("es"))
+        .select(col("term"), col("eo").as("anc")).distinct())
     }.toSeq
     hops.zipWithIndex
       .map { case (f, h) => f.withColumn("depth", lit((h + 1).toLong)) }
@@ -749,11 +752,6 @@ object GraphOps {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    def trunc(df: DataFrame): DataFrame = {
-      val t = df.localCheckpoint(false)
-      ScratchCache.defer(() => unpersistCheckpoint(t))
-      t
-    }
     val sym = trunc(ec.unionByName(
       ec.select(col("v").as("u"), col("u").as("v"))))
     // k = (3·|E_sym|) div (4·|V|), exact integers end-to-end; carried
@@ -979,6 +977,22 @@ object GraphOps {
         parent.keys.toArray.iterator.map(n => (n, find(n)))
       }
       .toDF("node", "comp")
+  }
+
+  /** Lazy-localCheckpoint lineage truncation for unrolled iteration
+    * rounds (the [[kcoreOn]] discipline, shared): a round whose plan
+    * references the previous round MORE THAN ONCE (join side + union
+    * side) grows the ANALYZED tree 2^rounds copies of the base build —
+    * cache substitution happens after analysis, so `.cache()` does not
+    * stop the exponential driver-side analyze/canonicalize cost
+    * (measured: q_graph_betweenness 8.7 s at sf0.001 — pure plan work
+    * on a 300-row graph — vs 1.3 s truncated). The LAZY checkpoint
+    * truncates at construction time, stays job-free, materializes once
+    * on first use; blocks release via ScratchCache like any scratch. */
+  private def trunc(df: DataFrame): DataFrame = {
+    val t = df.localCheckpoint(false)
+    ScratchCache.defer(() => unpersistCheckpoint(t))
+    t
   }
 
   /** Free the local-checkpoint blocks backing a frame derived from
@@ -1233,11 +1247,6 @@ object GraphOps {
   private def lpaLabels(membership: DataFrame): (DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    def trunc(df: DataFrame): DataFrame = {
-      val t = df.localCheckpoint(false)
-      ScratchCache.defer(() => unpersistCheckpoint(t))
-      t
-    }
     // sym is REPARTITIONED BY u before the checkpoint: the per-round
     // join broadcasts the (tiny) label frame, broadcast-hash preserves
     // the streamed side's partitioning, and HashPartitioning(u)
@@ -1359,11 +1368,6 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    def trunc(df: DataFrame): DataFrame = {
-      val t = df.localCheckpoint(false)
-      ScratchCache.defer(() => unpersistCheckpoint(t))
-      t
-    }
     val sym = trunc(ec.unionByName(
         ec.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u")))
