@@ -1825,6 +1825,82 @@ object DedupSim {
       .orderBy(col("vec_id"))
   }
 
+  /** q_sample_kcenter — greedy FARTHEST-POINT (k-center) sampling
+    * (Gonzalez 1985, the 2-approximation): start from the minimum
+    * vec_id, then k−1 times add the point farthest from the current
+    * center set — the max-coverage companion of
+    * [[sampleCoresetOn]]'s probability-proportional sampling (coreset
+    * preserves MASS for k-means; k-center covers the EXTREMES — the
+    * eval-set / diversity-probe / outlier-audit pick for an embedding
+    * corpus). Wire: the k selected points as (sel_round, vec_id,
+    * label, d2_sel) where d2_sel = the max-min-d² the round closed —
+    * a decreasing sequence whose last value is the corpus coverage
+    * radius at k centers.
+    *
+    * EXACT REPLAY: d² is quantized round-6 DECIMAL(20,6) on every
+    * pair (the [[embKmeansOn]] discipline), argmax ties break by
+    * minimum vec_id, and min-d² updates are exact decimal `least` —
+    * so DuckDB reproduces the EXACT selected sequence. The plan is
+    * fully lazy: each round is one broadcast 1-row join (the new
+    * center) + a `least` update, lineage-truncated per round; the
+    * argmax is a 1-row aggregate joined back, never collected.
+    *
+    * Scale shape: k passes over the (vec_id, md) table with the
+    * vectors re-joined from the one cached copy — vectors never ride
+    * a checkpoint; per round the wire is (vec_id, decimal) plus one
+    * 1-row broadcast. O(k·N) distance work, the k-center lower
+    * bound. */
+  def sampleKcenter(s: SparkSession, d: String): DataFrame =
+    sampleKcenterOn(Tables.embeddings(s, d), k = 8)
+
+  /** Core of q_sample_kcenter over any (vec_id, label, embedding)
+    * frame; k = number of centers (table must be non-empty). */
+  def sampleKcenterOn(embDf: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    def trunc(df: DataFrame): DataFrame = {
+      val t = df.localCheckpoint(false)
+      ScratchCache.defer(() => GraphOps.unpersistCheckpoint(t))
+      t
+    }
+    val D = DecimalType(20, 6)
+    val e = ScratchCache.cache(embDf.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("xx", dot("v", "v")))
+    // (cv, cc, j) 1-row broadcast frame for a 1-row (vec_id) selection
+    def centerOf(sel: DataFrame): DataFrame =
+      e.join(broadcast(sel.select(col("vec_id").as("cid"))),
+          col("vec_id") === col("cid"))
+        .select(col("v").as("cv"), col("xx").as("cc"))
+        .withColumn("j", k0(col("cc")))
+    def d2New: Column =
+      greatest(lit(0.0),
+        round(col("xx") + col("cc") - lit(2.0) * dot("v", "cv"), 6))
+        .cast(D)
+    val c1 = e.agg(min(col("vec_id")).as("vec_id"))
+    var ledger = Vector(c1.select(lit(1L).as("sel_round"), col("vec_id"),
+      lit(null).cast(D).as("d2_sel")))
+    var md = trunc(e
+      .join(broadcast(centerOf(c1)), k0(col("vec_id")) === col("j"))
+      .select(col("vec_id"), d2New.as("md")))
+    for (r <- 2 to k) {
+      val amax = md.agg(max(struct(col("md").as("d2"),
+          (col("vec_id") * -1).as("nv"))).as("m"))
+        .select((col("m.nv") * -1).as("vec_id"), col("m.d2").as("d2_sel"))
+      ledger :+= amax.select(lit(r.toLong).as("sel_round"),
+        col("vec_id"), col("d2_sel"))
+      md = trunc(md.join(e, Seq("vec_id"))
+        .join(broadcast(centerOf(amax)), k0(col("vec_id")) === col("j"))
+        .select(col("vec_id"), least(col("md"), d2New).as("md")))
+    }
+    ledger.reduce(_ unionByName _)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("sel_round"), col("vec_id"), col("label"),
+        col("d2_sel").cast("double").as("d2_sel"))
+      .orderBy(col("sel_round"))
+  }
+
   /** q_sim_ann_ivfpq — IVFADC, the PRODUCTION billion-vector ANN
     * layout (Jégou-Douze-Schmid TPAMI'11 §V, the FAISS IVF+PQ
     * architecture): the LEARNED coarse quantizer ([[learnedCentroids]],

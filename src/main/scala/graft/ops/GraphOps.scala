@@ -596,6 +596,79 @@ object GraphOps {
       .orderBy(col("n_pairs").desc, col("node")).limit(20)
   }
 
+  /** q_graph_hits — HITS hubs & authorities (Kleinberg, JACM 1999)
+    * over the directed order→part graph: authority(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ authority(v) over out-edges, each half-step
+    * L1-normalized — the mutually-reinforcing complement of
+    * [[pageRank]]'s single score (pagerank finds endorsed nodes; HITS
+    * separates the ENDORSERS from the endorsed, the natural QC for a
+    * bipartite order/part graph where orders can only ever be hubs and
+    * parts only ever authorities). 4 fixed iterations; top-20 ledger.
+    *
+    * DETERMINISM: every cross-row sum rides DECIMAL(38,18) (the
+    * [[pageRankOn]] discipline); the per-iteration L1 normalizations
+    * are 1-row aggregates joined back on the non-foldable all-zeros
+    * key — NO driver-side actions, the whole 4-iteration plan is lazy.
+    * The division is (30,18)/(30,12): Spark's allowPrecisionLoss
+    * adjustment keeps 14 fractional digits at those operand types
+    * (a (38,18)/(38,18) division would be cut to scale 6 — BELOW the
+    * 6-dp wire rounding's safety margin), and the divisor cast to
+    * scale 12 perturbs a ~1-magnitude total by ≤1e-12 relative — both
+    * engines land well inside the round-6 output quantum.
+    *
+    * Scale shape: per half-step ONE equi join of the edge list with
+    * the |V|-sized score table + a hash agg on the opposite endpoint +
+    * a broadcast 1-row norm join; rounds are lineage-truncated
+    * ([[trunc]]) so the analyzed plan stays linear in iterations. */
+  def hits(s: SparkSession, d: String): DataFrame =
+    hitsOn(Tables.lineitem(s, d)
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct(), iters = 4)
+
+  /** Core of q_graph_hits over any (src, dst) long edge frame (even
+    * ids decode as type "order", odd as "part" on the wire). */
+  def hitsOn(edgesIn: DataFrame, iters: Int): DataFrame = {
+    val D = DecimalType(38, 18)
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val cols = edgesIn.columns
+    val edges = trunc(edgesIn
+      .select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
+    var hubs = trunc(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(java.math.BigDecimal.ONE).cast(D).as("h")))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hubs, edges("src") === hubs("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).cast(D).as("a"))
+      val aNorm = aRaw.agg(sum(col("a")).cast(DecimalType(30, 12)).as("sa"))
+        .withColumn("j", k0(col("sa")))
+      auths = trunc(aRaw.withColumn("j", k0(col("dst")))
+        .join(broadcast(aNorm), "j")
+        .select(col("dst").as("id"),
+          (col("a").cast(DecimalType(30, 18)) / col("sa")).cast(D).as("a")))
+      val hRaw = edges.join(auths, edges("dst") === auths("id"))
+        .groupBy(col("src")).agg(sum(col("a")).cast(D).as("h"))
+      val hNorm = hRaw.agg(sum(col("h")).cast(DecimalType(30, 12)).as("sh"))
+        .withColumn("j", k0(col("sh")))
+      hubs = trunc(hRaw.withColumn("j", k0(col("src")))
+        .join(broadcast(hNorm), "j")
+        .select(col("src").as("id"),
+          (col("h").cast(DecimalType(30, 18)) / col("sh")).cast(D).as("h")))
+    }
+    val aOut = auths.select(lit("authority").as("kind"),
+      when(col("id") % 2 === 0, "order").otherwise("part").as("ntype"),
+      expr("id div 2").as("node"),
+      round(col("a").cast("double"), 6).as("score"))
+    val hOut = hubs.select(lit("hub").as("kind"),
+      when(col("id") % 2 === 0, "order").otherwise("part").as("ntype"),
+      expr("id div 2").as("node"),
+      round(col("h").cast("double"), 6).as("score"))
+    // ordered by the ROUNDED score both engines emit, so rank ties
+    // break identically despite sub-6dp representation differences
+    aOut.unionByName(hOut)
+      .orderBy(col("score").desc, col("kind"), col("node")).limit(20)
+  }
+
   /** q_graph_diff — VERSION-TO-VERSION graph reconciliation, the QC a
     * regenerate-per-source-version pipeline runs before promoting a new
     * merged graph (the reference rebuilds its graph whenever a source

@@ -2576,6 +2576,71 @@ object OracleSql {
         |SELECT vec_id, label, ROUND(1.0 / (100.0 * q), 6) AS w
         |FROM uu WHERE u < 100.0 * q ORDER BY vec_id""".stripMargin,
 
+    // greedy k-center twin: 8 unrolled farthest-point rounds — d² is
+    // quantized DECIMAL(20,6) at every pair and the argmax tie-breaks
+    // by vec_id, so the EXACT selected sequence replays; min-d² updates
+    // are exact decimal LEAST
+    "q_sample_kcenter" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                   CAST(embedding AS DOUBLE[])) AS xx
+        |  FROM embeddings),
+        |c1 AS (SELECT MIN(vec_id) AS vec_id FROM e),
+        |f1 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN c1 USING (vec_id)),
+        |m1 AS MATERIALIZED (SELECT e.vec_id, CAST(GREATEST(0.0, ROUND(e.xx
+        |  + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6)) AS md FROM e, f1 f),
+        |s2 AS (SELECT vec_id, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1),
+        |f2 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s2 USING (vec_id)),
+        |m2 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m1 m JOIN e USING (vec_id), f2 f),
+        |s3 AS (SELECT vec_id, md FROM m2 ORDER BY md DESC, vec_id LIMIT 1),
+        |f3 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s3 USING (vec_id)),
+        |m3 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m2 m JOIN e USING (vec_id), f3 f),
+        |s4 AS (SELECT vec_id, md FROM m3 ORDER BY md DESC, vec_id LIMIT 1),
+        |f4 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s4 USING (vec_id)),
+        |m4 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m3 m JOIN e USING (vec_id), f4 f),
+        |s5 AS (SELECT vec_id, md FROM m4 ORDER BY md DESC, vec_id LIMIT 1),
+        |f5 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s5 USING (vec_id)),
+        |m5 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m4 m JOIN e USING (vec_id), f5 f),
+        |s6 AS (SELECT vec_id, md FROM m5 ORDER BY md DESC, vec_id LIMIT 1),
+        |f6 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s6 USING (vec_id)),
+        |m6 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m5 m JOIN e USING (vec_id), f6 f),
+        |s7 AS (SELECT vec_id, md FROM m6 ORDER BY md DESC, vec_id LIMIT 1),
+        |f7 AS (SELECT e.v AS cv, e.xx AS cc FROM e JOIN s7 USING (vec_id)),
+        |m7 AS MATERIALIZED (SELECT m.vec_id, LEAST(m.md, CAST(GREATEST(0.0,
+        |  ROUND(e.xx + f.cc - 2.0 * list_dot_product(e.v, f.cv), 6))
+        |  AS DECIMAL(20,6))) AS md
+        |  FROM m6 m JOIN e USING (vec_id), f7 f),
+        |s8 AS (SELECT vec_id, md FROM m7 ORDER BY md DESC, vec_id LIMIT 1),
+        |sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
+        |    CAST(NULL AS DOUBLE) AS d2_sel FROM c1
+        |  UNION ALL SELECT 2, vec_id, CAST(md AS DOUBLE) FROM s2
+        |  UNION ALL SELECT 3, vec_id, CAST(md AS DOUBLE) FROM s3
+        |  UNION ALL SELECT 4, vec_id, CAST(md AS DOUBLE) FROM s4
+        |  UNION ALL SELECT 5, vec_id, CAST(md AS DOUBLE) FROM s5
+        |  UNION ALL SELECT 6, vec_id, CAST(md AS DOUBLE) FROM s6
+        |  UNION ALL SELECT 7, vec_id, CAST(md AS DOUBLE) FROM s7
+        |  UNION ALL SELECT 8, vec_id, CAST(md AS DOUBLE) FROM s8)
+        |SELECT s.sel_round, s.vec_id, e.label, s.d2_sel
+        |FROM sel s JOIN e USING (vec_id) ORDER BY s.sel_round""".stripMargin,
+
     // product-quantization twin: the q_emb_kmeans replay with a `sub`
     // dimension added to every key — same md5 seeds, same
     // DECIMAL(25,12) dim sums rounded to 6 dp, same reassign — over
@@ -3276,6 +3341,57 @@ object OracleSql {
         |round(r * (SELECT n FROM nv), 6) AS rank_x_n
         |FROM r5
         |ORDER BY rank_x_n DESC, ntype, node LIMIT 20""".stripMargin,
+
+    // HITS twin: 4 unrolled (authority, hub) half-step pairs in
+    // doubles — Spark's side rides exact DECIMAL(38,18) sums with
+    // ≥14-dp normalization divisions, so both engines land inside the
+    // round-6 output quantum (the pagerank precedent)
+    "q_graph_hits" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey * 2 AS src,
+        |  l_partkey * 2 + 1 AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src AS id, 1.0 AS h FROM e),
+        |a1r AS (SELECT e.dst AS id, SUM(h0.h) AS a FROM e
+        |  JOIN h0 ON e.src = h0.id GROUP BY 1),
+        |a1 AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM a1r) AS a
+        |  FROM a1r),
+        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS h FROM e
+        |  JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM h1r) AS h
+        |  FROM h1r),
+        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS a FROM e
+        |  JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2 AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM a2r) AS a
+        |  FROM a2r),
+        |h2r AS (SELECT e.src AS id, SUM(a2.a) AS h FROM e
+        |  JOIN a2 ON e.dst = a2.id GROUP BY 1),
+        |h2 AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM h2r) AS h
+        |  FROM h2r),
+        |a3r AS (SELECT e.dst AS id, SUM(h2.h) AS a FROM e
+        |  JOIN h2 ON e.src = h2.id GROUP BY 1),
+        |a3 AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM a3r) AS a
+        |  FROM a3r),
+        |h3r AS (SELECT e.src AS id, SUM(a3.a) AS h FROM e
+        |  JOIN a3 ON e.dst = a3.id GROUP BY 1),
+        |h3 AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM h3r) AS h
+        |  FROM h3r),
+        |a4r AS (SELECT e.dst AS id, SUM(h3.h) AS a FROM e
+        |  JOIN h3 ON e.src = h3.id GROUP BY 1),
+        |a4 AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM a4r) AS a
+        |  FROM a4r),
+        |h4r AS (SELECT e.src AS id, SUM(a4.a) AS h FROM e
+        |  JOIN a4 ON e.dst = a4.id GROUP BY 1),
+        |h4 AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM h4r) AS h
+        |  FROM h4r),
+        |u AS (
+        |  SELECT 'authority' AS kind,
+        |    CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END AS ntype,
+        |    CAST(id // 2 AS BIGINT) AS node, ROUND(a, 6) AS score FROM a4
+        |  UNION ALL
+        |  SELECT 'hub',
+        |    CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END,
+        |    CAST(id // 2 AS BIGINT), ROUND(h, 6) FROM h4)
+        |SELECT kind, ntype, node, score FROM u
+        |ORDER BY score DESC, kind, node LIMIT 20""".stripMargin,
 
     // Exact connected components via pointer-doubling label propagation:
     // each round takes the neighbor min (t_k) then jumps one pointer

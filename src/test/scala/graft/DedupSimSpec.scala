@@ -606,6 +606,35 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("kcenter: greedy farthest-point covers every planted cluster " +
+      "exactly once, radius decreases, selection is partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    // 8 tight clusters at far-apart corners: k=8 greedy k-center must
+    // select exactly one point per cluster (any second pick from a
+    // covered cluster is dominated by any point of an uncovered one)
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val base = Array.fill(64)(0.0f)
+      base(c * 8) = 200.0f * (1 + c % 3)
+      base((c * 8 + 4) % 64) += (if (c % 2 == 0) 150.0f else -150.0f)
+      ((c * 10 + i).toLong, c,
+        base.toSeq.map(_ + (rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = DedupSim.sampleKcenterOn(df, k = 8).collect()
+    ScratchCache.releaseAll()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Int]("label")).distinct.length == 8,
+      "one center per planted cluster")
+    assert(out.head.getAs[Long]("sel_round") == 1L &&
+      out.head.isNullAt(out.head.fieldIndex("d2_sel")))
+    val radii = out.tail.map(_.getAs[Double]("d2_sel"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radius must decrease: ${radii.toSeq}")
+    val out2 = DedupSim.sampleKcenterOn(df.repartition(7), k = 8).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("pq adc: lookup-table search recalls the brute-force top-10 on " +
       "clustered vectors") {
     // 6 tight 64-dim clusters of 15: the query's true top-10 all sit

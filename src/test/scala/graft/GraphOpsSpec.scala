@@ -584,4 +584,31 @@ class GraphOpsSpec extends GraftSuite {
       .collect().map(_.toSeq).toSeq
     assert(got == want)
   }
+
+  test("hits: the all-orders part is the top authority, the all-parts " +
+      "order the top hub, sides L1-normalize, partition-invariant") {
+    // orders (even ids) 0,2,4,6; parts (odd) 1,3,5,7. Part 1 is cited
+    // by every order; order 0 cites every part. Mutual reinforcement
+    // must rank part 1 top authority and order 0 top hub.
+    val edges = Seq(
+      (0L, 1L), (0L, 3L), (0L, 5L), (0L, 7L),
+      (2L, 1L), (4L, 1L), (6L, 1L),
+      (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val out = GraphOps.hitsOn(edges, iters = 4).collect()
+    ScratchCache.releaseAll()
+    val auths = out.filter(_.getAs[String]("kind") == "authority")
+    val hubs = out.filter(_.getAs[String]("kind") == "hub")
+    assert(auths.forall(_.getAs[String]("ntype") == "part"))
+    assert(hubs.forall(_.getAs[String]("ntype") == "order"))
+    val topAuth = auths.maxBy(_.getAs[Double]("score"))
+    val topHub = hubs.maxBy(_.getAs[Double]("score"))
+    assert(topAuth.getAs[Long]("node") == 0L) // part id 1 div 2
+    assert(topHub.getAs[Long]("node") == 0L)  // order id 0 div 2
+    // each side L1-normalizes to 1 (4 auths + 4 hubs all in top-20)
+    assert(math.abs(auths.map(_.getAs[Double]("score")).sum - 1.0) < 1e-5)
+    assert(math.abs(hubs.map(_.getAs[Double]("score")).sum - 1.0) < 1e-5)
+    val out2 = GraphOps.hitsOn(edges.repartition(7), iters = 4).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
 }
