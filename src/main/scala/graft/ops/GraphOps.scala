@@ -620,11 +620,13 @@ object GraphOps {
     * the |V|-sized score table + a hash agg on the opposite endpoint +
     * a broadcast 1-row norm join; rounds are lineage-truncated
     * ([[trunc]]) so the analyzed plan stays linear in iterations. */
-  def hits(s: SparkSession, d: String): DataFrame =
-    hitsOn(Tables.lineitem(s, d)
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
       .select((col("l_orderkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct(), iters = 4)
+      .distinct()
+    hitsOn(e, iters = longConf(e, "spark.graft.hits.iters", 4L).toInt)
+  }
 
   /** Core of q_graph_hits over any (src, dst) long edge frame (even
     * ids decode as type "order", odd as "part" on the wire). */
@@ -632,28 +634,45 @@ object GraphOps {
     val D = DecimalType(38, 18)
     val k0 = (c: Column) => pmod(hash(c), lit(1))
     val cols = edgesIn.columns
-    val edges = trunc(edgesIn
-      .select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
-    var hubs = trunc(edges.select(col("src").as("id")).distinct()
+    // TWO pre-partitioned edge copies, checkpointed once: the a-step
+    // joins on src against a score table that the previous h-step's
+    // groupBy(src) already hash-partitioned on the same key (and vice
+    // versa for dst) — localCheckpoint preserves outputPartitioning
+    // and the broadcast-norm/alias projections are partitioning-aware,
+    // so each half-step's join is EXCHANGE-FREE on both sides and the
+    // only shuffle left is the opposite-endpoint aggregation
+    val edgesBySrc = trunc(edgesIn
+      .select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .repartition(col("src")))
+    val edgesByDst = trunc(edgesBySrc.repartition(col("dst")))
+    var hubs = trunc(edgesBySrc.select(col("src").as("id")).distinct()
       .select(col("id"), lit(java.math.BigDecimal.ONE).cast(D).as("h")))
     var auths: DataFrame = null
+    // per half-step, only the RAW sum table is checkpointed (ONE edge
+    // join each); the normalized table is a LAZY view over it (1-row
+    // broadcast norm + row-local division) — checkpointing the
+    // normalized table instead would put the norm agg and the division
+    // on separate copies of the edge join and compute it twice per
+    // half-step (measured 9.2 s vs 4.4 s at sf0.1)
     for (_ <- 1 to iters) {
-      val aRaw = edges.join(hubs, edges("src") === hubs("id"))
-        .groupBy(col("dst")).agg(sum(col("h")).cast(D).as("a"))
+      val aRaw = trunc(edgesBySrc
+        .join(hubs, edgesBySrc("src") === hubs("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).cast(D).as("a")))
       val aNorm = aRaw.agg(sum(col("a")).cast(DecimalType(30, 12)).as("sa"))
         .withColumn("j", k0(col("sa")))
-      auths = trunc(aRaw.withColumn("j", k0(col("dst")))
+      auths = aRaw.withColumn("j", k0(col("dst")))
         .join(broadcast(aNorm), "j")
         .select(col("dst").as("id"),
-          (col("a").cast(DecimalType(30, 18)) / col("sa")).cast(D).as("a")))
-      val hRaw = edges.join(auths, edges("dst") === auths("id"))
-        .groupBy(col("src")).agg(sum(col("a")).cast(D).as("h"))
+          (col("a").cast(DecimalType(30, 18)) / col("sa")).cast(D).as("a"))
+      val hRaw = trunc(edgesByDst
+        .join(auths, edgesByDst("dst") === auths("id"))
+        .groupBy(col("src")).agg(sum(col("a")).cast(D).as("h")))
       val hNorm = hRaw.agg(sum(col("h")).cast(DecimalType(30, 12)).as("sh"))
         .withColumn("j", k0(col("sh")))
-      hubs = trunc(hRaw.withColumn("j", k0(col("src")))
+      hubs = hRaw.withColumn("j", k0(col("src")))
         .join(broadcast(hNorm), "j")
         .select(col("src").as("id"),
-          (col("h").cast(DecimalType(30, 18)) / col("sh")).cast(D).as("h")))
+          (col("h").cast(DecimalType(30, 18)) / col("sh")).cast(D).as("h"))
     }
     val aOut = auths.select(lit("authority").as("kind"),
       when(col("id") % 2 === 0, "order").otherwise("part").as("ntype"),
