@@ -1374,10 +1374,16 @@ object TextOps {
   def textClassifier(s: SparkSession, d: String): DataFrame =
     textClassifierOn(Tables.documents(s, d))
 
-  /** Core of q_text_classifier over any documents-shaped frame. */
-  def textClassifierOn(docsDf: DataFrame): DataFrame = {
+  /** Shared integer-exact quality-score frame under
+    * [[textClassifierOn]] and [[textClassifierCalibrationOn]]:
+    * (source, lang, score8) with score8 in 1e-8 units —
+    * 0.20 + 1.50·stop − 2.00·digit + 0.80·len + 0.50·wlen
+    * (weights in hundredths over the micro-features floor-divided to
+    * 1e-6 units; every step exact integer arithmetic both engines
+    * replay). */
+  private def classifierScore8(docsDf: DataFrame): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "is", "to", "in")
-    val f = docsDf.select(col("source"),
+    docsDf.select(col("source"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("nt"),
       size(filter(split(lower(col("text")), " "),
         t => t.isInCollection(stops))).cast("long").as("ns"),
@@ -1387,15 +1393,17 @@ object TextOps {
         .as("nd"),
       (length(col("text")) -
         length(translate(col("text"), " ", ""))).cast("long").as("nsp"))
-    val scored = f
       .withColumn("f_stop6", expr("(ns * 1000000) div nt"))
       .withColumn("f_digit6", expr("(nd * 1000000) div greatest(nc, 1)"))
       .withColumn("f_len6", expr("(least(nt, 256) * 1000000) div 256"))
       .withColumn("f_wlen6", expr("((nc - nsp) * 1000000) div (nt * 8)"))
-      // score in 1e-8 units: 0.20 + 1.50·stop − 2.00·digit + 0.80·len
-      // + 0.50·wlen (weights in hundredths)
       .withColumn("score8", expr(
         "20000000 + 150*f_stop6 - 200*f_digit6 + 80*f_len6 + 50*f_wlen6"))
+  }
+
+  /** Core of q_text_classifier over any documents-shaped frame. */
+  def textClassifierOn(docsDf: DataFrame): DataFrame = {
+    val scored = classifierScore8(docsDf)
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score8") > 55000000L, 1).otherwise(0)).cast("long")
@@ -1405,6 +1413,57 @@ object TextOps {
         round(sum(col("score8")).cast("double") / count(lit(1))
           / 100000000.0, 6).as("mean_score"))
       .orderBy(col("source"))
+  }
+
+  /** q_text_classifier_calibration — RELIABILITY-DIAGRAM ledger for
+    * the quality classifier (the eval every production filter ships
+    * with: "when the model scores a doc in bin b, how often is it
+    * actually positive?"): docs bucketed into nBins equal-width bins
+    * over the OBSERVED integer score range, each bin reporting volume,
+    * weak-label positive rate (y = 1 ⇔ lang = 'en', the same
+    * supervision [[classifierTrainOn]] trains on — the CCNet pattern)
+    * and mean score. A well-calibrated filter shows en_rate rising
+    * with the bin index; a flat diagram means the score carries no
+    * signal at the chosen threshold.
+    *
+    * EXACT REPLAY: score8 is integer ([[classifierScore8]]); the bin
+    * bounds come from one global (min, max) integer aggregate joined
+    * back on the all-zeros key, and bin = ((score8−mn)·nBins) div
+    * (mx−mn+1) is exact floor arithmetic — both engines bucket every
+    * doc identically, so the whole ledger is oracle-checked.
+    *
+    * Scale shape: one row-local feature projection, one 2-number
+    * global agg (broadcast back), one hash agg by bin — ≤nBins output
+    * rows; nothing after the scan is data-sized. */
+  def textClassifierCalibration(s: SparkSession, d: String): DataFrame =
+    textClassifierCalibrationOn(Tables.documents(s, d), nBins = 10)
+
+  /** Core of q_text_classifier_calibration; nBins equal-width score
+    * bins over the observed [min, max] score8 range. */
+  def textClassifierCalibrationOn(docsDf: DataFrame, nBins: Int)
+      : DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val sc = classifierScore8(docsDf)
+    val rng = sc.agg(min(col("score8")).as("mn"),
+        max(col("score8")).as("mx"))
+      .withColumn("j", k0(col("mn")))
+    sc.withColumn("j", k0(col("score8")))
+      .join(broadcast(rng), "j")
+      .withColumn("bin",
+        expr(s"((score8 - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        min(col("score8")).as("lo8"),
+        max(col("score8")).as("hi8"),
+        round(sum(col("score8")).cast("double") / count(lit(1))
+          / 100000000.0, 6).as("mean_score"))
+      .withColumn("en_rate",
+        round(col("n_en").cast("double") / col("n_docs"), 6))
+      .select(col("bin"), col("n_docs"), col("n_en"), col("en_rate"),
+        col("lo8"), col("hi8"), col("mean_score"))
+      .orderBy(col("bin"))
   }
 
   /** q_text_classifier_train — TRAIN the quality classifier whose

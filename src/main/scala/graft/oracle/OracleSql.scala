@@ -2089,6 +2089,41 @@ object OracleSql {
         |  AS mean_score
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
+    // calibration twin: the q_text_classifier feature replay bucketed
+    // by exact integer floor arithmetic over the observed score range —
+    // every doc lands in the same bin in both engines
+    "q_text_classifier_calibration" ->
+      """WITH f AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT)
+        |    AS ns,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+        |    'g')) AS BIGINT) AS nd,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |    AS nsp
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |  20000000 + 150*((ns * 1000000) // nt)
+        |  - 200*((nd * 1000000) // greatest(nc, 1))
+        |  + 80*((least(nt, 256) * 1000000) // 256)
+        |  + 50*(((nc - nsp) * 1000000) // (nt * 8)) AS score8 FROM f),
+        |rng AS (SELECT MIN(score8) AS mn, MAX(score8) AS mx FROM sc),
+        |b AS (SELECT sc.lang, sc.score8,
+        |  ((sc.score8 - r.mn) * 10) // (r.mx - r.mn + 1) AS bin
+        |  FROM sc, rng r)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_en,
+        |ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / COUNT(*), 6) AS en_rate,
+        |CAST(MIN(score8) AS BIGINT) AS lo8,
+        |CAST(MAX(score8) AS BIGINT) AS hi8,
+        |ROUND(CAST(SUM(score8) AS DOUBLE) / COUNT(*) / 100000000.0, 6)
+        |  AS mean_score
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // per-dimension moments: quantize each float once to DECIMAL(12,6)
     // (no representable tie at the 7th place — cast rounds identically),
     // decimal-exact sums, explicit round(…,6) before the double wire

@@ -164,6 +164,34 @@ class TrainingDataSpec extends GraftSuite {
     assert(out("n_positive") == 10.0 && out("n_docs") == 20.0)
   }
 
+  test("classifier calibration: bins partition the corpus, the top bin " +
+      "is en-dominated on a separable corpus, partition-invariant") {
+    // en docs are stopword-rich (high score8), fr docs digit-heavy
+    // (low score8) — a calibrated diagram must put en mass in the top
+    // bin and fr mass in the bottom one
+    val corpus = docs(
+      ((1 to 12).map(i =>
+        (i.toLong, "the of and is to in the a of the", "en", "s1")) ++
+      (13 to 24).map(i =>
+        (i.toLong, "99 12345 678 00 42 7 31337 5", "fr", "s1"))): _*)
+    val out = TextOps.textClassifierCalibrationOn(corpus, nBins = 10)
+      .collect()
+    ops.ScratchCache.releaseAll()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 24L,
+      "bins must partition every doc")
+    val top = out.maxBy(_.getAs[Long]("bin"))
+    val bot = out.minBy(_.getAs[Long]("bin"))
+    assert(top.getAs[Double]("en_rate") == 1.0 &&
+      top.getAs[Long]("n_docs") == 12L, top.toString)
+    assert(bot.getAs[Double]("en_rate") == 0.0 &&
+      bot.getAs[Long]("n_docs") == 12L, bot.toString)
+    assert(out.forall(r => r.getAs[Long]("lo8") <= r.getAs[Long]("hi8")))
+    val out2 = TextOps.textClassifierCalibrationOn(
+      corpus.repartition(7), nBins = 10).collect()
+    ops.ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("classifier scores are integer-exact and threshold deterministically") {
     val corpus = docs(
       // "a b 1": nt=3 ns=1 nc=5 nd=1 nsp=2 -> f_stop6=333333,
