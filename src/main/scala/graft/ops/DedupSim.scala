@@ -1298,6 +1298,69 @@ object DedupSim {
       .limit(10)
   }
 
+  /** q_sim_ann_ivf_append — INCREMENTAL maintenance of the persisted
+    * IVF index (r13): the daily-ingest shape for vectors, composing
+    * [[simAnnIvfIndex]]'s artifact (quantizer + `partitionBy(list_id)`
+    * inverted lists) with [[graft.ops.Incremental]]'s standing-index
+    * discipline. The base corpus builds the index ONCE (quantizer
+    * learned on the base, then FROZEN — the production reality: new
+    * batches are assigned against the existing coarse quantizer, never
+    * retrained); a new batch is admitted via ONE anti join against the
+    * stored vec_ids (idempotent re-ingest: a replayed batch appends
+    * nothing) and appended with `mode("append")` — only the touched
+    * list_id partition directories gain files, untouched lists are
+    * never rewritten or read. Wire: per-list ledger (list_id, n_base,
+    * n_batch, n_total) from the re-read artifact.
+    *
+    * No oracle (list membership depends on the float-iteration-learned
+    * quantizer — the q_sim_ann_ivf precedent); AnnLshSpec proves the
+    * append path ROW-IDENTICAL to assigning base ∪ batch against the
+    * same frozen quantizer, probe equality over the appended artifact,
+    * and append idempotence.
+    *
+    * Scale shape: batch-sized assign (broadcast k-row quantizer) + one
+    * anti join against the index's id column + a partition-local
+    * append; the ledger is one hash agg by list_id. Nothing rescans
+    * the base vectors. */
+  def simAnnIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    simAnnIvfAppendOn(
+      emb.filter(col("vec_id") % 7 =!= 3),
+      emb.filter(col("vec_id") % 7 === 3),
+      ivfIndexDir(d) + "_append")
+  }
+
+  /** Core of q_sim_ann_ivf_append: base builds the artifact at `dir`
+    * if absent (rows tagged is_batch=false); batch rows are anti-joined
+    * against the stored ids, assigned on the frozen quantizer and
+    * appended tagged is_batch=true. Returns the per-list ledger from
+    * the re-read artifact. */
+  def simAnnIvfAppendOn(base: DataFrame, batch: DataFrame,
+      dir: String): DataFrame = {
+    val s = base.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    if (!new java.io.File(s"$dir/lists/_SUCCESS").exists()) {
+      val cent = ScratchCache.cache(learnedCentroids(base, k = 10))
+      cent.write.mode("overwrite").parquet(s"$dir/quantizer")
+      ivfAssign(base, cent).withColumn("is_batch", lit(false))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/lists")
+    }
+    val cent = s.read.parquet(s"$dir/quantizer")
+    val existingIds = s.read.parquet(s"$dir/lists").select(col("vec_id"))
+    val admitted = batch.join(existingIds, Seq("vec_id"), "left_anti")
+    // assign carries only (vec_id, label, v, list_id); re-attach the
+    // batch marker for the ledger
+    ivfAssign(admitted, cent).withColumn("is_batch", lit(true))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+    s.read.parquet(s"$dir/lists")
+      .groupBy(col("list_id"))
+      .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("list_id"))
+  }
+
   /** q_sim_centroid — per-label centroid (64 dims) + centroid L2 norm.
     * All cross-row sums ride exact decimals; the norm uses
     * Σ(Σv)² / n² so no division happens before the final double —

@@ -124,6 +124,48 @@ class AnnLshSpec extends GraftSuite {
     assert(all.select($"list_id").distinct().count() == 10)
   }
 
+  test("IVF append: append path equals assign-all on the frozen " +
+      "quantizer, re-ingest is a no-op, probe reads the appended rows") {
+    val rnd = new scala.util.Random(23)
+    def cluster(c: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(64)(0.0f); v(c * 9) = 120.0f
+      (base + i, c, v.toSeq.map(_ + (rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val baseDf = (0 until 6).flatMap(c => cluster(c, 12, c * 100L))
+      .toDF("vec_id", "label", "embedding")
+    val batchDf = (0 until 6).flatMap(c => cluster(c, 4, c * 100L + 50))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_spec").toString
+    val ledger = DedupSim.simAnnIvfAppendOn(baseDf, batchDf, dir).collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(ledger.map(_.getAs[Long]("n_base")).sum == 72L)
+    assert(ledger.map(_.getAs[Long]("n_batch")).sum == 24L)
+    // append ≡ assign-all: the artifact holds exactly the rows one
+    // full assignment of base ∪ batch against the SAME quantizer gives
+    val cent = spark.read.parquet(s"$dir/quantizer")
+    val want = DedupSim.ivfAssign(baseDf.unionByName(batchDf), cent)
+      .select($"vec_id", $"list_id").collect()
+      .map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(s"$dir/lists")
+      .select($"vec_id", $"list_id").collect()
+      .map(_.toString).sorted.toSeq
+    graft.ops.ScratchCache.releaseAll()
+    assert(got == want, "appended artifact diverged from full assignment")
+    // idempotence: replaying the same batch appends nothing
+    val ledger2 = DedupSim.simAnnIvfAppendOn(baseDf, batchDf, dir).collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(ledger.map(_.toString).toSeq == ledger2.map(_.toString).toSeq)
+    // probe over the appended artifact sees batch vectors: a batch
+    // point's top-10 within its tight cluster must include batch peers
+    val assigned = spark.read.parquet(s"$dir/lists")
+    val top = DedupSim.ivfSearch(assigned, cent, queryVecId = 50L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    graft.ops.ScratchCache.releaseAll()
+    assert(top.exists(id => id >= 50L && id % 100 >= 50),
+      s"probe missed appended cluster peers: $top")
+  }
+
   test("IVF ANN recall vs brute force is substantial") {
     val brute = DedupSim.simCosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
