@@ -1888,6 +1888,70 @@ object DedupSim {
       .orderBy(col("vec_id"))
   }
 
+  /** q_emb_outliers — embedding-corpus OUTLIER ledger: top-20 vectors
+    * by distance-to-the-corpus-mean z-score — the QC pass run before
+    * any dedup/ANN/curation step trusts an embedding column (encoder
+    * glitches, wrong-modality rows and truncated inputs all surface as
+    * extreme d²(x, μ)). Wire: (vec_id, label, d2, z).
+    *
+    * EXACT REPLAY: reuses [[sampleCoresetOn]]'s exact-decimal mean +
+    * d² discipline, then carries d² as INTEGER MICRO-UNITS
+    * (d2u = d²·10⁶, exact — the decimal is scale-6 by construction) so
+    * Σd2u and Σd2u² ride DECIMAL(38,0) integers that DuckDB replays in
+    * HUGEINT; ranking is by the exact d² itself (z is monotone in d²,
+    * so the rounded z can never reorder the ledger), ties by vec_id;
+    * z derives from the exact sums through one shared double formula.
+    *
+    * Scale shape: the coreset's two stats passes + one top-k
+    * (TakeOrdered) — no shuffle carries vectors. */
+  def embOutliers(s: SparkSession, d: String): DataFrame =
+    embOutliersOn(Tables.embeddings(s, d))
+
+  /** Core of q_emb_outliers over any (vec_id, label, embedding)
+    * frame (needs ≥ 2 rows for the sample variance). */
+  def embOutliersOn(embDf: DataFrame): DataFrame = {
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+    val e = ScratchCache.cache(embDf.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("xx", dot("v", "v")))
+    val muRow = e.select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(emb(col("col"))).cast(DecimalType(38, 12)).as("sv"))
+      .withColumn("mv", round(col("sv").cast("double") / col("n"), 6))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+        .as("mu"), first(col("n")).as("n"))
+      .withColumn("mm", dot("mu", "mu"))
+    val d2 = e.join(broadcast(muRow.withColumn("j", k0(col("n")))),
+        k0(col("vec_id")) === col("j"))
+      .select(col("vec_id"), col("label"),
+        (greatest(lit(0.0),
+          round(col("xx") + col("mm") - lit(2.0) * dot("v", "mu"), 6))
+          .cast(DecimalType(20, 6)) * lit(1000000L))
+          .cast(DecimalType(19, 0)).as("d2u"))
+      .pipe(ScratchCache.cache)
+    val st = d2.agg(count(lit(1)).as("n"),
+        sum(col("d2u").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          .as("s1"),
+        sum((col("d2u").cast(DecimalType(19, 0))
+          * col("d2u").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("s2"))
+      .withColumn("j2", k0(col("n")))
+    d2.join(broadcast(st), k0(col("vec_id")) === col("j2"))
+      .withColumn("mean_u", col("s1").cast("double") / col("n"))
+      .withColumn("var_u", greatest(lit(0.0),
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n")) / greatest(col("n") - 1, lit(1L))))
+      .select(col("vec_id"), col("label"),
+        (col("d2u").cast("double") / lit(1000000.0)).as("d2"),
+        when(col("n") > 1 && col("var_u") > 0,
+          round((col("d2u").cast("double") - col("mean_u"))
+            / sqrt(col("var_u")), 6)).as("z"))
+      .orderBy(col("d2").desc, col("vec_id")).limit(20)
+  }
+
   /** q_sample_kcenter — greedy FARTHEST-POINT (k-center) sampling
     * (Gonzalez 1985, the 2-approximation): start from the minimum
     * vec_id, then k−1 times add the point farthest from the current

@@ -393,6 +393,69 @@ object EventOps {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** q_events_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the classic marketing-analytics ledger: per
+    * customer, days since last order (vs the corpus's max order date),
+    * order count and total spend, each scored 1–5 on FIXED published
+    * thresholds, then one row per (r, f, m) segment with volume and
+    * exact means. Fixed thresholds (not data quantiles) are the
+    * production choice — segment definitions must stay stable across
+    * runs and data drift, and they keep every step exactly replayable
+    * (an ntile variant would tie rank boundaries to engine sort
+    * internals).
+    *
+    * DETERMINISM: spend is quantized once to DECIMAL(12,2) per order
+    * and summed exactly; recency is exact integer datediff vs a 1-row
+    * broadcast max date (all-zeros key); segment means divide exact
+    * sums at the very end (round 6). Scale shape: one customer-keyed
+    * hash agg + a 1-row broadcast + a ≤125-row segment agg — nothing
+    * after the first agg is data-sized. */
+  def rfm(s: SparkSession, d: String): DataFrame =
+    rfmOn(Tables.orders(s, d))
+
+  /** Core of q_events_rfm over any orders-shaped frame. */
+  def rfmOn(ordersDf: DataFrame): DataFrame = {
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    val D = DecimalType(38, 2)
+    val ref = ordersDf.agg(max(to_date(col("o_orderdate"))).as("refd"))
+      .withColumn("j", k0(col("refd")))
+    ordersDf
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(D)
+          .as("monetary"))
+      .withColumn("j", k0(col("o_custkey")))
+      .join(broadcast(ref), "j")
+      .withColumn("recency_days",
+        datediff(col("refd"), col("last_order")).cast("long"))
+      .withColumn("r_score",
+        when(col("recency_days") < 90, 5L)
+          .when(col("recency_days") < 180, 4L)
+          .when(col("recency_days") < 365, 3L)
+          .when(col("recency_days") < 730, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("frequency") >= 18, 5L)
+          .when(col("frequency") >= 13, 4L)
+          .when(col("frequency") >= 9, 3L)
+          .when(col("frequency") >= 5, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("monetary") >= 4000000L, 5L)
+          .when(col("monetary") >= 3000000L, 4L)
+          .when(col("monetary") >= 2000000L, 3L)
+          .when(col("monetary") >= 1000000L, 2L).otherwise(1L))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("recency_days")).cast("double") / count(lit(1)), 6)
+          .as("avg_recency_days"),
+        round(sum(col("frequency")).cast("double") / count(lit(1)), 6)
+          .as("avg_frequency"),
+        round(sum(col("monetary")).cast(D).cast("double")
+          / count(lit(1)), 6).as("avg_monetary"))
+      .orderBy(col("r_score").desc, col("f_score").desc,
+        col("m_score").desc)
+  }
+
   /** q_events_transitions — first-order Markov transition matrix over
     * the event-type alphabet: for each user's timeline (ordered by
     * event time, event_id breaking µs ties) count every consecutive

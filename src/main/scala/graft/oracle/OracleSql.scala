@@ -2611,6 +2611,47 @@ object OracleSql {
         |SELECT vec_id, label, ROUND(1.0 / (100.0 * q), 6) AS w
         |FROM uu WHERE u < 100.0 * q ORDER BY vec_id""".stripMargin,
 
+    // outlier twin: the coreset mean/d² replay carried as exact
+    // integer micro-units (HUGEINT sums ≡ Spark's DECIMAL(38,0));
+    // ranking is by exact d² so the rounded z can never reorder it,
+    // and z derives from the exact sums through the same double formula
+    "q_emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                   CAST(embedding AS DOUBLE[])) AS xx
+        |  FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |md AS (SELECT dims.dim,
+        |  CAST(SUM(CAST(e.v[CAST(dims.dim AS INT)] AS DECIMAL(25,12)))
+        |    AS DECIMAL(38,12)) AS sv
+        |  FROM e, (SELECT unnest(range(1, 65)) AS dim) dims
+        |  GROUP BY dims.dim),
+        |mu AS (SELECT list(ROUND(CAST(sv AS DOUBLE) / (SELECT n FROM nn), 6)
+        |    ORDER BY dim) AS mu FROM md),
+        |mm AS (SELECT mu, list_dot_product(mu, mu) AS mm FROM mu),
+        |dd AS (SELECT e.vec_id, e.label,
+        |  CAST(CAST(GREATEST(0.0, ROUND(e.xx + m.mm
+        |    - 2.0 * list_dot_product(e.v, m.mu), 6))
+        |    AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS d2u
+        |  FROM e, mm m),
+        |st AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(d2u AS HUGEINT)) AS s1,
+        |  SUM(CAST(d2u AS HUGEINT) * CAST(d2u AS HUGEINT)) AS s2
+        |  FROM dd)
+        |SELECT dd.vec_id, dd.label,
+        |  CAST(dd.d2u AS DOUBLE) / 1000000.0 AS d2,
+        |  CASE WHEN st.n > 1 AND GREATEST(0.0, (CAST(st.s2 AS DOUBLE)
+        |      - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / st.n)
+        |      / GREATEST(st.n - 1, 1)) > 0
+        |    THEN ROUND((CAST(dd.d2u AS DOUBLE)
+        |      - CAST(st.s1 AS DOUBLE) / st.n)
+        |      / sqrt(GREATEST(0.0, (CAST(st.s2 AS DOUBLE)
+        |        - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / st.n)
+        |        / GREATEST(st.n - 1, 1))), 6)
+        |    ELSE NULL END AS z
+        |FROM dd, st ORDER BY d2 DESC, vec_id LIMIT 20""".stripMargin,
+
     // greedy k-center twin: 8 unrolled farthest-point rounds — d² is
     // quantized DECIMAL(20,6) at every pair and the argmax tie-breaks
     // by vec_id, so the EXACT selected sequence replays; min-d² updates
@@ -3376,6 +3417,46 @@ object OracleSql {
         |round(r * (SELECT n FROM nv), 6) AS rank_x_n
         |FROM r5
         |ORDER BY rank_x_n DESC, ntype, node LIMIT 20""".stripMargin,
+
+    // RFM twin: exact integer datediff vs the corpus max date, spend
+    // quantized once to DECIMAL(12,2) then summed exactly, fixed score
+    // thresholds, segment means divide exact sums at the very end
+    "q_events_rfm" ->
+      """WITH rr AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS refd
+        |  FROM orders),
+        |per AS (SELECT o_custkey,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |  COUNT(*) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(38,2)) AS monetary
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT per.*,
+        |  CAST(rr.refd - per.last_order AS BIGINT) AS recency_days
+        |  FROM per, rr),
+        |scored AS (SELECT *,
+        |  CASE WHEN recency_days < 90 THEN 5 WHEN recency_days < 180
+        |    THEN 4 WHEN recency_days < 365 THEN 3
+        |    WHEN recency_days < 730 THEN 2 ELSE 1 END AS r_score,
+        |  CASE WHEN frequency >= 18 THEN 5 WHEN frequency >= 13 THEN 4
+        |    WHEN frequency >= 9 THEN 3 WHEN frequency >= 5 THEN 2
+        |    ELSE 1 END AS f_score,
+        |  CASE WHEN monetary >= 4000000 THEN 5
+        |    WHEN monetary >= 3000000 THEN 4
+        |    WHEN monetary >= 2000000 THEN 3
+        |    WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS m_score
+        |  FROM sc)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |CAST(f_score AS BIGINT) AS f_score,
+        |CAST(m_score AS BIGINT) AS m_score,
+        |COUNT(*) AS n_customers,
+        |ROUND(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6)
+        |  AS avg_recency_days,
+        |ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6)
+        |  AS avg_frequency,
+        |ROUND(CAST(CAST(SUM(monetary) AS DECIMAL(38,2)) AS DOUBLE)
+        |  / COUNT(*), 6) AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin,
 
     // HITS twin: 4 unrolled (authority, hub) half-step pairs in
     // doubles — Spark's side rides exact DECIMAL(38,18) sums with

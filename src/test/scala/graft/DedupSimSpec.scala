@@ -606,6 +606,26 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("outliers: the planted far vector tops the ledger with a large " +
+      "z-score, inliers stay near zero, partition-invariant") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, 0, Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat))
+    } :+ ((99L, 1, Seq.fill(64)(40.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = DedupSim.embOutliersOn(df).collect()
+    ScratchCache.releaseAll()
+    assert(out.length == 20)
+    assert(out.head.getAs[Long]("vec_id") == 99L, "outlier must rank first")
+    assert(out.head.getAs[Double]("z") > 5.0)
+    // ledger is sorted by exact d2 descending
+    val d2s = out.map(_.getAs[Double]("d2"))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b })
+    val out2 = DedupSim.embOutliersOn(df.repartition(7)).collect()
+    ScratchCache.releaseAll()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("kcenter: greedy farthest-point covers every planted cluster " +
       "exactly once, radius decreases, selection is partition-invariant") {
     val rnd = new scala.util.Random(11)

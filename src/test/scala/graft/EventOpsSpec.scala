@@ -16,6 +16,36 @@ class EventOpsSpec extends GraftSuite {
       .withColumn("ts", to_timestamp(col("t")))
       .drop("t")
 
+  test("rfm: planted customers land in their designed segments with " +
+      "exact means, partition-invariant") {
+    // cust 1: fresh heavy spender (recency 10d, 18 orders, 4.5M) ->
+    // (5,5,5); cust 2: mid (200d, 9 orders, 2.7M) -> (3,3,3);
+    // cust 3: lapsed light (799d, 2 orders, 0.3M) -> (1,1,1)
+    val rows =
+      (1 to 18).map(i => (100L + i, 1L, "1998-07-22", 250000.0)) ++
+      (1 to 9).map(i => (200L + i, 2L, "1998-01-13", 300000.0)) ++
+      Seq((301L, 3L, "1996-05-24", 150000.0),
+        (302L, 3L, "1995-01-01", 150000.0)) :+
+      ((999L, 9L, "1998-08-01", 1000000.0)) // sets the ref date
+    val df = rows.toDF("o_orderkey", "o_custkey", "dt", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("dt"))).drop("dt")
+    val out = EventOps.rfmOn(df).collect()
+    def seg(r: Long, f: Long, m: Long) = out.find(x =>
+      x.getAs[Long]("r_score") == r && x.getAs[Long]("f_score") == f &&
+      x.getAs[Long]("m_score") == m)
+    val s555 = seg(5, 5, 5).get
+    assert(s555.getAs[Long]("n_customers") == 1L)
+    assert(s555.getAs[Double]("avg_recency_days") == 10.0)
+    assert(s555.getAs[Double]("avg_frequency") == 18.0)
+    assert(s555.getAs[Double]("avg_monetary") == 4500000.0)
+    val s333 = seg(3, 3, 3).get
+    assert(s333.getAs[Long]("n_customers") == 1L)
+    assert(s333.getAs[Double]("avg_recency_days") == 200.0)
+    assert(seg(1, 1, 1).get.getAs[Double]("avg_monetary") == 300000.0)
+    val out2 = EventOps.rfmOn(df.repartition(7)).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("sequence match: exclusion window classifies matched / blocked " +
       "/ no_view, with ties broken by event_id") {
     val log = Seq(
