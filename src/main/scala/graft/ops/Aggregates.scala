@@ -455,6 +455,52 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_agg_linreg — per-group simple OLS regression (slope, intercept,
+    * r²) of extended price on quantity — the trend-fit companion of
+    * [[aggCorr]]: same exact-decimal moment discipline (five sums ride
+    * DECIMAL, partition-order free), same one-shot double formulas at
+    * the end, same degenerate-group NULL guards (n ≤ 1 or zero x/y
+    * variance). The closed-form moment formulation is what makes OLS a
+    * one-pass distributed aggregate — no iterative solver, no second
+    * data pass, so it runs at any scale a hash aggregate runs. */
+  def aggLinreg(s: SparkSession, d: String): DataFrame =
+    aggLinregOn(Tables.lineitem(s, d))
+
+  /** Core of q_agg_linreg over any frame with (l_returnflag,
+    * l_quantity, l_extendedprice). */
+  private[graft] def aggLinregOn(li: DataFrame): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        col("n").cast("double").as("dn"),
+        col("sx").cast("double").as("dx"), col("sy").cast("double").as("dy"),
+        col("sxy").cast("double").as("dxy"),
+        col("sxx").cast("double").as("dxx"), col("syy").cast("double").as("dyy"))
+      .select(
+        col("l_returnflag"), col("n"), col("dn"), col("dx"), col("dy"),
+        (col("dn") * col("dxy") - col("dx") * col("dy")).as("sp"),
+        (col("dn") * col("dxx") - col("dx") * col("dx")).as("ssx"),
+        (col("dn") * col("dyy") - col("dy") * col("dy")).as("ssy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        when(col("n") > 1 && col("ssx") > 0,
+          round(col("sp") / col("ssx"), 6)).as("slope"),
+        when(col("n") > 1 && col("ssx") > 0,
+          round((col("dy") - (col("sp") / col("ssx")) * col("dx"))
+            / col("dn"), 6)).as("intercept"),
+        when(col("n") > 1 && col("ssx") > 0 && col("ssy") > 0,
+          round((col("sp") * col("sp")) / (col("ssx") * col("ssy")), 6))
+          .as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q_agg_mode — per-group mode (most frequent l_quantity per return
     * flag) with a deterministic lowest-value tie-break: a value-level
     * hash aggregate (map-side partials collapse each partition to

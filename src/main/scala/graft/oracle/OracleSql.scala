@@ -3296,6 +3296,39 @@ object OracleSql {
         |  THEN round(cm / sqrt(vx * vy), 6) END AS corr_qty_disc
         |FROM v ORDER BY l_returnflag""".stripMargin,
 
+    // OLS twin: the q_agg_corr moment replay with the closed-form
+    // slope/intercept/r2 — identical parenthesization to the Spark
+    // double expressions so both engines run the same IEEE ops
+    "q_agg_linreg" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |    * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |, v AS (SELECT l_returnflag, n,
+        |  CAST(n AS DOUBLE) AS dn,
+        |  CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sp,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS ssx,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS ssy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |CASE WHEN n > 1 AND ssx > 0
+        |  THEN round(sp / ssx, 6) END AS slope,
+        |CASE WHEN n > 1 AND ssx > 0
+        |  THEN round((dy - (sp / ssx) * dx) / dn, 6) END AS intercept,
+        |CASE WHEN n > 1 AND ssx > 0 AND ssy > 0
+        |  THEN round((sp * sp) / (ssx * ssy), 6) END AS r2
+        |FROM v ORDER BY l_returnflag""".stripMargin,
+
     // deterministic mode: explicit (count DESC, value ASC) tie-break —
     // the builtin mode() is tie-arbitrary in both engines
     "q_agg_mode" ->

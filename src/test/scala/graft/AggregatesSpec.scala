@@ -202,6 +202,30 @@ class AggregatesSpec extends GraftSuite {
     assert(math.abs(ok.getAs[Double]("corr_qty_disc") - 1.0) < 1e-6)
   }
 
+  test("linreg: exact fit on a planted line, degenerate groups NULL, " +
+      "partition-invariant") {
+    import spark.implicits._
+    // "line": y = 100 + 50x exactly -> slope 50, intercept 100, r2 1;
+    // "single": n = 1 -> all NULL; "flatx": zero x variance -> all NULL
+    val planted = Seq(
+      ("line", 1.0, 150.0), ("line", 2.0, 200.0), ("line", 3.0, 250.0),
+      ("line", 4.0, 300.0),
+      ("single", 5.0, 400.0),
+      ("flatx", 3.0, 10.0), ("flatx", 3.0, 20.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = Aggregates.aggLinregOn(planted).collect()
+    val line = out.find(_.getString(0) == "line").get
+    assert(math.abs(line.getAs[Double]("slope") - 50.0) < 1e-6)
+    assert(math.abs(line.getAs[Double]("intercept") - 100.0) < 1e-6)
+    assert(math.abs(line.getAs[Double]("r2") - 1.0) < 1e-6)
+    val single = out.find(_.getString(0) == "single").get
+    assert(single.isNullAt(2) && single.isNullAt(3) && single.isNullAt(4))
+    val flatx = out.find(_.getString(0) == "flatx").get
+    assert(flatx.isNullAt(2) && flatx.isNullAt(3) && flatx.isNullAt(4))
+    val out2 = Aggregates.aggLinregOn(planted.repartition(5)).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("mode picks the max-count value with lowest-value tie-break") {
     val out = Aggregates.aggMode(spark, sf).collect()
       .map(r => r.getString(0) ->
