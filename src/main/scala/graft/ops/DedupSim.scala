@@ -68,10 +68,20 @@ object DedupSim {
     * restricted to the batch, and the admission plan reads the index
     * table, never the history parquet. */
   def dedupIncr(s: SparkSession, d: String): DataFrame = {
-    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = Tables.documents(s, d)
+    // the index name carries a CONTENT FINGERPRINT (doc count +
+    // max doc_id — a column-pruned parquet scan, O(metadata) next to
+    // any admission join), so regenerating the documents at the same
+    // path within one session/metastore rebuilds the index instead of
+    // silently reusing a stale one (the from-scratch oracle always
+    // sees the current documents)
+    val fpRow = docs.agg(count(lit(1)).as("n"),
+      coalesce(max(col("doc_id")), lit(0L)).as("mx")).head()
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val idxT = s"graft_dedup_idx_$suffix"
     if (!s.catalog.tableExists(idxT)) {
-      Tables.documents(s, d)
+      docs
         .select(md5(col("text")).as("sig")).distinct()
         .write.mode("overwrite")
         .bucketBy(8, "sig").sortBy("sig")
@@ -80,7 +90,7 @@ object DedupSim {
           s"graft_dedup_idx_$suffix").toString)
         .format("parquet").saveAsTable(idxT)
     }
-    dedupIncrAdmit(dedupIncrBatch(Tables.documents(s, d)), s.table(idxT))
+    dedupIncrAdmit(dedupIncrBatch(docs), s.table(idxT))
   }
 
   /** The planted incoming batch over any (doc_id, source, text) frame:
@@ -1823,7 +1833,7 @@ object DedupSim {
     * Lightweight Coresets", KDD 2018): importance q(x) = ½/n +
     * ½·d²(x,μ)/Σd² mixes uniform mass with distance-to-the-mean mass,
     * each point kept independently with probability min(1, m·q(x))
-    * and Horvitz–Thompson weight 1/(m·q(x)) — the weighted subsample
+    * and Horvitz–Thompson weight 1/min(1, m·q(x)) — the weighted subsample
     * is a provable (ε, k)-coreset, THE curation primitive for running
     * k-means/SemDeDup-style analyses on a 100 TB embedding corpus
     * without touching most of it. Two passes, both trivially
@@ -1883,8 +1893,12 @@ object DedupSim {
           lit(p)), lit(p)), lit(p)))
       .withColumn("u", col("hv").cast("double") / lit(p.toDouble))
       .filter(col("u") < lit(m.toDouble) * col("q"))
+      // inclusion probability is min(1, m·q) — a point with m·q > 1 is
+      // kept with CERTAINTY, so its Horvitz–Thompson weight is 1, not
+      // 1/(m·q) < 1 (which would bias Σw low on extreme-d² points)
       .select(col("vec_id"), col("label"),
-        round(lit(1.0) / (lit(m.toDouble) * col("q")), 6).as("w"))
+        round(lit(1.0) / least(lit(1.0), lit(m.toDouble) * col("q")), 6)
+          .as("w"))
       .orderBy(col("vec_id"))
   }
 

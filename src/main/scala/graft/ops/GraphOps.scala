@@ -631,6 +631,9 @@ object GraphOps {
   /** Core of q_graph_hits over any (src, dst) long edge frame (even
     * ids decode as type "order", odd as "part" on the wire). */
   def hitsOn(edgesIn: DataFrame, iters: Int): DataFrame = {
+    // iters < 1 would leave `auths` undefined below (reachable via the
+    // spark.graft.hits.iters conf) — fail fast with the contract
+    require(iters >= 1, s"hitsOn needs iters >= 1, got $iters")
     val D = DecimalType(38, 18)
     val k0 = (c: Column) => pmod(hash(c), lit(1))
     val cols = edgesIn.columns

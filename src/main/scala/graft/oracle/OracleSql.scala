@@ -2608,7 +2608,8 @@ object OracleSql {
         |    % 2147483647)) % 2147483647)) % 2147483647
         |    AS DOUBLE) / 2147483647.0 AS u
         |  FROM qq)
-        |SELECT vec_id, label, ROUND(1.0 / (100.0 * q), 6) AS w
+        |SELECT vec_id, label,
+        |  ROUND(1.0 / LEAST(1.0, 100.0 * q), 6) AS w
         |FROM uu WHERE u < 100.0 * q ORDER BY vec_id""".stripMargin,
 
     // outlier twin: the coreset mean/d² replay carried as exact

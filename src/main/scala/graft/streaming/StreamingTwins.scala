@@ -147,13 +147,20 @@ class AttributionCreditsProcessor(ttlMs: Long = -1L)
       rows: Iterator[(Long, Long, Long, String)],
       timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
     var s = Option(st.get()).getOrElse(TouchState("(none)", -1L))
+    var touched = false
     val out = rows.toSeq.sortBy(r => (r._3, r._2))
       .flatMap { case (_, _, us, et) =>
-        if (et != "purchase") { s = TouchState(et, us); None }
+        if (et != "purchase") { s = TouchState(et, us); touched = true; None }
         else Some((key, s.touchType, us,
           if (s.touchUs < 0) Long.MinValue else us - s.touchUs))
       }
-    st.update(s)
+    // write state ONLY when the batch carried a touch: an unconditional
+    // update would let purchase-only batches refresh the carried
+    // touch's TTL (and re-persist the '(none)' sentinel after
+    // eviction), defeating "a click older than N days earns nothing"
+    // for users whose purchases keep arriving — the stored touch must
+    // age out on ITS OWN clock
+    if (touched) st.update(s)
     out.iterator
   }
 }

@@ -580,13 +580,15 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
-  test("coreset: the far outlier is certainly selected with a small " +
+  test("coreset: the far outlier is certainly selected with unit " +
       "Horvitz-Thompson weight, and selection is partition-invariant") {
     val rnd = new scala.util.Random(5)
     // 80 tight points around 0 + one far outlier owning nearly all of
-    // Σd²: m·q(outlier) ≈ 20·0.5 » 1, so selection is certain, and
-    // its weight ≈ 1/(m·q) ≈ 0.1 — the distance-aware mass is the
-    // whole point of the lightweight coreset vs uniform sampling.
+    // Σd²: m·q(outlier) ≈ 20·0.5 » 1, so its TRUE inclusion
+    // probability is 1 and the Horvitz–Thompson weight must be
+    // 1/min(1, m·q) = 1 exactly — NOT 1/(m·q) < 1, which would bias
+    // Σw low on precisely the extreme-d² points the coreset exists to
+    // capture. Tight points have m·q « 1 and carry weights > 1.
     val vecs = (0 until 80).map { i =>
       (i.toLong, 0, Seq.fill(64)((rnd.nextGaussian() * 0.1).toFloat))
     } :+ ((99L, 1, Seq.fill(64)(50.0f)))
@@ -599,7 +601,11 @@ class DedupSimSpec extends GraftSuite {
     out.foreach(r => assert(r.getAs[Double]("w") > 0.0))
     val wOut = out.find(_.getAs[Long]("vec_id") == 99L).get
       .getAs[Double]("w")
-    assert(wOut < 0.2, s"outlier weight $wOut should be ≈ 1/(m·q) ≈ 0.1")
+    assert(wOut == 1.0, s"certainly-included outlier weight $wOut must " +
+      "be exactly 1 (inclusion probability is min(1, m*q) = 1)")
+    out.filter(_.getAs[Long]("vec_id") != 99L).foreach(r =>
+      assert(r.getAs[Double]("w") > 1.0,
+        s"tight point ${r.getAs[Long]("vec_id")} has m*q < 1 so w > 1"))
     val out2 = DedupSim.sampleCoresetOn(df.repartition(7), m = 20)
       .collect()
     ScratchCache.releaseAll()
