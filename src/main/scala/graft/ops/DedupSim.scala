@@ -1032,6 +1032,16 @@ object DedupSim {
     * vectors alone, which is what a real 100 TB corpus (no label
     * column) requires. Returns (list_id 0..k-1, cv: array<double>).
     *
+    * Above `spark.graft.ann.trainMax` vectors (default 65536) the
+    * trainer runs on the trainMax smallest-md5(vec_id) rows — the
+    * Faiss-style train-on-subsample discipline that keeps quantizer
+    * training O(trainMax) no matter the corpus size (a coarse
+    * quantizer needs O(k) training points; iterating Lloyd over all of
+    * 100 TB would be pure waste). The sample is deterministic and
+    * partitioning-independent (md5 order, exact prefix cut), so the
+    * learned centroids — and every recall spec downstream — are
+    * reproducible at any scale.
+    *
     * Shape per pass (identical to [[embKmeansOn]]'s contract): each
     * cost/assign round is ONE broadcast of the candidate arrays
     * against the vector table collapsing map-side via a
@@ -1058,9 +1068,40 @@ object DedupSim {
     // native codegen dot (bit-exact with the HOF fold) — the hot path
     // runs |vecs| × |candidates| dots per pass
     val dot = (a: String, b: String) => expr(s"dot_product($a, $b)")
-    val e = ScratchCache.cache(embeddings.select(col("vec_id"),
+    val eAll = ScratchCache.cache(embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("xx", dot("v", "v")))
+    // --- SAMPLED TRAINING (the 100 TB gate): above trainMax vectors
+    // the quantizer trains on the trainMax smallest-md5(vec_id) rows —
+    // a deterministic, corpus-independent sample (Faiss-style train-on-
+    // subsample; quantizer quality needs O(k) samples, not the corpus).
+    // Shape: ONE narrow md5-prefix threshold filter (rate c·trainMax/n,
+    // O(1)/row, no shuffle — at 100 TB this is the pass that makes
+    // training tractable) cuts the corpus to ~c·trainMax candidate
+    // rows, then an exact orderBy(h).limit(trainMax) on that small
+    // remainder pins the md5-ordered prefix bit-exactly under any
+    // partitioning. c doubles on the (md5-uniform ⇒ vanishing) chance
+    // the threshold undercuts trainMax. Below trainMax: train on all.
+    val trainMax = math.max(k.toLong,
+      s.conf.getOption("spark.graft.ann.trainMax")
+        .map(_.trim.toLong).getOrElse(65536L))
+    val n = eAll.count()
+    val e = if (n <= trainMax) eAll else {
+      val hexSpace = math.pow(16.0, 15.0) // conv() of a 15-hex prefix
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      var c = 2.0
+      var cut: DataFrame = null
+      while (cut == null) {
+        val cand = eAll.filter(h <
+          lit((hexSpace * math.min(1.0, c * trainMax / n)).toLong))
+        if (c * trainMax >= n || cand.count() >= trainMax) cut = cand
+        else c *= 2.0
+      }
+      ScratchCache.cache(cut.withColumn("h", h)
+        .orderBy(col("h"), col("vec_id")).limit(trainMax.toInt)
+        .select(col("vec_id"), col("v"), col("xx")))
+    }
     // --- k-means|| oversampling: 2 rounds at l = 2k ---
     val l = 2 * k
     var cand = scala.collection.mutable.LinkedHashMap[Long, Array[Double]]()

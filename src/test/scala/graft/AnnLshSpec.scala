@@ -203,4 +203,49 @@ class AnnLshSpec extends GraftSuite {
     }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
     assert((ids & exact).size >= 3, s"recall ${(ids & exact).size}/10")
   }
+
+  test("sampled quantizer training: above trainMax the trainer runs on " +
+      "exactly the md5-prefix sample, and the IVF recall floor holds") {
+    // the 100 TB gate: with trainMax below the corpus size, training
+    // must be EQUIVALENT to full training on the trainMax smallest-
+    // md5(vec_id) rows — pinned as exact centroid equality against a
+    // hand-built subset (so the sampler's cut is bit-exact, not just
+    // "some sample"), plus repartition invariance and the same
+    // end-to-end recall floor as the full trainer.
+    val e = Tables.embeddings(spark, sf)
+    val sampled =
+      try {
+        spark.conf.set("spark.graft.ann.trainMax", "128")
+        val c = DedupSim.learnedCentroids(e, k = 10).collect()
+        graft.ops.ScratchCache.releaseAll()
+        val c2 = DedupSim.learnedCentroids(e.repartition(13), k = 10)
+          .collect()
+        graft.ops.ScratchCache.releaseAll()
+        assert(c.map(_.toString).sorted.toSeq ==
+          c2.map(_.toString).sorted.toSeq,
+          "sampled trainer is not partition-invariant")
+        val ivf = DedupSim.simAnnIvfOn(e, queryVecId = 0L).collect()
+          .map(_.getLong(0)).toSet
+        graft.ops.ScratchCache.releaseAll()
+        val brute = DedupSim.simCosineTopK(spark, sf).collect()
+          .map(_.getLong(0)).toSet
+        assert(ivf.size == 10)
+        assert((brute & ivf).size >= 3,
+          s"sampled-trainer recall too low: ${(brute & ivf).size}/10")
+        c
+      } finally spark.conf.unset("spark.graft.ann.trainMax")
+    // equivalence: full training restricted to the md5-prefix subset
+    // (128 rows <= default trainMax, so no sampling inside this call)
+    val subsetIds = e
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h", $"vec_id").limit(128)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(subsetIds.size == 128)
+    val full = DedupSim.learnedCentroids(
+      e.filter($"vec_id".isin(subsetIds.toSeq: _*)), k = 10).collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(sampled.map(_.toString).sorted.toSeq ==
+      full.map(_.toString).sorted.toSeq,
+      "sampled training != full training on the md5-prefix subset")
+  }
 }

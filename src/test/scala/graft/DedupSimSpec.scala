@@ -55,9 +55,15 @@ class DedupSimSpec extends GraftSuite {
     // never the documents parquet, on the history side
     val d = sf
     DedupSim.dedupIncr(spark, d).collect() // builds the index table
+    // the index name carries the content fingerprint (count + max id)
+    // so a regenerated corpus can never silently reuse a stale index
+    val fp = Tables.documents(spark, d)
+      .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head()
+    val idxT = "graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_${fp.getLong(0)}_${fp.getLong(1)}"
     val plan = DedupSim.dedupIncrAdmit(
       DedupSim.dedupIncrBatch(Tables.documents(spark, d)),
-      spark.table("graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")))
+      spark.table(idxT))
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_dedup_idx"),
       "admission plan must scan the standing index table")
