@@ -657,6 +657,14 @@ object GraphOps {
     // normalized table instead would put the norm agg and the division
     // on separate copies of the edge join and compute it twice per
     // half-step (measured 9.2 s vs 4.4 s at sf0.1)
+    // half-step FUSION was A/B'd (r14): checkpointing only hRaw and
+    // leaving the a-step lazy halves the serial checkpoint jobs but
+    // re-computes the a-step edge join twice inside each h-step job
+    // (norm agg + value join) and twice more in the output job —
+    // measured SLOWER at sf0.1 (fused min 8.7/8.9 s vs 8.2/8.5 s over
+    // two quiet min-of-3/4 windows), and strictly worse at 100 TB
+    // where the recomputed join is the dominant cost. Per-half-step
+    // checkpointing stays.
     for (_ <- 1 to iters) {
       val aRaw = trunc(edgesBySrc
         .join(hubs, edgesBySrc("src") === hubs("id"))
