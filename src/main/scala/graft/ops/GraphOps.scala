@@ -1466,26 +1466,38 @@ object GraphOps {
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
-  /** Core of q_graph_louvain over any (o, p) membership frame. */
-  def louvainOn(membership: DataFrame): DataFrame = {
+  /** The synchronous parity-gated Louvain move pass over a DIRECTED
+    * WEIGHTED symmetric edge list symW(u, v, w) — w is the number of
+    * original directed edges the (u, v) pair stands for, so level 1
+    * runs with w = 1 and the level-2 QUOTIENT graph (where w(a, b)
+    * counts inter-community edges and the a = a self-loop carries 2×
+    * the intra-community edge count) reuses the identical pass: all
+    * weights are integer counts, every gain term stays an exact
+    * DECIMAL(38,0) product, and the quotient preserves Σw = m2, so
+    * the same (2m·k_{i,c} − k_i·(Σtot_c − [c = cur]·k_i)) comparison
+    * is valid at both levels. Self-loops are EXCLUDED from the
+    * neighbor-community mass (a node's own loop moves with it and
+    * cancels across candidates) but INCLUDED in its degree (standard
+    * weighted Louvain). Starts from singletons; returns (node, lab)
+    * after `rounds` rounds. The (node div 4) parity is the
+    * deterministic half-graph coloring that stops the synchronous
+    * two-node swap oscillation; quotient node ids are level-1 labels
+    * drawn from the same id space, so the same coloring applies at
+    * both levels. */
+  private def louvainMoveRounds(symW: DataFrame, m2: Long,
+      rounds: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
-    val ec = coPairs(op).distinct()
-    val sym = trunc(ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")))
-    val deg = ScratchCache.cache(
-      sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
-    val m2 = sym.count() // 2m, one scalar count job
     val D = DecimalType(38, 0)
+    val deg = ScratchCache.cache(
+      symW.groupBy(col("u")).agg(sum(col("w")).as("dg")))
     var lab = deg.select(col("u").as("node"), col("u").as("lab"))
-    for (r <- 1 to 4) {
+    for (r <- 1 to rounds) {
       val ctot = lab.join(deg, lab("node") === deg("u"))
         .groupBy(col("lab")).agg(sum(col("dg")).as("tot"))
         .select(col("lab").as("c"), col("tot"))
-      val nbr = sym
+      val nbr = symW.filter(col("u") =!= col("v"))
         .join(lab.select(col("node").as("v"), col("lab").as("c")), "v")
-        .groupBy(col("u"), col("c")).agg(count(lit(1)).as("kuc"))
+        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kuc"))
       // candidate set = adjacent communities ∪ the node's own (kuc=0
       // when no neighbor shares it — the singleton-start case)
       val cand = nbr.unionByName(
@@ -1511,6 +1523,22 @@ object GraphOps {
           when(expr("(node div 4) % 2") === lit(r % 2), col("best"))
             .otherwise(col("lab")).as("lab")))
     }
+    lab
+  }
+
+  /** Core of q_graph_louvain over any (o, p) membership frame. */
+  def louvainOn(membership: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    val sym = trunc(ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")))
+    val deg = ScratchCache.cache(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
+    val m2 = sym.count() // 2m, one scalar count job
+    val D = DecimalType(38, 0)
+    val lab = louvainMoveRounds(sym.withColumn("w", lit(1L)), m2, 4)
     // score start (singletons: i2 = 0) and final partitions
     val k0 = (c: Column) => pmod(hash(c), lit(1))
     val lu = lab.select(col("node").as("u"), col("lab").as("lab_u"))
@@ -1540,6 +1568,144 @@ object GraphOps {
           - col("sumdeg2").cast("double")
             / (lit(m2).cast("double") * lit(m2).cast("double")), 6)
           .as("q_louvain"))
+  }
+
+  /** q_graph_louvain2 — TWO-LEVEL LOUVAIN (r14): the level-1 move pass
+    * of [[louvainOn]], then the defining Louvain step — COLLAPSE each
+    * level-1 community to a super-node of the WEIGHTED QUOTIENT graph
+    * (w(a, b) = inter-community directed edge count, self-loop
+    * w(a, a) = 2 × intra count; Σw = m2 is preserved) and coarsen it
+    * with 4 MUTUAL-BEST-MERGE rounds: each community proposes its
+    * best positive-modularity-gain merge partner (exact integer
+    * m2·w(a,b) − K_a·K_b > 0, ties → smallest id) and a merge applies
+    * only when the proposal is MUTUAL. Simultaneous merges are
+    * therefore DISJOINT pairs, their ΔQ terms add, and the pass is
+    * Q-MONOTONE BY CONSTRUCTION — the synchronous node-move pass
+    * re-run on the quotient is NOT (measured Q-decreasing on the
+    * ring-of-16-triangles fixture: same-parity conflicting moves
+    * around the ring), which is why distributed Louvain variants
+    * coarsen by matching. Final labels are the COMPOSITION
+    * node → lab1 → merge-lab, scored on the ORIGINAL graph with the
+    * same Newman Q as q_graph_modularity. Wire: ONE row (n_nodes,
+    * n_edges, n_super, n_communities, n_moved2, q_level1, q_level2) —
+    * n_super is the quotient size, n_moved2 counts super-nodes the
+    * merge pass relabeled, q_level2 ≥ q_level1 GUARANTEED (asserted
+    * in GraphOpsSpec, strictly > on the planted ring fixture where
+    * level 1 is node-stable but pair-merges gain). Fully
+    * oracle-checked: both levels unroll as exact HUGEINT CTE rounds
+    * in DuckDB (the q_graph_louvain pattern).
+    *
+    * Scale shape: level 1 is q_graph_louvain's (LPA-contract rounds);
+    * the quotient build is ONE (lab_u, lab_v) hash agg over the
+    * checkpointed sym edges, after which every merge round runs on a
+    * |communities|-sized graph — the collapse is exactly what makes
+    * multi-level Louvain tractable at 100 TB (level 2 costs a
+    * vanishing fraction of level 1). */
+  def louvain2(s: SparkSession, d: String): DataFrame =
+    louvain2On(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Core of q_graph_louvain2 over any (o, p) membership frame. */
+  def louvain2On(membership: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+    val ec = coPairs(op).distinct()
+    val sym = trunc(ec.unionByName(
+        ec.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")))
+    val deg = ScratchCache.cache(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
+    val m2 = sym.count() // 2m, one scalar count job
+    val D = DecimalType(38, 0)
+    // level 1: the q_graph_louvain pass verbatim (already truncated)
+    val lab1 = louvainMoveRounds(sym.withColumn("w", lit(1L)), m2, 4)
+    // quotient: one hash agg — w(a, b) counts original directed edges,
+    // so the diagonal holds 2× the intra edges and Σw stays m2
+    val symQ = trunc(sym
+      .join(lab1.select(col("node").as("u"), col("lab").as("qu")), "u")
+      .join(lab1.select(col("node").as("v"), col("lab").as("qv")), "v")
+      .groupBy(col("qu"), col("qv")).agg(count(lit(1)).as("w"))
+      .select(col("qu").as("u"), col("qv").as("v"), col("w"))
+      .repartition(col("u")))
+    // level 2: 4 mutual-best-merge rounds on the weighted quotient —
+    // Q-monotone because accepted merges are disjoint pairs with
+    // individually positive exact-integer gain
+    val qdeg = ScratchCache.cache(
+      symQ.groupBy(col("u")).agg(sum(col("w")).as("dg")))
+    var lab2q = qdeg.select(col("u").as("node"), col("u").as("lab"))
+    for (_ <- 1 to 4) {
+      val cw = symQ
+        .join(lab2q.select(col("node").as("u"), col("lab").as("ca")), "u")
+        .join(lab2q.select(col("node").as("v"), col("lab").as("cb")), "v")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("wab"))
+      val ck = lab2q.join(qdeg, lab2q("node") === qdeg("u"))
+        .groupBy(col("lab")).agg(sum(col("dg")).as("kc"))
+      val best = cw
+        .join(ck.select(col("lab").as("ca"), col("kc").as("ka")), "ca")
+        .join(ck.select(col("lab").as("cb"), col("kc").as("kb")), "cb")
+        .select(col("ca"), col("cb"),
+          ((lit(m2).cast(D) * col("wab").cast(D)).cast(D)
+            - (col("ka").cast(D) * col("kb").cast(D)).cast(D)).cast(D)
+            .as("g"))
+        .filter(col("g") > 0)
+        .groupBy(col("ca"))
+        .agg(max(struct(col("g"), (col("cb") * -1).as("nb"))).as("w"))
+        .select(col("ca"), (col("w.nb") * -1).as("cb"))
+      val mutual = best.join(
+          best.select(col("cb").as("ca"), col("ca").as("cb")),
+          Seq("ca", "cb"))
+        .select(col("ca").as("mlab"), least(col("ca"), col("cb")).as("newlab"))
+      lab2q = trunc(lab2q
+        .join(mutual, lab2q("lab") === mutual("mlab"), "left")
+        .select(col("node"),
+          coalesce(col("newlab"), col("lab")).as("lab")))
+    }
+    // composed final labels on the original nodes
+    val lab2 = trunc(lab1.select(col("node"), col("lab").as("c1"))
+      .join(lab2q.select(col("node").as("c1"), col("lab").as("c2")), "c1")
+      .select(col("node"), col("c2").as("lab")))
+    val k0 = (c: Column) => pmod(hash(c), lit(1))
+    def qParts(lb: DataFrame): (DataFrame, DataFrame) = {
+      val lu = lb.select(col("node").as("u"), col("lab").as("lab_u"))
+      val lv = lb.select(col("node").as("v"), col("lab").as("lab_v"))
+      val em = sym.join(lu, "u").join(lv, "v")
+        .agg(sum(when(col("lab_u") === col("lab_v"), 1L).otherwise(0L))
+          .as("i2"))
+      val dc = deg.join(lu, "u")
+        .groupBy(col("lab_u")).agg(sum(col("dg")).as("degc"))
+        .agg(count(lit(1)).as("nc"),
+          sum((col("degc").cast(D) * col("degc")).cast(D)).as("sumdeg2"))
+      (em, dc)
+    }
+    val (em1, dc1) = qParts(lab1)
+    val (em2, dc2) = qParts(lab2)
+    def qCol(i2: Column, sumdeg2: Column): Column =
+      round(i2.cast("double") / lit(m2).cast("double")
+        - sumdeg2.cast("double")
+          / (lit(m2).cast("double") * lit(m2).cast("double")), 6)
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("jk", k0(col("n_nodes")))
+    val moved2 = lab2q.filter(col("node") =!= col("lab"))
+      .agg(count(lit(1)).as("n_moved2"))
+      .withColumn("jk", k0(col("n_moved2")))
+    nn
+      .join(broadcast(em1.select(col("i2").as("i2_1"))
+        .withColumn("jk", k0(col("i2_1")))), "jk")
+      .join(broadcast(dc1.select(col("nc").as("n_super"),
+          col("sumdeg2").as("sd2_1"))
+        .withColumn("jk", k0(col("n_super")))), "jk")
+      .join(broadcast(em2.select(col("i2").as("i2_2"))
+        .withColumn("jk", k0(col("i2_2")))), "jk")
+      .join(broadcast(dc2.select(col("nc").as("n_communities"),
+          col("sumdeg2").as("sd2_2"))
+        .withColumn("jk", k0(col("n_communities")))), "jk")
+      .join(broadcast(moved2), "jk")
+      .select(col("n_nodes"), lit(m2 / 2).as("n_edges"), col("n_super"),
+        col("n_communities"), col("n_moved2"),
+        qCol(col("i2_1"), col("sd2_1")).as("q_level1"),
+        qCol(col("i2_2"), col("sd2_2")).as("q_level2"))
   }
 
   /** q_graph_assortativity — DEGREE ASSORTATIVITY (Newman 2002) of

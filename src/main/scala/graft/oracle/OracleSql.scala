@@ -3804,6 +3804,111 @@ object OracleSql {
            |FROM em""".stripMargin
     },
 
+    // two-level Louvain: the level-1 rounds verbatim, then the
+    // weighted-quotient collapse (w(a,b) = inter-community directed
+    // edge count; diagonal = 2x intra; sum w = m2) and the SAME move
+    // pass re-run with SUM(w) in place of COUNT(*) — every gain term
+    // an exact HUGEINT product, composed labels scored on the
+    // original graph
+    "q_graph_louvain2" -> {
+      val rounds = 4
+      val base =
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+          |  JOIN op b ON a.o = b.o AND a.p < b.p),
+          |s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          |deg AS MATERIALIZED (SELECT u, COUNT(*) AS dg FROM s0 GROUP BY u),
+          |m AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM s0),
+          |l0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM deg)""".stripMargin
+      val l1ctes = (1 to rounds).map { k =>
+        s"""ct$k AS (SELECT l.lab AS c, SUM(d.dg) AS tot FROM l${k - 1} l
+           |  JOIN deg d ON l.node = d.u GROUP BY 1),
+           |cd$k AS (SELECT u, c, MAX(kuc) AS kuc FROM (
+           |  SELECT s0.u, l.lab AS c, COUNT(*) AS kuc FROM s0
+           |    JOIN l${k - 1} l ON s0.v = l.node GROUP BY 1, 2
+           |  UNION ALL SELECT node AS u, lab AS c, 0 AS kuc FROM l${k - 1})
+           |  GROUP BY 1, 2),
+           |wn$k AS (SELECT u, c AS best FROM (
+           |  SELECT cd.u, cd.c,
+           |    ROW_NUMBER() OVER (PARTITION BY cd.u ORDER BY
+           |      (CAST(m.m2 AS HUGEINT) * cd.kuc
+           |       - CAST(d.dg AS HUGEINT)
+           |         * (ct.tot - CASE WHEN cd.c = l.lab THEN d.dg ELSE 0 END))
+           |        DESC,
+           |      CASE WHEN cd.c = l.lab THEN 1 ELSE 0 END DESC,
+           |      cd.c ASC) AS rk
+           |  FROM cd$k cd JOIN l${k - 1} l ON cd.u = l.node
+           |    JOIN ct$k ct ON cd.c = ct.c
+           |    JOIN deg d ON cd.u = d.u CROSS JOIN m)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (SELECT l.node,
+           |  CASE WHEN (l.node // 4) % 2 = ${k % 2} THEN w.best
+           |    ELSE l.lab END AS lab
+           |  FROM l${k - 1} l JOIN wn$k w ON l.node = w.u)""".stripMargin
+      }
+      val quotient =
+        s"""qs AS MATERIALIZED (SELECT a.lab AS u, b.lab AS v, COUNT(*) AS w
+           |  FROM s0 JOIN l$rounds a ON s0.u = a.node
+           |  JOIN l$rounds b ON s0.v = b.node GROUP BY 1, 2),
+           |qdeg AS MATERIALIZED (SELECT u, SUM(w) AS dg FROM qs GROUP BY u),
+           |g0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM qdeg)""".stripMargin
+      // mutual-best-merge rounds: best positive-gain partner per
+      // community (m2*w_ab - K_a*K_b > 0, ties -> smallest id), merge
+      // only when mutual, merged pair takes the smaller label
+      val l2ctes = (1 to rounds).map { k =>
+        s"""gcw$k AS (SELECT a.lab AS ca, b.lab AS cb, SUM(qs.w) AS wab
+           |  FROM qs JOIN g${k - 1} a ON qs.u = a.node
+           |  JOIN g${k - 1} b ON qs.v = b.node
+           |  WHERE a.lab <> b.lab GROUP BY 1, 2),
+           |gck$k AS (SELECT l.lab, SUM(d.dg) AS kc FROM g${k - 1} l
+           |  JOIN qdeg d ON l.node = d.u GROUP BY 1),
+           |gbs$k AS (SELECT ca, cb FROM (
+           |  SELECT cw.ca, cw.cb,
+           |    ROW_NUMBER() OVER (PARTITION BY cw.ca ORDER BY
+           |      (CAST(m.m2 AS HUGEINT) * cw.wab
+           |       - CAST(ka.kc AS HUGEINT) * kb.kc) DESC,
+           |      cw.cb ASC) AS rk
+           |  FROM gcw$k cw JOIN gck$k ka ON cw.ca = ka.lab
+           |    JOIN gck$k kb ON cw.cb = kb.lab CROSS JOIN m
+           |  WHERE (CAST(m.m2 AS HUGEINT) * cw.wab
+           |    - CAST(ka.kc AS HUGEINT) * kb.kc) > 0)
+           |  WHERE rk = 1),
+           |gmg$k AS (SELECT x.ca AS mlab, LEAST(x.ca, x.cb) AS newlab
+           |  FROM gbs$k x JOIN gbs$k y ON x.ca = y.cb AND x.cb = y.ca),
+           |g$k AS MATERIALIZED (SELECT l.node,
+           |  COALESCE(mg.newlab, l.lab) AS lab
+           |  FROM g${k - 1} l LEFT JOIN gmg$k mg ON l.lab = mg.mlab)""".stripMargin
+      }
+      ((base +: l1ctes) ++ (quotient +: l2ctes)).mkString("", ",\n", ",\n") +
+        s"""lf AS MATERIALIZED (SELECT l.node, g.lab FROM l$rounds l
+           |  JOIN g$rounds g ON l.lab = g.node),
+           |dc1 AS (SELECT l.lab, SUM(d.dg) AS degc FROM deg d
+           |  JOIN l$rounds l ON d.u = l.node GROUP BY 1),
+           |em1 AS (SELECT SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS i2
+           |  FROM s0 JOIN l$rounds a ON s0.u = a.node
+           |  JOIN l$rounds b ON s0.v = b.node),
+           |dc2 AS (SELECT l.lab, SUM(d.dg) AS degc FROM deg d
+           |  JOIN lf l ON d.u = l.node GROUP BY 1),
+           |em2 AS (SELECT SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS i2
+           |  FROM s0 JOIN lf a ON s0.u = a.node JOIN lf b ON s0.v = b.node)
+           |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           |CAST((SELECT m2 FROM m) // 2 AS BIGINT) AS n_edges,
+           |(SELECT COUNT(*) FROM dc1) AS n_super,
+           |(SELECT COUNT(*) FROM dc2) AS n_communities,
+           |(SELECT COUNT(*) FROM g$rounds WHERE node <> lab) AS n_moved2,
+           |ROUND(CAST((SELECT i2 FROM em1) AS DOUBLE) / (SELECT m2 FROM m)
+           |  - CAST((SELECT SUM(CAST(degc AS HUGEINT) * degc) FROM dc1)
+           |      AS DOUBLE)
+           |    / (CAST((SELECT m2 FROM m) AS DOUBLE) * (SELECT m2 FROM m)), 6)
+           |  AS q_level1,
+           |ROUND(CAST((SELECT i2 FROM em2) AS DOUBLE) / (SELECT m2 FROM m)
+           |  - CAST((SELECT SUM(CAST(degc AS HUGEINT) * degc) FROM dc2)
+           |      AS DOUBLE)
+           |    / (CAST((SELECT m2 FROM m) AS DOUBLE) * (SELECT m2 FROM m)), 6)
+           |  AS q_level2""".stripMargin
+    },
+
     "q_graph_modularity" -> {
       val rounds = 4
       val base =

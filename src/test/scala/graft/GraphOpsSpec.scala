@@ -271,6 +271,57 @@ class GraphOpsSpec extends GraftSuite {
     assert(row.getAs[Long]("n_moved") > 0L, row.toString)
   }
 
+  test("louvain2: level-2 collapse merges the planted super-clusters " +
+      "and strictly improves modularity, partition-invariant") {
+    import spark.implicits._
+    // RING OF 16 TRIANGLES — the textbook resolution-limit graph where
+    // multi-level Louvain is REQUIRED: a triangle is node-stable at
+    // level 1 (a bridge node staying scores m2*2 - 3*(8-3) = 241 over
+    // moving's m2*1 - 3*8 = 104), but on the quotient a whole triangle
+    // moving to its ring neighbor gains m2*w_AB - K_A*K_B =
+    // 128*1 - 8*8 = 64 > 0 — so level 2 must coarsen beyond the 16
+    // triangles and Q must STRICTLY improve.
+    def clique(o: Long, base: Long) =
+      Seq.tabulate(3)(i => (o, base + 4 * i))
+    val membership = ((0 until 16).flatMap(t => clique(t + 1, 12L * t)) ++
+      (0 until 16).map(t =>
+        (100L + t, if (t == 15) 0L else 12L * (t + 1))) ++
+      (0 until 16).map(t => (100L + t, 12L * t + 8L)))
+      .toDF("o", "p")
+    val r = GraphOps.louvain2On(membership).collect()
+    ScratchCache.releaseAll()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") == 48L, row.toString)
+    assert(row.getAs[Long]("n_edges") == 64L, row.toString)
+    assert(row.getAs[Long]("n_communities") <
+      row.getAs[Long]("n_super"), row.toString)
+    assert(row.getAs[Long]("n_moved2") > 0L, row.toString)
+    assert(row.getAs[Double]("q_level2") > row.getAs[Double]("q_level1"),
+      row.toString)
+    val r2 = GraphOps.louvain2On(membership.repartition(7)).collect()
+    ScratchCache.releaseAll()
+    assert(r.head.toString == r2.head.toString,
+      s"louvain2 not partition-invariant: ${r.head} vs ${r2.head}")
+  }
+
+  test("louvain2: q_level1 equals q_graph_louvain's score and the " +
+      "coarsening never loses modularity on the real graph") {
+    val l1 = GraphOps.louvain(spark, sf).collect().head
+    ScratchCache.releaseAll()
+    val row = GraphOps.louvain2(spark, sf).collect().head
+    ScratchCache.releaseAll()
+    // level 1 inside louvain2 is the q_graph_louvain pass verbatim
+    assert(row.getAs[Double]("q_level1") ==
+      l1.getAs[Double]("q_louvain"), s"$row vs $l1")
+    assert(row.getAs[Long]("n_super") ==
+      l1.getAs[Long]("n_communities"), s"$row vs $l1")
+    assert(row.getAs[Double]("q_level2") >=
+      row.getAs[Double]("q_level1"), row.toString)
+    assert(row.getAs[Long]("n_communities") <=
+      row.getAs[Long]("n_super"), row.toString)
+  }
+
   test("assortativity: star graph is perfectly disassortative, " +
       "degenerate equal-degree graph emits NULL") {
     import spark.implicits._
