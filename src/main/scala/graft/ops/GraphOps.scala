@@ -509,7 +509,7 @@ object GraphOps {
     * maxHop. Frontier rounds are the [[ssspOn]] discipline with a
     * landmark key column; state is O(K·V). */
   private def landmarkHops(membership: DataFrame, nLandmarks: Int,
-      maxHop: Int): (DataFrame, DataFrame) = {
+      maxHop: Int): (DataFrame, DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
     val sym = trunc(ec.unionByName(
@@ -534,7 +534,35 @@ object GraphOps {
         .unionByName(f.select(col("lmk"), col("node"), col("hop")))
         .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop")))
     }.toSeq
-    (lm, rounds.last)
+    (lm, rounds.last, sym)
+  }
+
+  /** Shortest-path COUNTS σ(landmark, node) by level-synchronous DP
+    * over the [[landmarkHops]] distances: σ(s, s) = 1, and at each
+    * hop h, σ(s, v) = Σ σ(s, u) over edges (u, v) with hop(s, u) =
+    * h−1 and hop(s, v) = h — the Brandes forward pass, one bounded
+    * edge join + hash agg per level (state O(K·V), all integers).
+    * Returns (lmk, node, sigma, hop) for every reached node. */
+  private def landmarkSigma(lm: DataFrame, mh: DataFrame, sym: DataFrame,
+      maxHop: Int): DataFrame = {
+    var sig = trunc(lm.select(col("lmk"), col("lmk").as("node"),
+      lit(1L).as("sigma"), lit(0L).as("hop")))
+    var sga = sig
+    for (h <- 1 to maxHop) {
+      val next = trunc(sig
+        .select(col("lmk").as("sl"), col("node").as("u0"),
+          col("sigma").as("ps"))
+        .join(sym, col("u0") === col("u"))
+        .join(mh.filter(col("hop") === h)
+            .select(col("lmk"), col("node")),
+          col("sl") === col("lmk") && col("v") === col("node"))
+        .groupBy(col("lmk"), col("node"))
+        .agg(sum(col("ps")).as("sigma"))
+        .withColumn("hop", lit(h.toLong)))
+      sga = sga.unionByName(next)
+      sig = next
+    }
+    sga
   }
 
   /** Core of q_graph_closeness over any (o, p) membership frame.
@@ -542,7 +570,7 @@ object GraphOps {
   def closenessOn(membership: DataFrame, nLandmarks: Int,
       maxHop: Int): DataFrame = {
     require(maxHop >= 1 && maxHop <= 3, s"maxHop must be in [1,3]: $maxHop")
-    val (_, mh) = landmarkHops(membership, nLandmarks, maxHop)
+    val (_, mh, _) = landmarkHops(membership, nLandmarks, maxHop)
     mh.filter(col("hop") > 0)
       .groupBy(col("node"))
       .agg(sum(expr("CAST(6 AS BIGINT) div hop")).as("harmonic6"),
@@ -573,7 +601,7 @@ object GraphOps {
   /** Core of q_graph_betweenness over any (o, p) membership frame. */
   def betweennessOn(membership: DataFrame, nLandmarks: Int,
       maxHop: Int): DataFrame = {
-    val (lm, mhRaw) = landmarkHops(membership, nLandmarks, maxHop)
+    val (lm, mhRaw, _) = landmarkHops(membership, nLandmarks, maxHop)
     val mh = mhRaw // already a truncated checkpoint; 3 consumers below
                    // all read its materialized blocks directly
     // landmark-pair distances d(s,t), s < t, from s's own BFS row
@@ -594,6 +622,60 @@ object GraphOps {
       .groupBy(col("vn").as("node"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("node")).limit(20)
+  }
+
+  /** q_graph_betweenness_brandes — the TEXTBOOK σ-fraction betweenness
+    * (Brandes 2001) over the same landmark-pair sample as
+    * q_graph_betweenness (Brandes–Pich 2007 sampling): node v earns
+    * σ_sv·σ_vt / σ_st per landmark pair (s < t) it sits between — the
+    * FRACTION of shortest s→t paths through v, not mere presence.
+    * EXACT ON THE WIRE: each per-pair fraction is emitted as FLOOR
+    * MICRO-UNITS, (σ_sv·σ_vt·10⁶) div σ_st — an exact integer (and
+    * ≤ 10⁶, since shortest paths through v are a subset of all s→t
+    * shortest paths), so the per-node sum bc_micro rides pure integer
+    * arithmetic that DuckDB replays digit-for-digit and the key is
+    * FULLY ORACLE-CHECKED, unlike a float-summed formulation whose
+    * accumulation order would diverge. Wire: top-20 (node, bc_micro),
+    * ties by node id.
+    *
+    * Scale shape: [[landmarkHops]] BFS + the [[landmarkSigma]] forward
+    * DP (one bounded edge join + hash agg per hop level, state
+    * O(K·V), all integer path counts) + the q_graph_betweenness
+    * triangle closure (K²-pair broadcast + one (t, v) equi-join).
+    * Exact all-pairs Brandes is O(V·E) and off the table at 100 TB;
+    * K landmarks bound every pass. */
+  def betweennessBrandes(s: SparkSession, d: String): DataFrame =
+    betweennessBrandesOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      nLandmarks = 8, maxHop = 3)
+
+  /** Core of q_graph_betweenness_brandes over any (o, p) membership
+    * frame. */
+  def betweennessBrandesOn(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): DataFrame = {
+    val (lm, mh, sym) = landmarkHops(membership, nLandmarks, maxHop)
+    val sga = landmarkSigma(lm, mh, sym, maxHop)
+    val st = sga.join(broadcast(lm.select(col("lmk").as("t"))),
+        col("node") === col("t"))
+      .filter(col("lmk") < col("t"))
+      .select(col("lmk").as("s"), col("t"), col("hop").as("dst"),
+        col("sigma").as("sig_st"))
+    val sv = sga.select(col("lmk").as("s"), col("node").as("vn"),
+      col("hop").as("d_sv"), col("sigma").as("sig_sv"))
+    val vt = sga.select(col("lmk").as("t"), col("node").as("vn"),
+      col("hop").as("d_vt"), col("sigma").as("sig_vt"))
+    sv.join(broadcast(st), "s")
+      .join(vt, Seq("t", "vn"))
+      .filter(col("d_sv") + col("d_vt") === col("dst") &&
+        col("vn") =!= col("s") && col("vn") =!= col("t"))
+      .select(col("vn"), expr(
+        "(CAST(sig_sv AS DECIMAL(38,0)) * CAST(sig_vt AS DECIMAL(38,0))" +
+          " * CAST(1000000 AS DECIMAL(38,0))) div CAST(sig_st AS DECIMAL(38,0))")
+        .as("term"))
+      .groupBy(col("vn").as("node"))
+      .agg(sum(col("term")).as("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("node")).limit(20)
   }
 
   /** q_graph_hits — HITS hubs & authorities (Kleinberg, JACM 1999)

@@ -710,6 +710,60 @@ object OracleSql {
         |GROUP BY sv.vn
         |ORDER BY n_pairs DESC, node LIMIT 20""".stripMargin,
 
+    // Brandes sigma-fraction twin of the coverage variant: path counts
+    // by level-synchronous DP (sg1..sg3), per-pair fraction emitted as
+    // floor micro-units (sig_sv*sig_vt*1e6) // sig_st — exact integers
+    // end to end, so the sum replays digit-for-digit
+    "q_graph_betweenness_brandes" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |lm AS (SELECT u AS lmk FROM (
+        |  SELECT DISTINCT u FROM sym ORDER BY u LIMIT 8)),
+        |bfs AS (
+        |  SELECT lmk, lmk AS node, 0 AS hop FROM lm
+        |  UNION
+        |  SELECT bfs.lmk, sym.v AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |),
+        |mh AS MATERIALIZED (SELECT lmk, node, MIN(hop) AS hop
+        |  FROM bfs GROUP BY 1, 2),
+        |sg0 AS (SELECT lmk, lmk AS node,
+        |  CAST(1 AS HUGEINT) AS sigma, 0 AS hop FROM lm),
+        |sg1 AS MATERIALIZED (SELECT m.lmk, m.node, SUM(s.sigma) AS sigma,
+        |  1 AS hop FROM mh m JOIN sym e ON m.node = e.v
+        |  JOIN sg0 s ON s.lmk = m.lmk AND s.node = e.u
+        |  WHERE m.hop = 1 GROUP BY 1, 2),
+        |sg2 AS MATERIALIZED (SELECT m.lmk, m.node, SUM(s.sigma) AS sigma,
+        |  2 AS hop FROM mh m JOIN sym e ON m.node = e.v
+        |  JOIN sg1 s ON s.lmk = m.lmk AND s.node = e.u
+        |  WHERE m.hop = 2 GROUP BY 1, 2),
+        |sg3 AS MATERIALIZED (SELECT m.lmk, m.node, SUM(s.sigma) AS sigma,
+        |  3 AS hop FROM mh m JOIN sym e ON m.node = e.v
+        |  JOIN sg2 s ON s.lmk = m.lmk AND s.node = e.u
+        |  WHERE m.hop = 3 GROUP BY 1, 2),
+        |sga AS (SELECT * FROM sg0 UNION ALL SELECT * FROM sg1
+        |  UNION ALL SELECT * FROM sg2 UNION ALL SELECT * FROM sg3),
+        |st AS (SELECT g.lmk AS s, g.node AS t, g.hop AS dst,
+        |  g.sigma AS sig_st FROM sga g
+        |  JOIN lm ON g.node = lm.lmk WHERE g.lmk < g.node),
+        |sv AS (SELECT lmk AS s, node AS vn, hop AS d_sv,
+        |  sigma AS sig_sv FROM sga),
+        |vt AS (SELECT lmk AS t, node AS vn, hop AS d_vt,
+        |  sigma AS sig_vt FROM sga)
+        |SELECT sv.vn AS node,
+        |  CAST(SUM((CAST(sv.sig_sv AS HUGEINT) * vt.sig_vt * 1000000)
+        |    // st.sig_st) AS BIGINT) AS bc_micro
+        |FROM st JOIN sv ON sv.s = st.s
+        |JOIN vt ON vt.t = st.t AND vt.vn = sv.vn
+        |WHERE sv.d_sv + vt.d_vt = st.dst
+        |  AND sv.vn <> st.s AND sv.vn <> st.t
+        |GROUP BY 1
+        |ORDER BY bc_micro DESC, node LIMIT 20""".stripMargin,
+
     // k = (3·|E_sym|) div (4·|V|) in EXACT integer arithmetic; each
     // unrolled round counts the degree-qualified keep set, then
     // restricts the edges to keep×keep

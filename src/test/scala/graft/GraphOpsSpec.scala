@@ -518,6 +518,35 @@ class GraphOpsSpec extends GraftSuite {
     assert(out.toSeq == Seq((3L, 1L), (4L, 1L)))
   }
 
+  test("betweenness brandes: hand-computed sigma fractions on the " +
+      "diamond-with-tail graph, partition-invariant") {
+    import spark.implicits._
+    // 4-cycle 0-4-12-8-0 plus tail 12-16; all 5 nodes are landmarks.
+    // sigma(0,12) = 2 (via 4, via 8); sigma(0,16) = 2 (both continue
+    // through 12). Hand-computed floor-micro-unit ledger:
+    //   node 12: pairs (0,16) 2*1/2=1e6, (4,16) 1e6, (8,16) 1e6,
+    //            (4,8) 1*1/2=5e5               -> 3_500_000
+    //   node 4:  (0,12) 1*1/2=5e5, (0,16) 1*1/2=5e5 -> 1_000_000
+    //   node 8:  symmetric to 4                 -> 1_000_000
+    //   node 0:  (4,8) 1*1/2=5e5                ->   500_000
+    //   node 16: on no pair's shortest path     -> absent
+    val m = Seq((1L, 0L), (1L, 4L), (2L, 4L), (2L, 12L),
+      (3L, 0L), (3L, 8L), (4L, 8L), (4L, 12L),
+      (5L, 12L), (5L, 16L)).toDF("o", "p")
+    val out = GraphOps.betweennessBrandesOn(m, nLandmarks = 8, maxHop = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("bc_micro")))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq((12L, 3500000L), (4L, 1000000L),
+      (8L, 1000000L), (0L, 500000L)), out.toSeq.toString)
+    val out2 = GraphOps.betweennessBrandesOn(m.repartition(7),
+        nLandmarks = 8, maxHop = 3).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("bc_micro")))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == out2.toSeq,
+      s"brandes not partition-invariant: ${out.toSeq} vs ${out2.toSeq}")
+  }
+
   test("graph diff: every change class lands exactly once on a fixture") {
     import spark.implicits._
     val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
