@@ -165,6 +165,55 @@ class AttributionCreditsProcessor(ttlMs: Long = -1L)
   }
 }
 
+/** transformWithState port of [[StreamingTwins.retentionCells]] (r14 —
+  * completes the dual-API coverage: every flatMapGroupsWithState twin
+  * now has a transformWithState twin): the cohort day rides a
+  * ValueState and the emitted offsets a typed LISTSTATE — the
+  * composite state surface the new API adds over fMGWS's single
+  * value. Appending the trigger's new offsets is ListState.appendList
+  * (an RocksDB merge op) instead of rewriting the whole seen-set
+  * value every trigger, which is the right write amplification for a
+  * state that only ever GROWS by small deltas. Output-identical to
+  * the fMGWS twin (A/B'd in StreamingSpec on the same multi-trigger
+  * input). Requires RocksDB state store. */
+class RetentionCellsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Int), (Long, Int, Int)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var cohort: ValueState[Int] = _
+  @transient private var seen: ListState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cohort = getHandle.getValueState[Int]("cohort_day",
+      Encoders.scalaInt, TTLConfig.NONE)
+    seen = getHandle.getListState[Int]("seen_offsets",
+      Encoders.scalaInt, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Int)],
+      timerValues: TimerValues): Iterator[(Long, Int, Int)] = {
+    var cd = if (cohort.exists()) cohort.get() else -1
+    val seenSet = scala.collection.mutable.Set[Int]()
+    if (seen.exists()) seen.get().foreach(seenSet += _)
+    val newOffsets = scala.collection.mutable.ArrayBuffer[Int]()
+    val out = rows.toSeq.sorted.flatMap { case (_, day) =>
+      if (cd < 0) {
+        cd = day; cohort.update(day)
+        newOffsets += 0; seenSet += 0
+        Some((key, day, 0))
+      } else if (day >= cd && !seenSet.contains(day - cd)) {
+        val off = day - cd
+        newOffsets += off; seenSet += off
+        Some((key, cd, off))
+      } else None
+    }
+    if (newOffsets.nonEmpty) seen.appendList(newOffsets.toArray)
+    out.iterator
+  }
+}
+
 object StreamingTwins {
   private val D = DecimalType(12, 2)
 
@@ -368,6 +417,25 @@ object StreamingTwins {
           state.update(st)
           out.iterator
       }(Encoders.product[RetentionState],
+        Encoders.product[(Long, Int, Int)])
+      .toDF("user_id", "cohort_day", "day_offset")
+  }
+
+  /** [[retentionCells]] on the transformWithState API
+    * ([[RetentionCellsProcessor]]: ValueState cohort + ListState
+    * offsets). Semantically identical — StreamingSpec asserts output
+    * equality on the same multi-trigger input; requires RocksDB. */
+  def retentionCellsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day"))
+      .as[(Long, Int)](Encoders.product[(Long, Int)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RetentionCellsProcessor,
+        TimeMode.None, OutputMode.Append)(
         Encoders.product[(Long, Int, Int)])
       .toDF("user_id", "cohort_day", "day_offset")
   }

@@ -592,4 +592,44 @@ class StreamingSpec extends GraftSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("retention twin A/B: transformWithState (ValueState + ListState) " +
+      "equals flatMapGroupsWithState across triggers") {
+    // dup cell (user 3 day 2 twice) + multi-trigger state carry: the
+    // second trigger must read the first's cohort AND seen-offsets
+    val log = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, ts("2024-01-03 10:00:00"), 1, "click", 0.0),
+      Ev(3, ts("2024-01-01 11:00:00"), 2, "view", 0.0),
+      Ev(4, ts("2024-01-02 09:00:00"), 3, "view", 0.0),
+      Ev(5, ts("2024-01-03 09:00:00"), 3, "view", 0.0),
+      Ev(6, ts("2024-01-03 09:30:00"), 3, "view", 0.0), // dup cell
+      Ev(7, ts("2024-01-04 09:00:00"), 3, "view", 0.0))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : Set[(Long, Int, Int)] = {
+        val ms = MemoryStream[Ev]
+        val q = build(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (first, second) = log.partition(_.event_id <= 4)
+          ms.addData(first: _*); q.processAllAvailable()
+          ms.addData(second: _*); q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        } finally q.stop()
+      }
+      val viaFmgs = run("retab_fmgs", StreamingTwins.retentionCells)
+      val viaTws = run("retab_tws", StreamingTwins.retentionCellsTws)
+      assert(viaTws == viaFmgs, s"tws=$viaTws fmgs=$viaFmgs")
+      assert(viaTws.nonEmpty)
+      // the dup cell must have been emitted exactly once
+      assert(viaTws.count(c => c._1 == 3L && c._3 == 1) == 1)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
