@@ -245,4 +245,33 @@ class PropertiesSpec extends GraftSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("louvain2: mutual-merge coarsening NEVER loses modularity on " +
+      "random membership graphs") {
+    // the Q-monotonicity claim is BY CONSTRUCTION (accepted merges are
+    // disjoint positive-gain pairs), so it must hold on EVERY graph,
+    // not just the planted fixtures — random co-membership frames,
+    // including degenerate ones (single order, disconnected parts).
+    // Few iterations: each case runs the full two-level pipeline.
+    val memGen = Gen.listOfN(25, Gen.zip(
+      Gen.choose(1L, 6L),               // order
+      Gen.choose(0L, 9L).map(_ * 4L)))  // part (ids ≡ 0 mod 4)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(memGen) { (ms: List[(Long, Long)]) =>
+        val df = ms.toDF("o", "p")
+        // a graph needs ≥1 co-membership edge, else the key's
+        // landmark/degree frames are empty by contract
+        val hasEdge = ms.groupBy(_._1).values.exists(g =>
+          g.map(_._2).distinct.size >= 2)
+        if (!hasEdge) true
+        else {
+          val row = GraphOps.louvain2On(df).collect().head
+          ScratchCache.releaseAll()
+          row.getAs[Double]("q_level2") >= row.getAs[Double]("q_level1") &&
+          row.getAs[Long]("n_communities") <= row.getAs[Long]("n_super")
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
