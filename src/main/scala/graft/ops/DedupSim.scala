@@ -1025,6 +1025,41 @@ object DedupSim {
       .limit(10)
   }
 
+  /** The trainer-sample bound shared by every ANN/PQ trainer
+    * (`spark.graft.ann.trainMax`, default 65536): above it, quantizer
+    * and codebook training run on a deterministic md5-ordered sample;
+    * below it, on the full input. */
+  private def annTrainMax(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.ann.trainMax")
+      .map(_.trim.toLong).getOrElse(65536L)
+
+  /** The `target` smallest-md5(idCol) rows of `df` (n = |df|, known by
+    * the caller) — a deterministic, partitioning-independent,
+    * corpus-content-independent sample. Shape: ONE narrow md5-prefix
+    * threshold filter (rate c·target/n, O(1)/row, NO shuffle — at
+    * 100 TB this is the pass that makes trainer sampling tractable)
+    * cuts the input to ~c·target candidate rows, then an exact
+    * orderBy(h).limit(target) on that small remainder pins the
+    * md5-ordered prefix bit-exactly under any partitioning. c doubles
+    * on the (md5-uniform ⇒ vanishing) chance the threshold undercuts
+    * target. */
+  private[graft] def md5PrefixSample(df: DataFrame, idCol: String,
+      target: Long, n: Long): DataFrame = {
+    val hexSpace = math.pow(16.0, 15.0) // conv() of a 15-hex prefix
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    var c = 2.0
+    var cut: DataFrame = null
+    while (cut == null) {
+      val cand = df.filter(h <
+        lit((hexSpace * math.min(1.0, c * target / n)).toLong))
+      if (c * target >= n || cand.count() >= target) cut = cand
+      else c *= 2.0
+    }
+    cut.withColumn("__h", h).orderBy(col("__h"), col(idCol))
+      .limit(target.toInt).drop("__h")
+  }
+
   /** LEARNED coarse quantizer for the IVF path (r13, replacing the
     * per-label centroids): k-means|| oversampling seeding (Bahmani et
     * al., VLDB 2012) followed by 2 distributed Lloyd refinement
@@ -1075,33 +1110,12 @@ object DedupSim {
     // the quantizer trains on the trainMax smallest-md5(vec_id) rows —
     // a deterministic, corpus-independent sample (Faiss-style train-on-
     // subsample; quantizer quality needs O(k) samples, not the corpus).
-    // Shape: ONE narrow md5-prefix threshold filter (rate c·trainMax/n,
-    // O(1)/row, no shuffle — at 100 TB this is the pass that makes
-    // training tractable) cuts the corpus to ~c·trainMax candidate
-    // rows, then an exact orderBy(h).limit(trainMax) on that small
-    // remainder pins the md5-ordered prefix bit-exactly under any
-    // partitioning. c doubles on the (md5-uniform ⇒ vanishing) chance
-    // the threshold undercuts trainMax. Below trainMax: train on all.
-    val trainMax = math.max(k.toLong,
-      s.conf.getOption("spark.graft.ann.trainMax")
-        .map(_.trim.toLong).getOrElse(65536L))
+    // Below trainMax: train on all. See [[md5PrefixSample]].
+    val trainMax = math.max(k.toLong, annTrainMax(s))
     val n = eAll.count()
-    val e = if (n <= trainMax) eAll else {
-      val hexSpace = math.pow(16.0, 15.0) // conv() of a 15-hex prefix
-      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
-        16, 10).cast("long")
-      var c = 2.0
-      var cut: DataFrame = null
-      while (cut == null) {
-        val cand = eAll.filter(h <
-          lit((hexSpace * math.min(1.0, c * trainMax / n)).toLong))
-        if (c * trainMax >= n || cand.count() >= trainMax) cut = cand
-        else c *= 2.0
-      }
-      ScratchCache.cache(cut.withColumn("h", h)
-        .orderBy(col("h"), col("vec_id")).limit(trainMax.toInt)
-        .select(col("vec_id"), col("v"), col("xx")))
-    }
+    val e = if (n <= trainMax) eAll
+      else ScratchCache.cache(
+        md5PrefixSample(eAll, "vec_id", trainMax, n))
     // --- k-means|| oversampling: 2 rounds at l = 2k ---
     val l = 2 * k
     var cand = scala.collection.mutable.LinkedHashMap[Long, Array[Double]]()
@@ -1772,7 +1786,7 @@ object DedupSim {
     * (subs, codebook, codes) — subs = cached (vec_id, sub, v, xx)
     * slices, codebook = (sub, cid, cv, cc) after one Lloyd update,
     * codes = (vec_id, sub, cid, sc) final assignments. */
-  private def embPqModel(embDf: DataFrame, m: Int,
+  private[graft] def embPqModel(embDf: DataFrame, m: Int,
       k: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dim = 64
@@ -1782,27 +1796,41 @@ object DedupSim {
       expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
     val base = embDf.select(col("vec_id"),
       col("embedding").cast("array<double>").as("fv"))
+    // SAMPLED CODEBOOK TRAINING (the learnedCentroids gate applied to
+    // PQ): above trainMax vectors, the seed pick + Lloyd refinement
+    // run on the trainMax smallest-md5(vec_id) rows only; the final
+    // ENCODE pass still assigns every vector. Below: identical plan
+    // to full training (trainBase IS base). The md5-prefix sample
+    // contains the k smallest-md5 rows by construction, so the seeds
+    // are the same rows the full trainer would pick.
+    val trainMax = math.max(k.toLong, annTrainMax(embDf.sparkSession))
+    val n = base.count()
+    val trainBase = if (n <= trainMax) base
+      else md5PrefixSample(base, "vec_id", trainMax, n)
     // (vec_id, sub, v): one row per vector per subspace slice
-    val subs = ScratchCache.cache(base
+    def slices(b: DataFrame): DataFrame = b
       .select(col("vec_id"),
         explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("fv"))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(fv, 1 + CAST(sub * $sd AS INT), $sd)").as("v"))
-      .withColumn("xx", dot("v", "v")))
+      .withColumn("xx", dot("v", "v"))
+    val subs = ScratchCache.cache(slices(base))
+    val subsTrain = if (n <= trainMax) subs
+      else ScratchCache.cache(slices(trainBase))
     // k seed vectors by md5 order — the SAME seed rows feed every
     // subspace (their per-subspace slices differ, so codebooks do too)
     val hw = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = base.select(col("vec_id"))
+    val seeds = trainBase.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .withColumn("cid", (row_number().over(hw) - 1).cast("long"))
       .select(col("vec_id"), col("cid"))
-    val c1 = subs.join(broadcast(seeds), "vec_id")
+    val c1 = subsTrain.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("cid"), col("v").as("cv"))
       .withColumn("cc", dot("cv", "cv"))
     // assignment: m·k-row broadcast equi-join on sub, partial-agg min
-    def assign(cents: DataFrame): DataFrame =
-      subs.select(col("vec_id"), col("sub").as("sb"), col("v"))
+    def assign(cents: DataFrame, over: DataFrame): DataFrame =
+      over.select(col("vec_id"), col("sub").as("sb"), col("v"))
         .join(broadcast(cents), col("sb") === col("sub"))
         .select(col("vec_id"), col("sb").as("sub"), col("cid"),
           (col("cc") - lit(2.0) * dot("v", "cv")).as("sc"))
@@ -1810,8 +1838,9 @@ object DedupSim {
         .agg(min(struct(col("sc"), col("cid"))).as("mn"))
         .select(col("vec_id"), col("sub"),
           col("mn.cid").as("cid"), col("mn.sc").as("sc"))
-    val a1 = assign(c1)
-    val c2 = subs.join(a1.select(col("vec_id"), col("sub"), col("cid")),
+    val a1 = assign(c1, subsTrain)
+    val c2 = subsTrain
+      .join(a1.select(col("vec_id"), col("sub"), col("cid")),
         Seq("vec_id", "sub"))
       .select(col("sub"), col("cid"), posexplode(col("v")))
       .groupBy(col("sub"), col("cid"), col("pos"))
@@ -1822,7 +1851,7 @@ object DedupSim {
       .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
         .as("cv"))
       .withColumn("cc", dot("cv", "cv"))
-    val a2 = assign(c2)
+    val a2 = assign(c2, subs)
     (subs, c2, a2)
   }
 

@@ -586,6 +586,41 @@ class DedupSimSpec extends GraftSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("pq sampled training: above trainMax the codebooks are trained " +
+      "on exactly the md5-prefix sample, encode still covers all") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      (i.toLong, 0, Seq.fill(64)((rnd.nextGaussian() * 2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    // sampled codebooks == full training on the md5-prefix subset
+    val (cbSampled, codesAll) =
+      try {
+        spark.conf.set("spark.graft.ann.trainMax", "16")
+        val (_, cb, codes) = DedupSim.embPqModel(df, m = 4, k = 4)
+        val r = (cb.collect().map(_.toString).sorted.toSeq,
+          codes.collect())
+        ScratchCache.releaseAll()
+        r
+      } finally spark.conf.unset("spark.graft.ann.trainMax")
+    val subsetIds = df
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(subsetIds.size == 16)
+    val (_, cbFull, _) = DedupSim.embPqModel(
+      df.filter(col("vec_id").isin(subsetIds.toSeq: _*)), m = 4, k = 4)
+    val cbFullRows = cbFull.collect().map(_.toString).sorted.toSeq
+    ScratchCache.releaseAll()
+    assert(cbSampled == cbFullRows,
+      "sampled codebook training != full training on the md5 subset")
+    // the ENCODE pass still covers every vector in every subspace
+    assert(codesAll.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("sub"))).toSet.size == n * 4)
+  }
+
   test("coreset: the far outlier is certainly selected with unit " +
       "Horvitz-Thompson weight, and selection is partition-invariant") {
     val rnd = new scala.util.Random(5)
