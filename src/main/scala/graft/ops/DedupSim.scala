@@ -128,6 +128,125 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** q_dedup_incr_near — STANDING-INDEX incremental NEAR-dup admission
+    * (r14): the MinHash/LSH counterpart of [[dedupIncr]] — the daily-
+    * ingest contract a 100 TB training-data pipeline actually runs,
+    * where re-crawled pages arrive lightly EDITED, not byte-identical.
+    * The index is TWO bucketed signature artifacts derived ONCE from
+    * history (history TEXT is never re-read or re-shingled):
+    *   bands (band, bh, doc_id), bucketBy(8, bh) — the LSH probe side;
+    *   sigs  (doc_id, hs),      bucketBy(8, doc_id) — the sorted
+    *     shingle-hash sets exact-Jaccard verification reads.
+    * Admitting a batch: shingle/minhash/band the BATCH ONLY (the
+    * [[nearSignatures]] pipeline), probe the band table for (band, bh)
+    * collisions → candidate (batch, history) pairs, verify J ≥ 0.8
+    * against the stored hs sets, plus within-batch candidates via the
+    * same exact [[bucketPairs]] grid. Wire: the per-doc ADMISSION
+    * LEDGER (doc_id, source, decision), decision ∈ kept / dup_index
+    * (J ≥ 0.8 with an indexed doc — takes precedence) / dup_batch
+    * (J ≥ 0.8 with a smaller-id batch doc). Index storage is
+    * O(signatures + shingle hashes) ≈ 1-2% of text volume; admitting N
+    * batches costs N batch-sized probes, never a history rescan.
+    *
+    * The batch is PLANTED deterministically: docs ≡1 (mod 7) re-enter
+    * VERBATIM (+1e6 → dup_index at J = 1); docs ≡5 (mod 9) re-enter
+    * with an appended tail (+4e6 → exercises the J-threshold
+    * verification: long docs clear 0.8, short ones fall below and are
+    * KEPT — both engines of the spec's from-scratch twin agree
+    * case-by-case); docs ≡0 (mod 10) enter as REVERSED word order
+    * (entirely new 5-shingles → J ≈ 0 vs history) TWICE (+2e6 kept,
+    * +3e6 dup_batch).
+    *
+    * No DuckDB oracle (xxhash64 minhash — the q_dedup_near precedent);
+    * the gate is DedupSimSpec's equivalence proof: admission against
+    * the standing index ≡ the from-scratch [[dedupNearOn]] of
+    * history ∪ batch restricted to the batch, and the admission plan
+    * reads the index tables, never the documents parquet. */
+  def dedupIncrNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // content-fingerprinted names (the dedupIncr discipline): a
+    // regenerated corpus rebuilds the index instead of reusing a stale one
+    val fpRow = docs.agg(count(lit(1)).as("n"),
+      coalesce(max(col("doc_id")), lit(0L)).as("mx")).head()
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val bandsT = s"graft_neardup_bands_$suffix"
+    val sigsT = s"graft_neardup_sigs_$suffix"
+    if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(sigsT)) {
+      val perDoc = nearSignatures(docs.select(col("doc_id"), col("text")))
+      nearBands(perDoc).write.mode("overwrite")
+        .bucketBy(8, "bh").sortBy("bh")
+        .option("path", java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), bandsT).toString)
+        .format("parquet").saveAsTable(bandsT)
+      perDoc.select(col("doc_id"), col("hs")).write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), sigsT).toString)
+        .format("parquet").saveAsTable(sigsT)
+      ScratchCache.releaseAll()
+    }
+    dedupIncrNearAdmit(dedupIncrNearBatch(docs),
+      s.table(bandsT), s.table(sigsT))
+  }
+
+  /** The planted incoming batch over any (doc_id, source, text) frame:
+    * verbatim re-entries (≡1 mod 7, +1e6), appended-tail revisions
+    * (≡5 mod 9, +4e6), and a twice-submitted reversed-order rewrite
+    * (≡0 mod 10, +2e6/+3e6). */
+  private[graft] def dedupIncrNearBatch(documents: DataFrame): DataFrame = {
+    val dd = documents.select(col("doc_id"), col("source"), col("text"))
+    val reversed = concat_ws(" ", reverse(split(col("text"), " ")))
+    dd.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text"))
+      .unionByName(dd.filter(col("doc_id") % 9 === 5)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" zz yy xx ww vv uu tt")).as("text")))
+      .unionByName(dd.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+          reversed.as("text")))
+      .unionByName(dd.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          reversed.as("text")))
+  }
+
+  /** Admit `batch` (doc_id, source, text) against the standing near-dup
+    * index (`bandsIdx` (band, bh, doc_id) + `sigsIdx` (doc_id, hs)):
+    * batch signatures are computed in-flight; history is touched ONLY
+    * through the two signature tables. */
+  private[graft] def dedupIncrNearAdmit(batch: DataFrame,
+      bandsIdx: DataFrame, sigsIdx: DataFrame): DataFrame = {
+    val perB = nearSignatures(batch.select(col("doc_id"), col("text")))
+    val hsB = perB.select(col("doc_id"), col("hs"))
+    val bandsB = nearBands(perB)
+    // vs index: band-bucket collisions → verified J ≥ 0.8.
+    // batch bands are the (small) probe side; the index table is
+    // pre-bucketed on bh. One distinct bounds repeat collisions
+    // (several bands of the same pair) before verification.
+    val candIdx = bandsB.as("x")
+      .join(bandsIdx.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val dupIdx = jaccardVerify(candIdx, hsB, sigsIdx, 0.8, bcastB = false)
+      .select(col("a").as("doc_id"), lit(1).as("in_idx")).distinct()
+    // within batch: the exact block-grid pair enumeration + verify;
+    // a doc is dup_batch when a SMALLER-id batch partner exists
+    // (bucketPairs emits a < b, so the b side is the duplicate)
+    val dupBatch = jaccardVerify(
+        bucketPairs(bandsB, cap = 64), hsB, hsB, 0.8, bcastB = true)
+      .select(col("b").as("doc_id"), lit(1).as("in_batch")).distinct()
+    batch.select(col("doc_id"), col("source"))
+      .join(dupIdx, Seq("doc_id"), "left")
+      .join(dupBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("in_idx").isNotNull, "dup_index")
+          .when(col("in_batch").isNotNull, "dup_batch")
+          .otherwise("kept").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_dedup_exact — md5-fingerprint duplicate counts per source
     * (reference: KGXFileWriter's in-memory written-node id set, here a
     * distributed distinct). */
@@ -156,9 +275,12 @@ object DedupSim {
   def dedupNear(s: SparkSession, d: String): DataFrame =
     dedupNearOn(Tables.documents(s, d))
 
-  /** Core of q_dedup_near over any (doc_id, text) frame — split out so
-    * tests can plant known duplicates. */
-  def dedupNearOn(documents: DataFrame): DataFrame = {
+  /** Per-doc MinHash state shared by q_dedup_near and the standing-
+    * index incremental admission (q_dedup_incr_near): one row per doc
+    * with the 128-slot signature (m0..m127) AND the sorted distinct
+    * shingle-hash set hs (the exact-Jaccard verification side).
+    * Cached — one rolling-hash + aggregate pass feeds every consumer. */
+  private[graft] def nearSignatures(documents: DataFrame): DataFrame = {
     // One row per distinct (doc, shingle) with ONE base hash; the 128
     // permutations are cheap affine transforms h*A_k+B_k (odd A_k) whose
     // per-group min is a single codegen'd hash-aggregate pass. The
@@ -207,37 +329,52 @@ object DedupSim {
     // files, the 128-min + collect_set evaluation above them re-runs
     // per branch — cache the per-doc result (|docs| rows, a few MB)
     // so the signature pipeline runs once
-    val perDoc = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(minCols.head,
         minCols.tail :+ sort_array(collect_set(col("sh"))).as("hs"): _*)
       .pipe(ScratchCache.cache)
-    val sig = perDoc.drop("hs")
-    val docsH = perDoc.select(col("doc_id"), col("hs"))
+  }
+
+  /** The 32 LSH band rows (band, bh, doc_id) of a [[nearSignatures]]
+    * frame — 4 signature slots hashed per band. */
+  private[graft] def nearBands(perDoc: DataFrame): DataFrame = {
     val bandCols = (0 until 32).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*).as("bh"))
     }
-    val buckets = sig
+    perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("bd.band"), col("bd.bh"), col("doc_id"))
-    val cands = bucketPairs(buckets, cap = 64)
-    // Exact-Jaccard verification over the same sorted shingle-hash
-    // arrays (~8 B per shingle ⇒ the whole doc set is a few MB):
-    // broadcast to both sides of the candidate pairs, so the exploded
-    // hash table is never shuffled for verification and Jaccard is a
-    // pure array_intersect expression. At 100 TB the broadcast becomes
-    // a shuffle join by doc_id — still linear in candidates, never
-    // O(n²).
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) doc pairs against
+    * two (doc_id, hs) sorted shingle-set frames — a pure
+    * array_intersect expression per pair, linear in candidates. hsA is
+    * broadcast (a few MB of 8 B hashes at test scale; at 100 TB both
+    * joins become doc_id-keyed shuffle/bucket joins — still linear in
+    * candidates, never O(n²)). Keeps pairs with J ≥ minJ. */
+  private def jaccardVerify(cands: DataFrame, hsA: DataFrame,
+      hsB: DataFrame, minJ: Double, bcastB: Boolean): DataFrame = {
+    val zb = if (bcastB) broadcast(hsB.as("zb")) else hsB.as("zb")
     cands
-      .join(broadcast(docsH.as("za")), col("a") === col("za.doc_id"))
-      .join(broadcast(docsH.as("zb")), col("b") === col("zb.doc_id"))
+      .join(broadcast(hsA.as("za")), col("a") === col("za.doc_id"))
+      .join(zb, col("b") === col("zb.doc_id"))
       .select(col("a"), col("b"),
         expr("size(array_intersect(za.hs, zb.hs))").as("inter"),
         expr("size(za.hs)").as("na"), expr("size(zb.hs)").as("nb"))
       .select(col("a"), col("b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** Core of q_dedup_near over any (doc_id, text) frame — split out so
+    * tests can plant known duplicates. */
+  def dedupNearOn(documents: DataFrame): DataFrame = {
+    val perDoc = nearSignatures(documents)
+    val docsH = perDoc.select(col("doc_id"), col("hs"))
+    val cands = bucketPairs(nearBands(perDoc), cap = 64)
+    jaccardVerify(cands, docsH, docsH, 0.8, bcastB = true)
       .orderBy(col("a"), col("b"))
   }
 

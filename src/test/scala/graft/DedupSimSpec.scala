@@ -69,6 +69,87 @@ class DedupSimSpec extends GraftSuite {
       "admission plan must scan the standing index table")
   }
 
+  test("incremental near-dup: admission against the standing signature " +
+      "index equals the from-scratch near-dup, never rescans history") {
+    import org.apache.spark.sql.functions._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val t2 = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty"
+    val t3 = "red orange yellow green blue indigo violet crimson teal " +
+      "magenta cyan olive maroon navy coral amber jade ruby pearl onyx"
+    val tNew = "quick brown foxes jump over lazy dogs while curious cats " +
+      "watch from tall fences near quiet gardens every single morning"
+    val tOther = "rivers flow through ancient valleys carrying stories " +
+      "of mountains past glaciers carved long before any roads existed"
+    val hist = Seq((1L, "a", t1), (2L, "a", t2), (3L, "b", t3))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (11L, "a", t1),                   // verbatim        -> dup_index
+      (12L, "a", t2 + " extraword"),    // J = 16/17 >= .8 -> dup_index
+      (13L, "b", tNew),                 // new             -> kept
+      (14L, "b", tNew),                 // dup of 13       -> dup_batch
+      (15L, "b", tOther))               // new             -> kept
+      .toDF("doc_id", "source", "text")
+    val perH = DedupSim.nearSignatures(hist.select(col("doc_id"), col("text")))
+    val bands = DedupSim.nearBands(perH)
+    val sigs = perH.select(col("doc_id"), col("hs"))
+    val admitted = DedupSim.dedupIncrNearAdmit(batch, bands, sigs)
+    val got = admitted.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    ScratchCache.releaseAll()
+    assert(got == Seq(11L -> "dup_index", 12L -> "dup_index",
+      13L -> "kept", 14L -> "dup_batch", 15L -> "kept"), got.toString)
+    // from-scratch equivalence: near-dup pairs over history ∪ batch,
+    // restricted to the batch with the same precedence rule
+    val pairs = DedupSim.dedupNearOn(
+        hist.unionByName(batch).select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ScratchCache.releaseAll()
+    val histIds = Set(1L, 2L, 3L)
+    got.foreach { case (id, dec) =>
+      val withHist = pairs.exists { case (a, b) =>
+        (a == id && histIds(b)) || (b == id && histIds(a)) }
+      val withSmallerBatch = pairs.exists { case (a, b) =>
+        b == id && !histIds(a) }
+      val want = if (withHist) "dup_index"
+        else if (withSmallerBatch) "dup_batch" else "kept"
+      assert(dec == want, s"doc $id: incremental=$dec, from-scratch=$want")
+    }
+    // re-ingest against index ∪ kept-doc signatures: everything that
+    // was kept (or batch-dup of a kept doc) is now an index dup
+    val keptIds = got.filter(_._2 == "kept").map(_._1)
+    val perB = DedupSim.nearSignatures(
+      batch.filter(col("doc_id").isin(keptIds: _*))
+        .select(col("doc_id"), col("text")))
+    val again = DedupSim.dedupIncrNearAdmit(batch,
+        bands.unionByName(DedupSim.nearBands(perB)),
+        sigs.unionByName(perB.select(col("doc_id"), col("hs"))))
+      .collect().map(_.getString(2)).toSet
+    ScratchCache.releaseAll()
+    assert(again == Set("dup_index"), again.toString)
+    // and the REAL key's admission plan reads the two bucketed index
+    // tables, never the documents parquet, on the history side
+    val d = sf
+    DedupSim.dedupIncrNear(spark, d).collect() // builds the index
+    ScratchCache.releaseAll()
+    val fp = Tables.documents(spark, d)
+      .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head()
+    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_${fp.getLong(0)}_${fp.getLong(1)}"
+    val plan = DedupSim.dedupIncrNearAdmit(
+        DedupSim.dedupIncrNearBatch(Tables.documents(spark, d)),
+        spark.table(s"graft_neardup_bands_$sfx"),
+        spark.table(s"graft_neardup_sigs_$sfx"))
+      .queryExecution.executedPlan.toString
+    ScratchCache.releaseAll()
+    assert(plan.contains("graft_neardup_bands"),
+      "admission plan must scan the standing band table")
+    assert(plan.contains("graft_neardup_sigs"),
+      "admission plan must scan the standing signature table")
+  }
+
   test("near-dup finds planted exact duplicates (recall on dups = 1)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
