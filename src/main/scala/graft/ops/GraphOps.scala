@@ -1722,6 +1722,12 @@ object GraphOps {
         .join(lab2q.select(col("node").as("v"), col("lab").as("cb")), "v")
         .filter(col("ca") =!= col("cb"))
         .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("wab"))
+      // ck / best are each referenced twice (gain join sides; the
+      // mutuality self-join) and recompute per reference — that is the
+      // RIGHT trade here: checkpointing them instead was A/B'd (r14)
+      // at 20.5 s vs 8.2 s — the extra checkpoint materializations
+      // serialize the round into more stage barriers than the
+      // recomputed |communities|-sized chains cost
       val ck = lab2q.join(qdeg, lab2q("node") === qdeg("u"))
         .groupBy(col("lab")).agg(sum(col("dg")).as("kc"))
       val best = cw
