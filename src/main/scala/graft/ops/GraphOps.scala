@@ -131,6 +131,91 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** q_graph_metakg — META-KNOWLEDGE-GRAPH content summary (r14): the
+    * per-graph metadata artifact the reference publishes after every
+    * build (content metadata: node id-prefixes per category + the
+    * distinct (subject_category, predicate, object_category) edge
+    * patterns with counts — exactly what a TRAPI
+    * /meta_knowledge_graph endpoint serves [R-shape]). ONE ledger:
+    *   kind='node' rows — (category, prefixes = sorted distinct CURIE
+    *     prefixes joined ',', n = node count);
+    *   kind='edge' rows — (category = subject category, predicate,
+    *     object_category, n = DISTINCT (s,p,o) edge count — merged-
+    *     graph semantics, multiplicities collapse like edge_merge).
+    * Inapplicable cells carry '' (not NULL) so cross-engine ordering
+    * and hashing are unambiguous.
+    *
+    * Graph derivation (deterministic): customers CUST:<k> categorized
+    * by market segment; suppliers SUPP:<k>; parts categorized by the
+    * first p_type word with TWO id spaces (PARTX: when p_size > 25,
+    * PART: otherwise — so part categories exercise the multi-prefix
+    * collection). Edges: customer→part per lineitem (predicate from
+    * the return flag: returned / accepted / ordered) and
+    * supplier→part 'supplies'.
+    *
+    * Scale shape: two id-keyed equi joins hang the node categories on
+    * the edge endpoints (data-sized, plain shuffle joins), then ONE
+    * hash agg collapses to the ≤ |cats|²·|preds| pattern table; the
+    * node side is one hash agg. Nothing driver-side. */
+  def metaKg(s: SparkSession, d: String): DataFrame = {
+    val partPrefix = when(col("p_size") > 25, "PARTX").otherwise("PART")
+    val nodes = Tables.customer(s, d)
+      .select(concat(lit("CUST:"), col("c_custkey")).as("id"),
+        lower(col("c_mktsegment")).as("category"), lit("CUST").as("prefix"))
+      .unionByName(Tables.supplier(s, d)
+        .select(concat(lit("SUPP:"), col("s_suppkey")).as("id"),
+          lit("supplier").as("category"), lit("SUPP").as("prefix")))
+      .unionByName(Tables.part(s, d)
+        .select(concat(partPrefix, lit(":"), col("p_partkey")).as("id"),
+          lower(split(col("p_type"), " ").getItem(0)).as("category"),
+          partPrefix.as("prefix")))
+    val li = Tables.lineitem(s, d)
+    val partIds = Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(partPrefix, lit(":"), col("p_partkey")).as("part_id"))
+    val custPart = li
+      .join(Tables.orders(s, d), li("l_orderkey") === col("o_orderkey"))
+      .join(partIds, li("l_partkey") === col("p_partkey"))
+      .select(concat(lit("CUST:"), col("o_custkey")).as("subject"),
+        when(col("l_returnflag") === "R", "returned")
+          .when(col("l_returnflag") === "A", "accepted")
+          .otherwise("ordered").as("predicate"),
+        col("part_id").as("object"))
+    val suppPart = li
+      .join(partIds, li("l_partkey") === col("p_partkey"))
+      .select(concat(lit("SUPP:"), col("l_suppkey")).as("subject"),
+        lit("supplies").as("predicate"), col("part_id").as("object"))
+    metaKgOn(nodes, custPart.unionByName(suppPart))
+  }
+
+  /** Core of q_graph_metakg over any (id, category, prefix) node frame
+    * and (subject, predicate, object) edge frame. */
+  def metaKgOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cats = nodes.select(col("id"), col("category"))
+    val ePat = edges
+      .select(col("subject"), col("predicate"), col("object")).distinct()
+      .join(cats.select(col("id").as("subject"),
+        col("category").as("subject_category")), "subject")
+      .join(cats.select(col("id").as("object"),
+        col("category").as("object_category")), "object")
+      .groupBy(col("subject_category"), col("predicate"),
+        col("object_category"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("edge").as("kind"),
+        col("subject_category").as("category"), col("predicate"),
+        col("object_category"), lit("").as("prefixes"), col("n"))
+    val nPat = nodes.groupBy(col("category"))
+      .agg(array_join(sort_array(collect_set(col("prefix"))), ",")
+          .as("prefixes"),
+        count(lit(1)).as("n"))
+      .select(lit("node").as("kind"), col("category"),
+        lit("").as("predicate"), lit("").as("object_category"),
+        col("prefixes"), col("n"))
+    nPat.unionByName(ePat)
+      .orderBy(col("kind"), col("category"), col("predicate"),
+        col("object_category"))
+  }
+
   /** q_graph_edge_merge — duplicate (subject,object) edges merge:
     * decimal-sum of quantities, sorted supplier set, multiplicity —
     * GraphMerger.merge_edges as one hash aggregate. */

@@ -996,6 +996,54 @@ object OracleSql {
         |COUNT(*) AS n
         |FROM lineitem GROUP BY subject, object ORDER BY subject, object""".stripMargin,
 
+    // meta-knowledge-graph: node prefixes per category + distinct
+    // (subject_category, predicate, object_category) edge patterns;
+    // '' sentinels (not NULL) keep ordering/hashing engine-agnostic
+    "q_graph_metakg" ->
+      """WITH nodes AS (
+        |  SELECT 'CUST:' || c_custkey AS id,
+        |    lower(c_mktsegment) AS category, 'CUST' AS prefix
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'SUPP:' || s_suppkey, 'supplier', 'SUPP' FROM supplier
+        |  UNION ALL
+        |  SELECT (CASE WHEN p_size > 25 THEN 'PARTX' ELSE 'PART' END)
+        |      || ':' || p_partkey,
+        |    lower(split_part(p_type, ' ', 1)),
+        |    CASE WHEN p_size > 25 THEN 'PARTX' ELSE 'PART' END
+        |  FROM part),
+        |edges AS (
+        |  SELECT DISTINCT subject, predicate, object FROM (
+        |    SELECT 'CUST:' || o.o_custkey AS subject,
+        |      CASE l.l_returnflag WHEN 'R' THEN 'returned'
+        |        WHEN 'A' THEN 'accepted' ELSE 'ordered' END AS predicate,
+        |      (CASE WHEN p.p_size > 25 THEN 'PARTX' ELSE 'PART' END)
+        |        || ':' || l.l_partkey AS object
+        |    FROM lineitem l
+        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN part p ON l.l_partkey = p.p_partkey
+        |    UNION ALL
+        |    SELECT 'SUPP:' || l.l_suppkey, 'supplies',
+        |      (CASE WHEN p.p_size > 25 THEN 'PARTX' ELSE 'PART' END)
+        |        || ':' || l.l_partkey
+        |    FROM lineitem l
+        |    JOIN part p ON l.l_partkey = p.p_partkey)),
+        |npat AS (SELECT 'node' AS kind, category, '' AS predicate,
+        |    '' AS object_category,
+        |    array_to_string(list_sort(list(DISTINCT prefix)), ',')
+        |      AS prefixes,
+        |    COUNT(*) AS n
+        |  FROM nodes GROUP BY category),
+        |epat AS (SELECT 'edge' AS kind,
+        |    a.category AS category, e.predicate,
+        |    b.category AS object_category, '' AS prefixes,
+        |    COUNT(*) AS n
+        |  FROM edges e JOIN nodes a ON e.subject = a.id
+        |  JOIN nodes b ON e.object = b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT * FROM npat UNION ALL SELECT * FROM epat
+        |ORDER BY kind, category, predicate, object_category""".stripMargin,
+
     "q_graph_degree" ->
       """WITH deg AS (
         |  SELECT 'order' AS ntype, l_orderkey AS node, COUNT(*) AS degree

@@ -547,6 +547,36 @@ class GraphOpsSpec extends GraftSuite {
       s"brandes not partition-invariant: ${out.toSeq} vs ${out2.toSeq}")
   }
 
+  test("metakg: multi-prefix categories collected, duplicate edges " +
+      "collapse to one pattern count, partition-invariant") {
+    import spark.implicits._
+    // category 'gene' spans TWO id spaces (NCBI + ENSEMBL) — prefixes
+    // must collect both, sorted; the duplicated (s,p,o) edge counts
+    // once (merged-graph semantics); two patterns differ by predicate.
+    val nodes = Seq(
+      ("NCBI:1", "gene", "NCBI"), ("ENSEMBL:2", "gene", "ENSEMBL"),
+      ("MONDO:3", "disease", "MONDO")).toDF("id", "category", "prefix")
+    val edges = Seq(
+      ("NCBI:1", "causes", "MONDO:3"),
+      ("NCBI:1", "causes", "MONDO:3"),      // duplicate -> collapses
+      ("ENSEMBL:2", "causes", "MONDO:3"),
+      ("ENSEMBL:2", "treats", "MONDO:3"))
+      .toDF("subject", "predicate", "object")
+    val out = GraphOps.metaKgOn(nodes, edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("edge", "gene", "causes", "disease", "", 2L),
+      ("edge", "gene", "treats", "disease", "", 1L),
+      ("node", "disease", "", "", "MONDO", 1L),
+      ("node", "gene", "", "", "ENSEMBL,NCBI", 2L)), out.toSeq.toString)
+    val out2 = GraphOps.metaKgOn(nodes.repartition(5),
+        edges.repartition(3)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("graph diff: every change class lands exactly once on a fixture") {
     import spark.implicits._
     val n1 = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("id", "category")
