@@ -663,6 +663,52 @@ object GraphOps {
       .orderBy(col("harmonic6").desc, col("node")).limit(20)
   }
 
+  /** q_graph_ecc — bounded-hop ECCENTRICITY / DIAMETER / RADIUS bounds
+    * from the landmark BFS (r14, completing the landmark family beside
+    * closeness and the two betweenness variants): per node the
+    * eccentricity LOWER BOUND ecc_lb(v) = max over landmarks of
+    * d(l, v) (distances within maxHop — the standard BFS-from-sample
+    * bounding method), rolled into ONE exact-integer ledger:
+    *   ('diameter_lb', k, n) — the largest landmark-pair distance (a
+    *     true diameter lower bound) and how many pairs attain it;
+    *   ('ecc_nodes', k, n) — the ecc_lb histogram over all reached
+    *     nodes ("how far is everything from the sample");
+    *   ('radius_ub', k, n) — the smallest LANDMARK eccentricity (a
+    *     true radius upper bound: the graph's most central point is at
+    *     most as eccentric as the best landmark) and how many
+    *     landmarks attain it.
+    * All hops are exact integers — fully oracle-checked. Scale shape:
+    * the [[landmarkHops]] BFS (state O(K·V)) + three tiny hash aggs;
+    * nothing beyond the closeness contract. */
+  def eccentricity(s: SparkSession, d: String): DataFrame =
+    eccentricityOn(Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      nLandmarks = 8, maxHop = 3)
+
+  /** Core of q_graph_ecc over any (o, p) membership frame. */
+  def eccentricityOn(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int): DataFrame = {
+    val (lm, mh, _) = landmarkHops(membership, nLandmarks, maxHop)
+    val ecc = ScratchCache.cache(
+      mh.groupBy(col("node")).agg(max(col("hop")).as("ecc")))
+    val hist = ecc.groupBy(col("ecc")).agg(count(lit(1)).as("n"))
+      .select(lit("ecc_nodes").as("stat"), col("ecc").as("k"), col("n"))
+    val diam = mh
+      .join(broadcast(lm.select(col("lmk").as("t"))), col("node") === col("t"))
+      .filter(col("lmk") < col("t"))
+      .groupBy(col("hop")).agg(count(lit(1)).as("n"))
+      .orderBy(col("hop").desc).limit(1)
+      .select(lit("diameter_lb").as("stat"), col("hop").as("k"), col("n"))
+    val radius = ecc
+      .join(broadcast(lm), ecc("node") === lm("lmk"))
+      .groupBy(col("ecc")).agg(count(lit(1)).as("n"))
+      .orderBy(col("ecc").asc).limit(1)
+      .select(lit("radius_ub").as("stat"), col("ecc").as("k"), col("n"))
+    hist.unionByName(diam).unionByName(radius)
+      .orderBy(col("stat"), col("k"))
+  }
+
   /** q_graph_betweenness — LANDMARK-PAIR coverage betweenness (r13):
     * node v scores one point for every landmark pair (s < t) whose
     * shortest-path distance v sits on — d(s,v) + d(v,t) = d(s,t) with

@@ -710,6 +710,41 @@ object OracleSql {
         |GROUP BY sv.vn
         |ORDER BY n_pairs DESC, node LIMIT 20""".stripMargin,
 
+    // landmark eccentricity / diameter / radius bounds: exact integer
+    // hops from the same recursive BFS; k cast BIGINT to match Spark
+    "q_graph_ecc" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
+        |lm AS (SELECT u AS lmk FROM (
+        |  SELECT DISTINCT u FROM sym ORDER BY u LIMIT 8)),
+        |bfs AS (
+        |  SELECT lmk, lmk AS node, 0 AS hop FROM lm
+        |  UNION
+        |  SELECT bfs.lmk, sym.v AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |),
+        |mh AS MATERIALIZED (SELECT lmk, node, MIN(hop) AS hop
+        |  FROM bfs GROUP BY 1, 2),
+        |ecc AS (SELECT node, MAX(hop) AS ecc FROM mh GROUP BY node),
+        |hist AS (SELECT 'ecc_nodes' AS stat, CAST(ecc AS BIGINT) AS k,
+        |  COUNT(*) AS n FROM ecc GROUP BY ecc),
+        |diam AS (SELECT 'diameter_lb' AS stat, CAST(hop AS BIGINT) AS k,
+        |  COUNT(*) AS n
+        |  FROM (SELECT mh.hop FROM mh JOIN lm ON mh.node = lm.lmk
+        |    WHERE mh.lmk < mh.node)
+        |  GROUP BY hop ORDER BY hop DESC LIMIT 1),
+        |rad AS (SELECT 'radius_ub' AS stat, CAST(ecc AS BIGINT) AS k,
+        |  COUNT(*) AS n
+        |  FROM (SELECT e.ecc FROM ecc e JOIN lm ON e.node = lm.lmk)
+        |  GROUP BY ecc ORDER BY ecc ASC LIMIT 1)
+        |SELECT * FROM hist UNION ALL SELECT * FROM diam
+        |UNION ALL SELECT * FROM rad
+        |ORDER BY stat, k""".stripMargin,
+
     // Brandes sigma-fraction twin of the coverage variant: path counts
     // by level-synchronous DP (sg1..sg3), per-pair fraction emitted as
     // floor micro-units (sig_sv*sig_vt*1e6) // sig_st — exact integers

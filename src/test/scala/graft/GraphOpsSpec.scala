@@ -518,6 +518,30 @@ class GraphOpsSpec extends GraftSuite {
     assert(out.toSeq == Seq((3L, 1L), (4L, 1L)))
   }
 
+  test("ecc: hand-computed bounds on a truncated path graph, " +
+      "partition-invariant") {
+    import spark.implicits._
+    // path 0-4-8-12-16 with maxHop 3: d(0,16)=4 is BEYOND the bound so
+    // the (0,16) pair drops out of every statistic. Hand-computed:
+    //   ecc_lb: node 8 -> 2; nodes 0,4,12,16 -> 3   (hist {2:1, 3:4})
+    //   diameter_lb = 3, attained by pairs (0,12) and (4,16) -> n=2
+    //   radius_ub = 2, attained by landmark 8 alone -> n=1
+    val m = Seq((1L, 0L), (1L, 4L), (2L, 4L), (2L, 8L),
+      (3L, 8L), (3L, 12L), (4L, 12L), (4L, 16L)).toDF("o", "p")
+    val out = GraphOps.eccentricityOn(m, nLandmarks = 8, maxHop = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == Seq(
+      ("diameter_lb", 3L, 2L),
+      ("ecc_nodes", 2L, 1L), ("ecc_nodes", 3L, 4L),
+      ("radius_ub", 2L, 1L)), out.toSeq.toString)
+    val out2 = GraphOps.eccentricityOn(m.repartition(5),
+        nLandmarks = 8, maxHop = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ScratchCache.releaseAll()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("betweenness brandes: hand-computed sigma fractions on the " +
       "diamond-with-tail graph, partition-invariant") {
     import spark.implicits._
