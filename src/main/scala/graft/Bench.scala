@@ -15,6 +15,11 @@ object Bench {
       // everything in between and every rep pays full recompilation —
       // size it to hold the whole suite's generated classes
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // keep every benched key SELF-CONTAINED: the landmark-BFS memo
+      // (GraphOps.LandmarkMemo) would let closeness pay the BFS once
+      // and hand it to betweenness/brandes/ecc for free — honest for a
+      // production session, dishonest for per-key timings
+      .config("spark.graft.landmarks.memo", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,6 +40,55 @@ object DedupSim {
         .as("cv"))
       .select(col("label").as("list_id"), col("cv"))
 
+  /** O(metadata) CONTENT fingerprint of a parquet table path: an md5
+    * over the sorted (path, length, mtime) manifest of every file under
+    * it — ONE filesystem LIST, never a data scan. Replaces the
+    * r13/r14 (count, max doc_id) probe, which (a) paid a column-pruned
+    * scan of `documents` on EVERY admission — a real fact-table pass
+    * per batch at 100 TB — and (b) missed regenerations that edit text
+    * but keep the count and max id (ADVICE r14). Any rewrite changes
+    * the manifest (Spark part files carry a fresh job UUID per write,
+    * and lengths/mtimes move with content), so a stale index can never
+    * be silently reused, while a FRESH-index admission touches only
+    * the namenode / object-store listing — zero Spark jobs, asserted
+    * in DedupSimSpec. */
+  private[graft] def datasetFingerprint(s: SparkSession, path: String)
+      : String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).toSeq
+          .flatMap(c => walk(c.getPath))
+      else Seq(st)
+    }
+    val manifest = walk(root)
+      .map(st => s"${st.getPath.toUri.getPath}|${st.getLen}|" +
+        s"${st.getModificationTime}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Drop every standing index table whose name starts with `prefix`
+    * but is not `keep`, plus its tmpdir parquet — without this, every
+    * corpus regeneration would leak a stale fingerprint-named table
+    * and its files for the life of the metastore (ADVICE r14). */
+  private[graft] def dropStaleIndexes(s: SparkSession, prefix: String,
+      keep: String): Unit =
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(prefix) && n != keep)
+      .foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS `$n`")
+        val p = new org.apache.hadoop.fs.Path(java.nio.file.Paths
+          .get(System.getProperty("java.io.tmpdir"), n).toString)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+
   /** q_dedup_incr — STANDING-INDEX incremental dedup (r13): the
     * signature index of the corpus-so-far is persisted ONCE as a
     * bucketed table (`bucketBy(8, sig)` + `sortBy` — the
@@ -69,25 +118,22 @@ object DedupSim {
     * table, never the history parquet. */
   def dedupIncr(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // the index name carries a CONTENT FINGERPRINT (doc count +
-    // max doc_id — a column-pruned parquet scan, O(metadata) next to
-    // any admission join), so regenerating the documents at the same
-    // path within one session/metastore rebuilds the index instead of
-    // silently reusing a stale one (the from-scratch oracle always
-    // sees the current documents)
-    val fpRow = docs.agg(count(lit(1)).as("n"),
-      coalesce(max(col("doc_id")), lit(0L)).as("mx")).head()
-    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-    val idxT = s"graft_dedup_idx_$suffix"
+    // the index name carries an O(metadata) CONTENT fingerprint (the
+    // file-manifest hash of [[datasetFingerprint]] — a filesystem
+    // LIST, no data scan): a regenerated corpus at the same path
+    // rebuilds the index instead of silently reusing a stale one,
+    // and a FRESH-index admission never touches the documents parquet
+    // on the index side at all
+    val pfx = "graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val idxT = pfx + datasetFingerprint(s, s"$d/documents.parquet")
     if (!s.catalog.tableExists(idxT)) {
+      dropStaleIndexes(s, pfx, idxT)
       docs
         .select(md5(col("text")).as("sig")).distinct()
         .write.mode("overwrite")
         .bucketBy(8, "sig").sortBy("sig")
         .option("path", java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_dedup_idx_$suffix").toString)
+          System.getProperty("java.io.tmpdir"), idxT).toString)
         .format("parquet").saveAsTable(idxT)
     }
     dedupIncrAdmit(dedupIncrBatch(docs), s.table(idxT))
@@ -164,15 +210,18 @@ object DedupSim {
     * reads the index tables, never the documents parquet. */
   def dedupIncrNear(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // content-fingerprinted names (the dedupIncr discipline): a
-    // regenerated corpus rebuilds the index instead of reusing a stale one
-    val fpRow = docs.agg(count(lit(1)).as("n"),
-      coalesce(max(col("doc_id")), lit(0L)).as("mx")).head()
-    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    // manifest-fingerprinted names (the dedupIncr discipline): a
+    // regenerated corpus rebuilds the index instead of reusing a stale
+    // one, and the freshness probe is a filesystem LIST, not a scan
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      datasetFingerprint(s, s"$d/documents.parquet")
     val bandsT = s"graft_neardup_bands_$suffix"
     val sigsT = s"graft_neardup_sigs_$suffix"
     if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(sigsT)) {
+      dropStaleIndexes(s, "graft_neardup_bands_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "_", bandsT)
+      dropStaleIndexes(s, "graft_neardup_sigs_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "_", sigsT)
       val perDoc = nearSignatures(docs.select(col("doc_id"), col("text")))
       nearBands(perDoc).write.mode("overwrite")
         .bucketBy(8, "bh").sortBy("bh")
@@ -1166,9 +1215,16 @@ object DedupSim {
     * (`spark.graft.ann.trainMax`, default 65536): above it, quantizer
     * and codebook training run on a deterministic md5-ordered sample;
     * below it, on the full input. */
-  private def annTrainMax(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.ann.trainMax")
+  private def annTrainMax(s: SparkSession): Long = {
+    val v = s.conf.getOption("spark.graft.ann.trainMax")
       .map(_.trim.toLong).getOrElse(65536L)
+    // md5PrefixSample pins the prefix with limit(target.toInt): a conf
+    // above Int.MaxValue would wrap negative and throw far downstream
+    // (ADVICE r14) — fail loudly at the source instead
+    require(v > 0 && v <= Int.MaxValue,
+      s"spark.graft.ann.trainMax must be in [1, ${Int.MaxValue}], got $v")
+    v
+  }
 
   /** The `target` smallest-md5(idCol) rows of `df` (n = |df|, known by
     * the caller) — a deterministic, partitioning-independent,
@@ -1182,6 +1238,9 @@ object DedupSim {
     * target. */
   private[graft] def md5PrefixSample(df: DataFrame, idCol: String,
       target: Long, n: Long): DataFrame = {
+    require(target > 0 && target <= Int.MaxValue,
+      s"md5PrefixSample target must be in [1, ${Int.MaxValue}], got " +
+        s"$target (the exact prefix cut is limit(target.toInt))")
     val hexSpace = math.pow(16.0, 15.0) // conv() of a 15-hex prefix
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15),
       16, 10).cast("long")
@@ -1561,6 +1620,148 @@ object DedupSim {
         sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
         count(lit(1)).as("n_total"))
       .orderBy(col("list_id"))
+  }
+
+  /** q_dedup_incr_semantic — STANDING-IVF incremental SEMANTIC-dup
+    * admission (r15): the embedding-space member completing the
+    * exact / near / semantic incremental-admission trio
+    * ([[dedupIncr]] / [[dedupIncrNear]] / this) — the contract a
+    * multimodal 100 TB training-data pipeline runs daily: new
+    * embeddings arrive and must be admitted against the corpus-so-far
+    * WITHOUT re-embedding, re-training or re-scanning history. The
+    * standing index is the [[simAnnIvfIndex]] artifact built ONCE from
+    * history: the [[learnedCentroids]] quantizer (k rows, then FROZEN
+    * — the production reality; retraining would reshuffle every list)
+    * beside the `partitionBy(list_id)` inverted lists. Admitting a
+    * batch: assign the BATCH ONLY on the frozen quantizer (one
+    * broadcast of k rows), read history candidates from the touched
+    * inverted lists via a STATIC `list_id IN (...)` partition filter
+    * (the touched-list set is a ≤ k-row driver read of the batch
+    * assignment — bounded by the quantizer size, not the data), verify
+    * cosine ≥ τ = 0.999 with the native codegen `cosine_sim` (the
+    * SemDeDup within-list contract of [[dedupSemantic]]), plus
+    * within-batch pairs by the same within-list rule. Wire: the
+    * per-vector ADMISSION LEDGER (vec_id, label, decision) with
+    * decision ∈ kept / dup_index (cosine ≥ τ with an indexed vector —
+    * precedence) / dup_batch (cosine ≥ τ with a smaller-vec_id batch
+    * vector).
+    *
+    * The batch is PLANTED deterministically (the dedupIncr pattern):
+    * vec_id ≡ 0 (mod 25) re-enters VERBATIM (+1e6 → dup_index at
+    * cos = 1); ≡ 3 (mod 25) re-enters dim-0-perturbed (+2e6 → the
+    * [[dedupSemantic]] twin, cos ≈ 0.9999998 ≥ τ when it lands in its
+    * original's list — the SemDeDup cross-list miss is the declared
+    * trade); ≡ 7 (mod 25) enters REVERSED (unrelated direction,
+    * cos ≪ τ) TWICE (+3e6 kept, +4e6 dup_batch).
+    *
+    * No DuckDB oracle (the float-iteration-learned quantizer — the
+    * q_sim_ann_ivf / q_dedup_incr_near precedent); the gate is
+    * DedupSimSpec's EQUIVALENCE PROOF: admission against the standing
+    * index ≡ the from-scratch within-list semantic dedup of
+    * history ∪ batch under the SAME frozen quantizer, restricted to
+    * the batch (per-vector case-by-case), idempotent re-ingest after
+    * index growth, and the admission plan asserted to read the index
+    * artifact, never the embeddings parquet, on the history side.
+    *
+    * Scale shape: batch-sized assign (broadcast k-row quantizer) +
+    * one partition-pruned scan of the touched lists + within-list
+    * verifies bounded by the balanced list size (~N/k per list — the
+    * q_dedup_semantic candidate-volume argument); N batches cost N
+    * batch-sized probes, zero history rescans; the index freshness
+    * probe is the [[datasetFingerprint]] filesystem LIST, zero Spark
+    * jobs. */
+  def dedupIncrSemantic(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val emb = Tables.embeddings(s, d)
+    val pfx = "graft_semdedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val name = pfx + datasetFingerprint(s, s"$d/embeddings.parquet")
+    val dir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), name).toString
+    if (!new java.io.File(s"$dir/lists/_SUCCESS").exists()) {
+      dropStaleIndexDirs(pfx, name)
+      val cent = ScratchCache.cache(learnedCentroids(emb, k = 10))
+      cent.write.mode("overwrite").parquet(s"$dir/quantizer")
+      ivfAssign(emb, cent).write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$dir/lists")
+      ScratchCache.releaseAll()
+    }
+    dedupIncrSemanticAdmit(dedupIncrSemanticBatch(emb),
+      s.read.parquet(s"$dir/quantizer"), s.read.parquet(s"$dir/lists"),
+      tau = 0.999)
+  }
+
+  /** Delete stale fingerprint-named index DIRECTORIES under tmpdir
+    * (the filesystem twin of [[dropStaleIndexes]] for parquet-artifact
+    * indexes that have no metastore entry). */
+  private[graft] def dropStaleIndexDirs(prefix: String, keep: String)
+      : Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != keep)
+      .foreach(rm)
+  }
+
+  /** The planted incoming batch over any (vec_id, label, embedding)
+    * frame: verbatim re-entries (≡0 mod 25, +1e6), dim-0-perturbed
+    * twins (≡3 mod 25, +2e6), and a twice-submitted reversed vector
+    * (≡7 mod 25, +3e6/+4e6). The `embedding` column stays an array so
+    * [[ivfAssign]] consumes the batch unchanged. */
+  private[graft] def dedupIncrSemanticBatch(embeddings: DataFrame)
+      : DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 25 === 3)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i = 0, cast(x + 0.001d as double), x))").as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 25 === 7)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("label"),
+          reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 25 === 7)
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("label"),
+          reverse(col("embedding")).as("embedding")))
+  }
+
+  /** Admit `batch` (vec_id, label, embedding) against the standing IVF
+    * index (`cent` (list_id, cv) + `lists` (vec_id, label, v,
+    * list_id)): batch assignment is computed in-flight on the frozen
+    * quantizer; history is touched ONLY through the inverted lists,
+    * partition-pruned to the batch's touched list ids (a ≤ k-row
+    * driver read). */
+  private[graft] def dedupIncrSemanticAdmit(batch: DataFrame,
+      cent: DataFrame, lists: DataFrame, tau: Double): DataFrame = {
+    val asg = ScratchCache.cache(ivfAssign(batch, cent))
+    // touched lists: bounded by the quantizer size k, never the data —
+    // collected so the list scan carries a STATIC partition filter
+    val touched = asg.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val dupIdx = asg.as("b")
+      .join(lists.filter(col("list_id").isin(touched: _*)).as("h"),
+        col("b.list_id") === col("h.list_id"))
+      .filter(expr("cosine_sim(b.v, h.v)") >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("in_idx", lit(1))
+    val dupBatch = asg.as("x").join(asg.as("y"),
+        col("x.list_id") === col("y.list_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(expr("cosine_sim(x.v, y.v)") >= tau)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("in_batch", lit(1))
+    batch.select(col("vec_id"), col("label"))
+      .join(dupIdx, Seq("vec_id"), "left")
+      .join(dupBatch, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("in_idx").isNotNull, "dup_index")
+          .when(col("in_batch").isNotNull, "dup_batch")
+          .otherwise("kept").as("decision"))
+      .orderBy(col("vec_id"))
   }
 
   /** q_sim_centroid — per-label centroid (64 dims) + centroid L2 norm.

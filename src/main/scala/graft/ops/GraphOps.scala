@@ -588,21 +588,47 @@ object GraphOps {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
       nLandmarks = 8, maxHop = 3)
 
-  /** Shared landmark BFS under q_graph_closeness and
-    * q_graph_betweenness: (lm, mh) where lm = the nLandmarks smallest
-    * node ids and mh = (lmk, node, hop) min-hop distances within
-    * maxHop. Frontier rounds are the [[ssspOn]] discipline with a
-    * landmark key column; state is O(K·V). */
+  /** Shared landmark BFS under q_graph_closeness, q_graph_betweenness,
+    * q_graph_betweenness_brandes and q_graph_ecc: (lm, mh, sym) where
+    * lm = the nLandmarks smallest node ids, mh = (lmk, node, hop)
+    * min-hop distances within maxHop, sym = the symmetric edge set.
+    * Frontier rounds are the [[ssspOn]] discipline with a landmark key
+    * column; state is O(K·V).
+    *
+    * SESSION-SCOPED MEMO (r15): the four landmark keys each need this
+    * BFS over the SAME membership frame — without a memo a Verify pass
+    * runs it four times. [[LandmarkMemo]] keys on (session,
+    * canonicalized membership plan, nLandmarks, maxHop) and pins the
+    * memoized frames with EAGER localCheckpoints it owns (NOT
+    * ScratchCache-registered — the harness's per-key releaseAll must
+    * not free blocks a later key still reads; eager, so the blocks are
+    * fully materialized before any release can run). Disable with
+    * spark.graft.landmarks.memo=false — [[graft.Bench]] does, so every
+    * benched key still pays its own full BFS (the self-contained
+    * per-key timing contract). Values are bit-identical either way
+    * (same plan, only the caching layer differs — asserted in
+    * GraphOpsSpec). */
   private def landmarkHops(membership: DataFrame, nLandmarks: Int,
-      maxHop: Int): (DataFrame, DataFrame, DataFrame) = {
+      maxHop: Int): (DataFrame, DataFrame, DataFrame) =
+    LandmarkMemo.getOrBuild(membership, nLandmarks, maxHop)(
+      pin => buildLandmarkHops(membership, nLandmarks, maxHop, pin))
+
+  /** The landmark BFS build. `pin` = memo mode: the three returned
+    * frames are eagerly pinned outside ScratchCache (memo-owned
+    * lifecycle); superseded frontier rounds stay Scratch-registered in
+    * both modes (they are dead once mh materializes). */
+  private def buildLandmarkHops(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int, pin: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = trunc(ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v"))))
+    val symRaw = ec.unionByName(
+      ec.select(col("v").as("u"), col("u").as("v")))
+    val sym = if (pin) LandmarkMemo.pin(symRaw) else trunc(symRaw)
     // K smallest node ids: global sort-limit plans TakeOrderedAndProject
     // (K rows to the driver, no full sort) — deterministic landmarks
-    val lm = sym.select(col("u").as("lmk")).distinct()
+    val lmRaw = sym.select(col("u").as("lmk")).distinct()
       .orderBy(col("lmk")).limit(nLandmarks)
+    val lm = if (pin) LandmarkMemo.pin(lmRaw) else lmRaw
     val src = lm.select(col("lmk"), col("lmk").as("node"),
       lit(0L).as("hop"))
     // multi-source BFS keyed by (lmk, node); rename before the expand
@@ -619,7 +645,8 @@ object GraphOps {
         .unionByName(f.select(col("lmk"), col("node"), col("hop")))
         .groupBy(col("lmk"), col("node")).agg(min(col("hop")).as("hop")))
     }.toSeq
-    (lm, rounds.last, sym)
+    val mh = if (pin) LandmarkMemo.pin(rounds.last) else rounds.last
+    (lm, mh, sym)
   }
 
   /** Shortest-path COUNTS σ(landmark, node) by level-synchronous DP
@@ -673,10 +700,19 @@ object GraphOps {
     *     true diameter lower bound) and how many pairs attain it;
     *   ('ecc_nodes', k, n) — the ecc_lb histogram over all reached
     *     nodes ("how far is everything from the sample");
-    *   ('radius_ub', k, n) — the smallest LANDMARK eccentricity (a
-    *     true radius upper bound: the graph's most central point is at
-    *     most as eccentric as the best landmark) and how many
-    *     landmarks attain it.
+    *   ('radius_ub' | 'radius_bounded', k, n) — the smallest LANDMARK
+    *     eccentricity and how many landmarks attain it. The stat is
+    *     labelled `radius_ub` — a TRUE radius upper bound within the
+    *     landmark's component (the graph's most central point is at
+    *     most as eccentric as the best landmark) — ONLY when that
+    *     minimum is < maxHop, i.e. the best landmark's BFS frontier
+    *     provably emptied before the hop bound, so its bounded
+    *     eccentricity is its true eccentricity. When the minimum
+    *     equals maxHop the BFS may have been truncated (the true
+    *     radius can exceed it — e.g. a 9-node path at maxHop 3), so
+    *     the row is labelled `radius_bounded`: the bounded-hop
+    *     landmark-eccentricity minimum, with no bound claim (ADVICE
+    *     r14).
     * All hops are exact integers — fully oracle-checked. Scale shape:
     * the [[landmarkHops]] BFS (state O(K·V)) + three tiny hash aggs;
     * nothing beyond the closeness contract. */
@@ -704,7 +740,13 @@ object GraphOps {
       .join(broadcast(lm), ecc("node") === lm("lmk"))
       .groupBy(col("ecc")).agg(count(lit(1)).as("n"))
       .orderBy(col("ecc").asc).limit(1)
-      .select(lit("radius_ub").as("stat"), col("ecc").as("k"), col("n"))
+      // ecc < maxHop ⟹ the best landmark's frontier emptied before the
+      // bound (a node at hop ecc+1 ≤ maxHop would have been found), so
+      // its bounded ecc is exact and the upper-bound claim holds;
+      // ecc = maxHop ⟹ possibly truncated, no bound claim
+      .select(when(col("ecc") < lit(maxHop.toLong), lit("radius_ub"))
+          .otherwise(lit("radius_bounded")).as("stat"),
+        col("ecc").as("k"), col("n"))
     hist.unionByName(diam).unionByName(radius)
       .orderBy(col("stat"), col("k"))
   }
@@ -2015,5 +2057,64 @@ object GraphOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
       .orderBy(col("size"))
+  }
+}
+
+/** Session-scoped memo for the landmark BFS shared by the four
+  * landmark keys (closeness / betweenness / brandes / ecc) — VERDICT
+  * r14 ask #4: one Verify pass was running the identical BFS four
+  * times. Keyed on (session, CANONICALIZED membership plan,
+  * nLandmarks, maxHop): the four demo keys build membership from the
+  * memoized [[graft.Tables.lineitem]] frame with the same
+  * filter/select, so their canonicalized plans are equal; any other
+  * frame (tests' hand-built fixtures, a repartitioned copy) misses and
+  * builds fresh.
+  *
+  * Lifecycle: memoized frames are EAGER localCheckpoints owned HERE,
+  * not ScratchCache-registered — Verify's per-key releaseAll must not
+  * free blocks a later landmark key still reads, and eager
+  * materialization means no lazy dependency on scratch blocks that a
+  * release could strand. [[clear]] (tests / notebooks) unpersists and
+  * forgets everything. Memory: lm is K rows, mh is O(K·V), sym is the
+  * symmetric edge set — the same blocks a single key already
+  * checkpointed, now simply outliving one key instead of being rebuilt
+  * four times. */
+private[graft] object LandmarkMemo {
+  private val entries = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int),
+    (DataFrame, DataFrame, DataFrame)]
+  private val owned =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+  /** Number of BFS builds actually run (test observability). */
+  @volatile private[graft] var builds: Long = 0L
+
+  /** Eagerly pin `df` with a memo-owned localCheckpoint. */
+  private[ops] def pin(df: DataFrame): DataFrame = {
+    val t = df.localCheckpoint(true)
+    owned.add(() => GraphOps.unpersistCheckpoint(t))
+    t
+  }
+
+  /** Memo lookup; on miss, `build(pin)` runs with pin = whether the
+    * memo is enabled (spark.graft.landmarks.memo, default true). */
+  private[ops] def getOrBuild(membership: DataFrame, nLandmarks: Int,
+      maxHop: Int)(build: Boolean => (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val s = membership.sparkSession
+    val enabled = s.conf.getOption("spark.graft.landmarks.memo")
+      .forall(_.trim.toBoolean)
+    if (!enabled) { builds += 1; build(false) }
+    else entries.getOrElseUpdate(
+      (s, membership.queryExecution.analyzed.canonicalized,
+        nLandmarks, maxHop),
+      { builds += 1; build(true) })
+  }
+
+  /** Unpersist every memo-owned checkpoint and forget all entries. */
+  def clear(): Unit = {
+    entries.clear()
+    var r = owned.poll()
+    while (r != null) { r(); r = owned.poll() }
   }
 }

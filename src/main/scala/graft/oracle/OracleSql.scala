@@ -737,7 +737,8 @@ object OracleSql {
         |  FROM (SELECT mh.hop FROM mh JOIN lm ON mh.node = lm.lmk
         |    WHERE mh.lmk < mh.node)
         |  GROUP BY hop ORDER BY hop DESC LIMIT 1),
-        |rad AS (SELECT 'radius_ub' AS stat, CAST(ecc AS BIGINT) AS k,
+        |rad AS (SELECT CASE WHEN ecc < 3 THEN 'radius_ub'
+        |    ELSE 'radius_bounded' END AS stat, CAST(ecc AS BIGINT) AS k,
         |  COUNT(*) AS n
         |  FROM (SELECT e.ecc FROM ecc e JOIN lm ON e.node = lm.lmk)
         |  GROUP BY ecc ORDER BY ecc ASC LIMIT 1)

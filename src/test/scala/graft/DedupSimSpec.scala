@@ -55,12 +55,10 @@ class DedupSimSpec extends GraftSuite {
     // never the documents parquet, on the history side
     val d = sf
     DedupSim.dedupIncr(spark, d).collect() // builds the index table
-    // the index name carries the content fingerprint (count + max id)
+    // the index name carries the O(metadata) file-manifest fingerprint
     // so a regenerated corpus can never silently reuse a stale index
-    val fp = Tables.documents(spark, d)
-      .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head()
     val idxT = "graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_${fp.getLong(0)}_${fp.getLong(1)}"
+      "_" + DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
     val plan = DedupSim.dedupIncrAdmit(
       DedupSim.dedupIncrBatch(Tables.documents(spark, d)),
       spark.table(idxT))
@@ -134,10 +132,8 @@ class DedupSimSpec extends GraftSuite {
     val d = sf
     DedupSim.dedupIncrNear(spark, d).collect() // builds the index
     ScratchCache.releaseAll()
-    val fp = Tables.documents(spark, d)
-      .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head()
-    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_${fp.getLong(0)}_${fp.getLong(1)}"
+    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
     val plan = DedupSim.dedupIncrNearAdmit(
         DedupSim.dedupIncrNearBatch(Tables.documents(spark, d)),
         spark.table(s"graft_neardup_bands_$sfx"),
@@ -148,6 +144,127 @@ class DedupSimSpec extends GraftSuite {
       "admission plan must scan the standing band table")
     assert(plan.contains("graft_neardup_sigs"),
       "admission plan must scan the standing signature table")
+  }
+
+  test("incremental semantic dedup: admission against the standing IVF " +
+      "index equals the from-scratch within-list dedup under the same " +
+      "frozen quantizer, never rescans history") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    // two well-separated directions so the k=2 quantizer splits cleanly
+    def vec(dir: Int, eps: Double): Seq[Double] =
+      if (dir == 0) Seq(1.0 + eps, 0.01, 0.0, 0.0)
+      else Seq(0.0, 0.01, 1.0 + eps, 0.0)
+    val hist = Seq(
+      (1L, 0L, vec(0, 0.0)), (2L, 0L, vec(0, 0.5)),
+      (3L, 1L, vec(1, 0.0)), (4L, 1L, vec(1, 0.5)))
+      .toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (11L, 0L, vec(0, 0.0)),              // verbatim hist 1 -> dup_index
+      (12L, 1L, vec(1, 0.001)),            // near twin of 3  -> dup_index
+      (13L, 0L, Seq(0.7, 0.0, 0.0, 0.7)),  // new direction   -> kept
+      (14L, 0L, Seq(0.7, 0.0, 0.0, 0.7)),  // dup of 13       -> dup_batch
+      (15L, 1L, Seq(0.0, 0.7, 0.0, -0.7))) // new direction   -> kept
+      .toDF("vec_id", "label", "embedding")
+    val cent = DedupSim.learnedCentroids(hist, k = 2)
+    val lists = DedupSim.ivfAssign(hist, cent)
+    val got = DedupSim.dedupIncrSemanticAdmit(batch, cent, lists, 0.999)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    ScratchCache.releaseAll()
+    assert(got == Seq(11L -> "dup_index", 12L -> "dup_index",
+      13L -> "kept", 14L -> "dup_batch", 15L -> "kept"), got.toString)
+    // FROM-SCRATCH EQUIVALENCE under the same frozen quantizer: assign
+    // history ∪ batch, enumerate within-list cosine ≥ τ pairs, restrict
+    // to the batch with the same precedence rule
+    val allAsg = DedupSim.ivfAssign(
+      hist.unionByName(batch), cent)
+    val pairs = allAsg.as("x").join(allAsg.as("y"),
+        col("x.list_id") === col("y.list_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(expr("cosine_sim(x.v, y.v)") >= 0.999)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ScratchCache.releaseAll()
+    val histIds = Set(1L, 2L, 3L, 4L)
+    got.foreach { case (id, dec) =>
+      val withHist = pairs.exists { case (a, b) =>
+        (a == id && histIds(b)) || (b == id && histIds(a)) }
+      val withSmallerBatch = pairs.exists { case (a, b) =>
+        b == id && !histIds(a) }
+      val want = if (withHist) "dup_index"
+        else if (withSmallerBatch) "dup_batch" else "kept"
+      assert(dec == want, s"vec $id: incremental=$dec, from-scratch=$want")
+    }
+    // idempotent re-ingest: admitting the same batch against
+    // index ∪ kept-batch-vectors re-classifies everything as dup_index
+    val keptIds = got.filter(_._2 == "kept").map(_._1)
+    val keptAsg = DedupSim.ivfAssign(
+      batch.filter(col("vec_id").isin(keptIds: _*)), cent)
+    val again = DedupSim.dedupIncrSemanticAdmit(batch, cent,
+        lists.unionByName(keptAsg), 0.999)
+      .collect().map(_.getString(2)).toSet
+    ScratchCache.releaseAll()
+    assert(again == Set("dup_index"), again.toString)
+    // and the REAL key's admission plan reads the persisted index
+    // artifact, never the embeddings parquet, on the history side
+    val d = sf
+    DedupSim.dedupIncrSemantic(spark, d).collect() // builds the index
+    ScratchCache.releaseAll()
+    val name = "graft_semdedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + DedupSim.datasetFingerprint(spark, s"$d/embeddings.parquet")
+    val dir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), name).toString
+    val plan = DedupSim.dedupIncrSemanticAdmit(
+        DedupSim.dedupIncrSemanticBatch(Tables.embeddings(spark, d)),
+        spark.read.parquet(s"$dir/quantizer"),
+        spark.read.parquet(s"$dir/lists"), 0.999)
+      .queryExecution.executedPlan.toString
+    ScratchCache.releaseAll()
+    assert(plan.contains("graft_semdedup_idx"),
+      "admission plan must scan the standing IVF index artifact")
+  }
+
+  test("dataset fingerprint: zero Spark jobs, detects same-shape edits, " +
+      "and stale fingerprint-named indexes are dropped on rebuild") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val p = s"$tmp/documents.parquet"
+    Seq((1L, "a", "alpha"), (2L, "a", "beta"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(p)
+    // the freshness probe is a filesystem LIST — no Spark job may run
+    spark.sparkContext.setJobGroup("fp_probe", "fingerprint probe")
+    val fp1 = DedupSim.datasetFingerprint(spark, p)
+    val fp1again = DedupSim.datasetFingerprint(spark, p)
+    val probeJobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup("fp_probe")
+    spark.sparkContext.clearJobGroup()
+    assert(probeJobs.isEmpty,
+      s"fingerprint probe launched Spark jobs: ${probeJobs.toSeq}")
+    assert(fp1 == fp1again, "fingerprint must be deterministic")
+    // the ADVICE r14 scenario: edited text, SAME row count and max id —
+    // the old (count, max) probe missed this; the manifest hash must not
+    Seq((1L, "a", "alpha EDITED"), (2L, "a", "beta"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(p)
+    val fp2 = DedupSim.datasetFingerprint(spark, p)
+    assert(fp1 != fp2,
+      "regenerated corpus with unchanged (count, max id) must change " +
+        "the fingerprint")
+    // stale fingerprint-named tables are dropped (catalog + files) when
+    // a rebuild happens under a new fingerprint
+    val pfx = "graft_test_stale_idx_"
+    val stale = pfx + fp1
+    val keep = pfx + fp2
+    val stalePath = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), stale).toString
+    Seq(Tuple1("x")).toDF("sig").write.mode("overwrite")
+      .option("path", stalePath).format("parquet").saveAsTable(stale)
+    DedupSim.dropStaleIndexes(spark, pfx, keep)
+    assert(!spark.catalog.tableExists(stale),
+      "stale index table must be dropped from the catalog")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stalePath)),
+      "stale index files must be deleted")
   }
 
   test("near-dup finds planted exact duplicates (recall on dups = 1)") {

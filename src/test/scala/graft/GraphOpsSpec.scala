@@ -542,6 +542,66 @@ class GraphOpsSpec extends GraftSuite {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("landmark memo: one BFS serves multiple landmark keys across a " +
+      "releaseAll, values bit-identical to memo-off") {
+    import spark.implicits._
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 4L), (4L, 4L), (4L, 5L), (5L, 5L), (5L, 6L)).toDF("o", "p")
+    LandmarkMemo.clear()
+    val b0 = LandmarkMemo.builds
+    val close1 = GraphOps.closenessOn(m, nLandmarks = 8, maxHop = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(LandmarkMemo.builds == b0 + 1)
+    // the Verify harness frees scratch between keys — memo-owned
+    // blocks must survive it
+    ScratchCache.releaseAll()
+    val ecc1 = GraphOps.eccentricityOn(m, nLandmarks = 8, maxHop = 3)
+      .collect().map(_.toSeq).toSeq
+    val btw1 = GraphOps.betweennessOn(m, nLandmarks = 8, maxHop = 3)
+      .collect().map(_.toSeq).toSeq
+    ScratchCache.releaseAll()
+    assert(LandmarkMemo.builds == b0 + 1,
+      "ecc + betweenness over the same membership must reuse the " +
+        s"memoized BFS (builds went ${LandmarkMemo.builds - b0})")
+    LandmarkMemo.clear()
+    // memo-off twin: same values, one build per key
+    spark.conf.set("spark.graft.landmarks.memo", "false")
+    try {
+      val close2 = GraphOps.closenessOn(m, nLandmarks = 8, maxHop = 3)
+        .collect().map(_.toSeq).toSeq
+      val ecc2 = GraphOps.eccentricityOn(m, nLandmarks = 8, maxHop = 3)
+        .collect().map(_.toSeq).toSeq
+      val btw2 = GraphOps.betweennessOn(m, nLandmarks = 8, maxHop = 3)
+        .collect().map(_.toSeq).toSeq
+      ScratchCache.releaseAll()
+      assert(LandmarkMemo.builds == b0 + 4)
+      assert(close1 == close2, "closeness must not depend on the memo")
+      assert(ecc1 == ecc2, "ecc must not depend on the memo")
+      assert(btw1 == btw2, "betweenness must not depend on the memo")
+    } finally {
+      spark.conf.unset("spark.graft.landmarks.memo")
+      LandmarkMemo.clear()
+      ScratchCache.releaseAll()
+    }
+  }
+
+  test("ecc: when truncation bites, the radius stat drops its " +
+      "upper-bound claim") {
+    import spark.implicits._
+    // 9-node path 0-4-8-...-32 at maxHop 3: true radius = 4 (node 16),
+    // but EVERY landmark's bounded eccentricity is 3 = maxHop — the
+    // BFS was truncated, so min bounded ecc (3) is NOT a radius upper
+    // bound. The stat must be emitted as 'radius_bounded', never
+    // 'radius_ub' (ADVICE r14).
+    val m = (0 until 8).flatMap(i =>
+      Seq((i + 1L, 4L * i), (i + 1L, 4L * (i + 1)))).toDF("o", "p")
+    val out = GraphOps.eccentricityOn(m, nLandmarks = 8, maxHop = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ScratchCache.releaseAll()
+    val rad = out.filter(_._1.startsWith("radius"))
+    assert(rad.toSeq == Seq(("radius_bounded", 3L, 8L)), out.toSeq.toString)
+  }
+
   test("betweenness brandes: hand-computed sigma fractions on the " +
       "diamond-with-tail graph, partition-invariant") {
     import spark.implicits._
