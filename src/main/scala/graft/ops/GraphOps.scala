@@ -2097,7 +2097,16 @@ private[graft] object LandmarkMemo {
   }
 
   /** Memo lookup; on miss, `build(pin)` runs with pin = whether the
-    * memo is enabled (spark.graft.landmarks.memo, default true). */
+    * memo is enabled (spark.graft.landmarks.memo, default true).
+    *
+    * SINGLE-ENTRY POLICY: a miss EVICTS everything first, so pinned
+    * blocks are bounded by one BFS (sym + mh + lm) at all times — the
+    * four landmark keys share one dataset per pass, so eviction only
+    * fires on a dataset (or fixture) change, never between the keys
+    * the memo exists for. Callers must have materialized any result
+    * derived from a previous entry before asking for a new one — true
+    * for Verify (each key writes before the next runs) and the specs
+    * (collect per assertion). */
   private[ops] def getOrBuild(membership: DataFrame, nLandmarks: Int,
       maxHop: Int)(build: Boolean => (DataFrame, DataFrame, DataFrame))
       : (DataFrame, DataFrame, DataFrame) = {
@@ -2105,10 +2114,18 @@ private[graft] object LandmarkMemo {
     val enabled = s.conf.getOption("spark.graft.landmarks.memo")
       .forall(_.trim.toBoolean)
     if (!enabled) { builds += 1; build(false) }
-    else entries.getOrElseUpdate(
-      (s, membership.queryExecution.analyzed.canonicalized,
-        nLandmarks, maxHop),
-      { builds += 1; build(true) })
+    else {
+      val k = (s, membership.queryExecution.analyzed.canonicalized,
+        nLandmarks, maxHop)
+      entries.get(k) match {
+        case Some(v) => v
+        case None =>
+          clear()
+          val v = { builds += 1; build(true) }
+          entries.put(k, v)
+          v
+      }
+    }
   }
 
   /** Unpersist every memo-owned checkpoint and forget all entries. */

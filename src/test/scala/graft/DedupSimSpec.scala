@@ -224,6 +224,45 @@ class DedupSimSpec extends GraftSuite {
       "admission plan must scan the standing IVF index artifact")
   }
 
+  test("incremental semantic admission: the history list scan is " +
+      "partition-pruned to the batch's touched lists") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    def vec(dir: Int, eps: Double): Seq[Double] =
+      if (dir == 0) Seq(1.0 + eps, 0.01, 0.0, 0.0)
+      else Seq(0.0, 0.01, 1.0 + eps, 0.0)
+    val hist = Seq(
+      (1L, 0L, vec(0, 0.0)), (2L, 0L, vec(0, 0.5)),
+      (3L, 1L, vec(1, 0.0)), (4L, 1L, vec(1, 0.5)))
+      .toDF("vec_id", "label", "embedding")
+    val cent = DedupSim.learnedCentroids(hist, k = 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sem_prune").toString
+    DedupSim.ivfAssign(hist, cent).write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$tmp/lists")
+    ScratchCache.releaseAll()
+    // a batch living entirely in direction-0 touches ONE of the two
+    // inverted lists — the scan must list/read only that directory
+    val batch = Seq((21L, 0L, vec(0, 0.002)), (22L, 0L, vec(0, 0.3)))
+      .toDF("vec_id", "label", "embedding")
+    val out = DedupSim.dedupIncrSemanticAdmit(batch, cent,
+      spark.read.parquet(s"$tmp/lists"), 0.999)
+    assert(out.collect().map(_.getString(2)).toSeq ==
+      Seq("dup_index", "dup_index"))
+    val scans = out.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lists"))
+      => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the lists")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("list_id")),
+      s"no list_id partition filter in: ${scans.head.partitionFilters}")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      "expected 1 pruned list directory, scanned " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    ScratchCache.releaseAll()
+  }
+
   test("dataset fingerprint: zero Spark jobs, detects same-shape edits, " +
       "and stale fingerprint-named indexes are dropped on rebuild") {
     import org.apache.spark.sql.functions._
