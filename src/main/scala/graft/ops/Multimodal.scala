@@ -407,27 +407,7 @@ object Multimodal {
           if (base % 30 == 0) Seq((base, false), (base + 10000000L, true))
           else Seq((base, false))
         variants.flatMap { case (imgId, bumped) =>
-          val img = png.decodeImage(pngBytes(base, bumped))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val raster = img.getRaster
-          val sampled = new Array[Int](64)
-          var idx = 0
-          var sum = 0
-          while (idx < 64) {
-            val cx = idx % 8
-            val cy = idx / 8
-            sampled(idx) = raster.getSample(cx * w / 8, cy * h / 8, 0)
-            sum += sampled(idx)
-            idx += 1
-          }
-          val mean = sum / 64
-          val bv = new Array[Long](4)
-          idx = 0
-          while (idx < 64) {
-            if (sampled(idx) > mean) bv(idx / 16) |= 1L << (idx % 16)
-            idx += 1
-          }
-          (0 until 4).map(k => (imgId, k, bv(k)))
+          phashBandRows(png, imgId, pngBytes(base, bumped))
         }
       }
     }.toDF("img_id", "band", "bv")
@@ -445,6 +425,199 @@ object Multimodal {
       .agg(sum(expr("bit_count(ba.bv ^ bb.bv)")).as("hamming"))
       .filter(col("hamming") <= thr)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** A second deterministic PNG family for [[phashIncr]]'s
+    * genuinely-new batch images: same dims as [[pngBytes]] but pixel
+    * stride 13 (i·13 instead of i·7) — closed-form for the oracle,
+    * visually unrelated to every stride-7 corpus image (the stride-7
+    * family repeats with base mod 1280, so at sf ≥ 0.01 EVERY stride-7
+    * image already exists in history — a "new" image must leave the
+    * family). */
+  private[graft] def pngBytesNew(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 8).toInt
+    val h = (8 + docId % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + i * 13) % 256).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode one image and emit its four 16-bit aHash band rows —
+    * the [[phashOn]] grid/mean/bit pipeline factored for reuse by the
+    * standing-index build and the batch admission. */
+  private[graft] def phashBandRows(png: PngDecoder, imgId: Long,
+      bytes: Array[Byte]): Seq[(Long, Int, Long)] = {
+    val img = png.decodeImage(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val sampled = new Array[Int](64)
+    var idx = 0
+    var sum = 0
+    while (idx < 64) {
+      val cx = idx % 8
+      val cy = idx / 8
+      sampled(idx) = raster.getSample(cx * w / 8, cy * h / 8, 0)
+      sum += sampled(idx)
+      idx += 1
+    }
+    val mean = sum / 64
+    val bv = new Array[Long](4)
+    idx = 0
+    while (idx < 64) {
+      if (sampled(idx) > mean) bv(idx / 16) |= 1L << (idx % 16)
+      idx += 1
+    }
+    (0 until 4).map(k => (imgId, k, bv(k)))
+  }
+
+  /** q_mm_phash_incr — STANDING-INDEX incremental IMAGE admission
+    * (r15): the MULTIMODAL member of the incremental-admission family
+    * (exact [[DedupSim.dedupIncr]] / near [[DedupSim.dedupIncrNear]] /
+    * semantic [[DedupSim.dedupIncrSemantic]] / image THIS) — the daily
+    * contract of an image-ingest pipeline: newly crawled images are
+    * admitted against the corpus-so-far WITHOUT re-decoding a single
+    * history byte. The standing index is the corpus's four 16-bit
+    * aHash band rows (img_id, band, bv) — ~50 bytes/image, built ONCE
+    * from really-decoded pixels ([[PngDecoder]]) and persisted
+    * `bucketBy(8, bv)` (the dedupIncrNear write discipline), freshness
+    * probed by [[DedupSim.datasetFingerprint]]'s filesystem LIST with
+    * stale-fingerprint tables dropped on rebuild. Admitting a batch:
+    * decode + hash the BATCH ONLY (partition-local), probe band
+    * collisions against the index, verify FULL 64-bit Hamming ≤ 6 on
+    * the four band rows (pigeonhole: distance ≤ 3 is recall-guaranteed
+    * a shared band), plus within-batch pairs under the same rule.
+    * Wire: the per-image ADMISSION LEDGER (img_id, decision) with
+    * decision ∈ kept / dup_index (precedence) / dup_batch
+    * (smaller-img_id batch partner).
+    *
+    * The batch is PLANTED deterministically: base images ≡0 (mod 12)
+    * re-enter VERBATIM (+1e6 → Hamming 0, dup_index); ≡0 (mod 30)
+    * re-enter one-pixel-BUMPED (+2e6 — the q_mm_phash noisy twin,
+    * small Hamming, dup_index: the near-dup byte-level dedup cannot
+    * see); ≡0 (mod 21) enter as a genuinely NEW stride-13 image
+    * ([[pngBytesNew]]) TWICE (+3e6 kept, +4e6 dup_batch).
+    *
+    * FULLY ORACLE-CHECKED (unlike the near/semantic members): the
+    * pixel functions are closed-form, so DuckDB replays grid → mean →
+    * bits → bands → collisions → Hamming → precedence for history,
+    * batch and ledger from pure integer arithmetic — the real codec
+    * path must land on identical decisions.
+    *
+    * Scale shape: history pixels are decoded exactly once EVER (index
+    * build); admission = one batch-sized decode (partition-local, zero
+    * payload shuffle — only (id, band, bv) longs move) + one join
+    * against the pre-bucketed band index + two bounded Hamming
+    * verifies; N batches cost N batch-sized probes, zero history
+    * re-decodes. */
+  def phashIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pfx = "graft_phash_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val idxT = pfx + DedupSim.datasetFingerprint(s, s"$d/documents.parquet")
+    if (!s.catalog.tableExists(idxT)) {
+      DedupSim.dropStaleIndexes(s, pfx, idxT)
+      import s.implicits._
+      val baseIds = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+      baseIds.mapPartitions { it =>
+        val png = new PngDecoder() // one codec context per partition
+        it.flatMap(base => phashBandRows(png, base, pngBytes(base)))
+      }.toDF("img_id", "band", "bv")
+        .write.mode("overwrite")
+        .bucketBy(8, "bv").sortBy("bv")
+        .option("path", java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), idxT).toString)
+        .format("parquet").saveAsTable(idxT)
+    }
+    phashIncrAdmit(phashIncrBatchBands(s, docs), s.table(idxT), thr = 6)
+  }
+
+  /** The planted incoming batch's band rows over any documents-shaped
+    * frame: verbatim re-entries (base ≡0 mod 12, +1e6), bumped twins
+    * (≡0 mod 30, +2e6), and a twice-submitted stride-13 new image
+    * (≡0 mod 21, +3e6/+4e6). Decodes REAL bytes per variant. */
+  private[graft] def phashIncrBatchBands(s: SparkSession,
+      docsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val specs = docsDf.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .flatMap { base =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        if (base % 12 == 0) out += ((base + 1000000L, base, 0))
+        if (base % 30 == 0) out += ((base + 2000000L, base, 1))
+        if (base % 21 == 0) {
+          out += ((base + 3000000L, base, 2))
+          out += ((base + 4000000L, base, 2))
+        }
+        out.toSeq
+      }
+    specs.mapPartitions { it =>
+      val png = new PngDecoder()
+      it.flatMap { case (imgId, base, variant) =>
+        val bytes = variant match {
+          case 0 => pngBytes(base)
+          case 1 => pngBytes(base, bumpFirst = true)
+          case _ => pngBytesNew(base)
+        }
+        phashBandRows(png, imgId, bytes)
+      }
+    }.toDF("img_id", "band", "bv")
+  }
+
+  /** Admit a batch's band rows against the standing band index: band
+    * collisions → full-Hamming ≤ thr verify, index side read ONLY from
+    * the pre-bucketed table; within-batch pairs under the same rule.
+    * Returns the (img_id, decision) ledger. */
+  private[graft] def phashIncrAdmit(batchBands: DataFrame,
+      idx: DataFrame, thr: Int): DataFrame = {
+    val bb = ScratchCache.cache(batchBands)
+    val candIdx = bb.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
+      .distinct()
+    val dupIdx = candIdx
+      .join(bb.as("ba"), col("a") === col("ba.img_id"))
+      .join(idx.as("hb"), col("b") === col("hb.img_id") &&
+        col("ba.band") === col("hb.band"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(expr("bit_count(ba.bv ^ hb.bv)")).as("hamming"))
+      .filter(col("hamming") <= thr)
+      .select(col("a").as("img_id")).distinct()
+      .withColumn("in_idx", lit(1))
+    val candB = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
+      .distinct()
+    val dupB = candB
+      .join(bb.as("ba"), col("a") === col("ba.img_id"))
+      .join(bb.as("b2"), col("b") === col("b2.img_id") &&
+        col("ba.band") === col("b2.band"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(expr("bit_count(ba.bv ^ b2.bv)")).as("hamming"))
+      .filter(col("hamming") <= thr)
+      .select(col("b").as("img_id")).distinct()
+      .withColumn("in_batch", lit(1))
+    bb.select(col("img_id")).distinct()
+      .join(dupIdx, Seq("img_id"), "left")
+      .join(dupB, Seq("img_id"), "left")
+      .select(col("img_id"),
+        when(col("in_idx").isNotNull, "dup_index")
+          .when(col("in_batch").isNotNull, "dup_batch")
+          .otherwise("kept").as("decision"))
+      .orderBy(col("img_id"))
   }
 
   /** q_mm_audio_fp — AUDIO fingerprint dedup, the third modality in

@@ -3223,6 +3223,73 @@ object OracleSql {
         |SELECT a, b, hamming FROM ham WHERE hamming <= 6
         |ORDER BY a, b""".stripMargin),
 
+    // Incremental image admission: history bands (base stride-7 images
+    // only) + planted batch (verbatim +1e6, bumped +2e6, stride-13 new
+    // image twice +3e6/+4e6) replayed from the closed-form pixel
+    // functions; band collisions -> full 4-band popcount(XOR) Hamming
+    // <= 6 -> kept / dup_index (precedence) / dup_batch ledger
+    "q_mm_phash_incr" ->
+      """WITH hist AS (SELECT doc_id AS img_id, doc_id AS base,
+        |  0 AS var, 0 AS is_batch FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS img_id, doc_id AS base,
+        |    0 AS var, 1 AS is_batch FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 12 = 0
+        |  UNION ALL SELECT doc_id + 2000000, doc_id, 1, 1
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 = 0
+        |  UNION ALL SELECT doc_id + 3000000, doc_id, 2, 1
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 21 = 0
+        |  UNION ALL SELECT doc_id + 4000000, doc_id, 2, 1
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 21 = 0),
+        |imgs AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+        |dims AS (SELECT img_id, base, var, is_batch,
+        |  CAST(8 + base % 8 AS BIGINT) AS w,
+        |  CAST(8 + base % 5 AS BIGINT) AS h FROM imgs),
+        |cells AS (SELECT img_id, base, var, is_batch, w, h,
+        |  CAST(ci // 8 AS BIGINT) AS cy, CAST(ci % 8 AS BIGINT) AS cx
+        |  FROM (SELECT *, unnest(range(0, 64)) AS ci FROM dims) t),
+        |sv AS (SELECT img_id, cy * 8 + cx AS idx,
+        |  ((cy * h) // 8) * w + ((cx * w) // 8) AS i, base, var, is_batch
+        |  FROM cells),
+        |vals AS (SELECT img_id, idx, is_batch,
+        |  CASE WHEN var = 1 AND i = 0
+        |      THEN ((base * 31 + i * 7) % 256 + 128) % 256
+        |    WHEN var = 2 THEN (base * 31 + i * 13) % 256
+        |    ELSE (base * 31 + i * 7) % 256 END AS v FROM sv),
+        |means AS (SELECT img_id, SUM(v) // 64 AS m FROM vals
+        |  GROUP BY img_id),
+        |bandt AS (SELECT v.img_id, CAST(idx // 16 AS INT) AS band,
+        |  CAST(SUM(CASE WHEN v > m
+        |    THEN (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS bv,
+        |  MAX(is_batch) AS is_batch
+        |  FROM vals v JOIN means USING (img_id)
+        |  GROUP BY v.img_id, idx // 16),
+        |bbat AS (SELECT img_id, band, bv FROM bandt WHERE is_batch = 1),
+        |bidx AS (SELECT img_id, band, bv FROM bandt WHERE is_batch = 0),
+        |candi AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
+        |  FROM bbat x JOIN bidx y ON x.band = y.band AND x.bv = y.bv),
+        |di AS (SELECT DISTINCT a AS img_id FROM (
+        |  SELECT a, b, SUM(bit_count(xor(ba.bv, hb.bv))) AS hm
+        |  FROM candi JOIN bbat ba ON ba.img_id = a
+        |  JOIN bidx hb ON hb.img_id = b AND hb.band = ba.band
+        |  GROUP BY a, b) WHERE hm <= 6),
+        |candb AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
+        |  FROM bbat x JOIN bbat y
+        |  ON x.band = y.band AND x.bv = y.bv AND x.img_id < y.img_id),
+        |db AS (SELECT DISTINCT b AS img_id FROM (
+        |  SELECT a, b, SUM(bit_count(xor(ba.bv, b2.bv))) AS hm
+        |  FROM candb JOIN bbat ba ON ba.img_id = a
+        |  JOIN bbat b2 ON b2.img_id = b AND b2.band = ba.band
+        |  GROUP BY a, b) WHERE hm <= 6),
+        |ids AS (SELECT DISTINCT img_id FROM batch)
+        |SELECT ids.img_id,
+        |  CASE WHEN di.img_id IS NOT NULL THEN 'dup_index'
+        |    WHEN db.img_id IS NOT NULL THEN 'dup_batch'
+        |    ELSE 'kept' END AS decision
+        |FROM ids LEFT JOIN di USING (img_id) LEFT JOIN db USING (img_id)
+        |ORDER BY img_id""".stripMargin,
+
     // Cluster collapse of the phash pairs: pointer-doubling CC (the
     // proven q_dedup_cluster CTE pattern, 8 rounds) -> one-row
     // survivor ledger; the quadratic pair stream never reaches the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Multimodal
+import graft.ops.{DedupSim, Multimodal, ScratchCache}
 
 class MultimodalSpec extends GraftSuite {
 
@@ -142,6 +142,81 @@ class MultimodalSpec extends GraftSuite {
     assert(r.getAs[Long]("n_clusters") == 1L)
     assert(r.getAs[Long]("n_removed") == 3L)
     assert(r.getAs[Long]("n_kept") == 2L)
+  }
+
+  test("phash incremental admission: equals the from-scratch banded " +
+      "Hamming dedup, idempotent re-ingest, plan reads the band index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // history: docs 0 and 3840 render identical images; 6/21/42 differ.
+    // batch planting: 0,3840 verbatim (+1e6) and bumped (+2e6);
+    // 0,21,42 stride-13 new images twice (+3e6/+4e6)
+    val histIds = Seq(0L, 3840L, 6L, 21L, 42L)
+    val dec = new Multimodal.PngDecoder()
+    val hist = histIds.flatMap(b =>
+      Multimodal.phashBandRows(dec, b, Multimodal.pngBytes(b)))
+    val batchRows = histIds.flatMap { base =>
+      val a = if (base % 12 == 0)
+        Seq((base + 1000000L, Multimodal.pngBytes(base))) else Seq()
+      val b = if (base % 30 == 0)
+        Seq((base + 2000000L, Multimodal.pngBytes(base, bumpFirst = true)))
+        else Seq()
+      val c = if (base % 21 == 0)
+        Seq((base + 3000000L, Multimodal.pngBytesNew(base)),
+          (base + 4000000L, Multimodal.pngBytesNew(base))) else Seq()
+      a ++ b ++ c
+    }
+    val batch = batchRows.flatMap { case (id, bytes) =>
+      Multimodal.phashBandRows(dec, id, bytes) }
+    dec.dispose()
+    // FROM-SCRATCH TWIN: candidate = any shared 16-bit band (the LSH
+    // recall contract), dup = candidate with full Hamming <= 6;
+    // precedence dup_index > dup_batch (smaller img_id) > kept
+    val bandMap = (hist ++ batch).groupBy(_._1)
+      .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toArray }
+    def pairDup(a: Long, b: Long): Boolean =
+      (0 until 4).exists(k => bandMap(a)(k) == bandMap(b)(k)) &&
+        (0 until 4).map(k =>
+          java.lang.Long.bitCount(bandMap(a)(k) ^ bandMap(b)(k))).sum <= 6
+    val batchIds = batchRows.map(_._1).sorted
+    val expected = batchIds.map { id =>
+      val withHist = histIds.exists(h => pairDup(id, h))
+      val withSmaller = batchIds.exists(o => o < id && pairDup(o, id))
+      id -> (if (withHist) "dup_index"
+        else if (withSmaller) "dup_batch" else "kept")
+    }
+    val got = Multimodal.phashIncrAdmit(
+        batch.toDF("img_id", "band", "bv"),
+        hist.toDF("img_id", "band", "bv"), thr = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    ScratchCache.releaseAll()
+    assert(got == expected, s"got $got\nexpected $expected")
+    // every decision branch is exercised by the fixture
+    assert(got.map(_._2).toSet == Set("dup_index", "dup_batch", "kept"))
+    // idempotent re-ingest: index grown with the kept images makes the
+    // whole batch dup_index
+    val keptIds = got.filter(_._2 == "kept").map(_._1).toSet
+    val again = Multimodal.phashIncrAdmit(
+        batch.toDF("img_id", "band", "bv"),
+        (hist ++ batch.filter(r => keptIds(r._1)))
+          .toDF("img_id", "band", "bv"), thr = 6)
+      .collect().map(_.getString(1)).toSet
+    ScratchCache.releaseAll()
+    assert(again == Set("dup_index"), again.toString)
+    // and the REAL key's admission plan reads the bucketed band index,
+    // never re-decodes history
+    val d = sf
+    Multimodal.phashIncr(spark, d).collect() // builds the index
+    ScratchCache.releaseAll()
+    val idxT = "graft_phash_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
+    val plan = Multimodal.phashIncrAdmit(
+        Multimodal.phashIncrBatchBands(spark, Tables.documents(spark, d)),
+        spark.table(idxT), thr = 6)
+      .queryExecution.executedPlan.toString
+    ScratchCache.releaseAll()
+    assert(plan.contains("graft_phash_idx"),
+      "admission plan must scan the standing band index table")
   }
 
   test("audio fingerprint: real-decode fingerprints equal the closed " +
