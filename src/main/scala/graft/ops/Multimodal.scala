@@ -412,11 +412,21 @@ object Multimodal {
       }
     }.toDF("img_id", "band", "bv")
     val b = ScratchCache.cache(bandRows)
-    val cand = b.as("x").join(b.as("y"),
-      col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-        col("x.img_id") < col("y.img_id"))
-      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
-      .distinct()
+    // candidate pairs via the hot-bucket 2-D BLOCK GRID
+    // ([[DedupSim.bucketPairs]], the q_dedup_near skew fix): structured
+    // band values are COMMON across unrelated images (e.g. bv = 0xFF00
+    // — top half above the mean; measured 1,458 members in one (band,
+    // bv) bucket at gen-sf1), and a plain self-join would put that
+    // bucket's ~1M-pair grid on ONE reducer — the quadratic-reducer
+    // skew that made q_mm_phash 43× at 10× data (r15). The grid splits
+    // a size-B bucket's pairs across min(16, ⌈B/64⌉)² reducers with a
+    // candidate SET identical to the unsalted join (bucketPairs'
+    // planted-cluster property test), so the pair ledger — and the
+    // DuckDB oracle — are unchanged.
+    val cand = DedupSim.bucketPairs(
+      b.select(col("band"), col("bv").as("bh"),
+        col("img_id").as("doc_id")), cap = 64)
+      .select(col("a"), col("b"))
     cand
       .join(b.as("ba"), col("a") === col("ba.img_id"))
       .join(b.as("bb"), col("b") === col("bb.img_id") &&
@@ -596,11 +606,12 @@ object Multimodal {
       .filter(col("hamming") <= thr)
       .select(col("a").as("img_id")).distinct()
       .withColumn("in_idx", lit(1))
-    val candB = bb.as("x").join(bb.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-        col("x.img_id") < col("y.img_id"))
-      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
-      .distinct()
+    // within-batch candidates ride the same hot-bucket block grid as
+    // [[phashOn]] (identical candidate set, skew-spread reducers)
+    val candB = DedupSim.bucketPairs(
+      bb.select(col("band"), col("bv").as("bh"),
+        col("img_id").as("doc_id")), cap = 64)
+      .select(col("a"), col("b"))
     val dupB = candB
       .join(bb.as("ba"), col("a") === col("ba.img_id"))
       .join(bb.as("b2"), col("b") === col("b2.img_id") &&
