@@ -395,46 +395,87 @@ object Multimodal {
     phashOn(s, Tables.documents(s, d), thr = 6)
 
   /** Core of q_mm_phash over any documents-shaped frame: returns the
-    * (a, b, hamming) near-duplicate image pair ledger. */
+    * (a, b, hamming) near-duplicate image pair ledger.
+    *
+    * Candidate generation runs on DISTINCT 64-bit signatures, not
+    * images (r16, the measured gsf1 scale fix): a synthetic/crawled
+    * corpus is dense in byte-different images with IDENTICAL aHashes
+    * (measured ~1,458 images on one signature at gen-sf1), so the
+    * image-level banded join enumerated ~1M candidate pairs per hot
+    * (band, bv) bucket — quadratic in the identical-signature group
+    * size. Collapsing first means the banded join, Hamming verify and
+    * LSH recall all run once per DISTINCT signature (rep = min
+    * img_id), shrinking join volume by ~|group|² per hot signature;
+    * the ledger is then EXPANDED back through group membership —
+    * within-group pairs at Hamming 0 (via the same [[DedupSim
+    * .bucketPairs]] block grid, so a hot group's own C(n,2) output
+    * never lands on one reducer) and cross-group pairs carrying the
+    * rep pair's exact distance (a signature determines the hash, so
+    * every member pair inherits it). The pair SET and distances are
+    * identical to the image-level join — two images share a band iff
+    * their signatures do — so the ledger and the DuckDB oracle are
+    * byte-identical. */
   def phashOn(s: SparkSession, docsDf: DataFrame, thr: Int): DataFrame = {
     import s.implicits._
     val baseIds = docsDf.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id")).as[Long]
-    val bandRows = baseIds.mapPartitions { it =>
+    val sigRows = baseIds.mapPartitions { it =>
       val png = new PngDecoder() // one codec context per partition
       it.flatMap { base =>
         val variants =
           if (base % 30 == 0) Seq((base, false), (base + 10000000L, true))
           else Seq((base, false))
-        variants.flatMap { case (imgId, bumped) =>
-          phashBandRows(png, imgId, pngBytes(base, bumped))
+        variants.map { case (imgId, bumped) =>
+          (imgId, phashSig(png, pngBytes(base, bumped)))
         }
       }
-    }.toDF("img_id", "band", "bv")
-    val b = ScratchCache.cache(bandRows)
-    // candidate pairs via the hot-bucket 2-D BLOCK GRID
-    // ([[DedupSim.bucketPairs]], the q_dedup_near skew fix): structured
-    // band values are COMMON across unrelated images (e.g. bv = 0xFF00
-    // — top half above the mean; measured 1,458 members in one (band,
-    // bv) bucket at gen-sf1), and a plain self-join would put that
-    // bucket's ~1M-pair grid on ONE reducer — the quadratic-reducer
-    // skew that made q_mm_phash 43× at 10× data (r15). The grid splits
-    // a size-B bucket's pairs across min(16, ⌈B/64⌉)² reducers with a
-    // candidate SET identical to the unsalted join (bucketPairs'
-    // planted-cluster property test), so the pair ledger — and the
-    // DuckDB oracle — are unchanged.
-    val cand = DedupSim.bucketPairs(
-      b.select(col("band"), col("bv").as("bh"),
-        col("img_id").as("doc_id")), cap = 64)
-      .select(col("a"), col("b"))
-    cand
-      .join(b.as("ba"), col("a") === col("ba.img_id"))
-      .join(b.as("bb"), col("b") === col("bb.img_id") &&
-        col("ba.band") === col("bb.band"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(expr("bit_count(ba.bv ^ bb.bv)")).as("hamming"))
+    }.toDF("img_id", "sig")
+    val sigs = ScratchCache.cache(sigRows)
+    val verified = phashSigPairs(s, sigs, thr)
+    // EXPAND back to the image-pair ledger. Within-group: every pair
+    // of images sharing a signature is a Hamming-0 duplicate; the
+    // block grid spreads a hot group's pair grid across min(16,
+    // ⌈n/64⌉)² reducers (output-volume work only — the quadratic is
+    // the ledger contract itself, not join overhead). Cross-group:
+    // members of verified signature pairs inherit the rep distance.
+    val within = DedupSim.bucketPairs(
+        sigs.select(lit(0).as("band"), col("sig").as("bh"),
+          col("img_id").as("doc_id")), cap = 64)
+      .select(col("a"), col("b"), lit(0L).as("hamming"))
+    val cross = sigs.select(col("img_id").as("u"), col("sig").as("sa"))
+      .join(verified, "sa")
+      .join(sigs.select(col("img_id").as("v"), col("sig").as("sb")), "sb")
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("hamming"))
+    within.unionByName(cross).orderBy(col("a"), col("b"))
+  }
+
+  /** Verified near-duplicate SIGNATURE pairs (sa, sb, hamming ≤ thr,
+    * sa ≠ sb): the distinct-signature core shared by [[phashOn]] and
+    * [[phashClusterOn]]. One representative (min img_id) per distinct
+    * signature enters the banded candidate join — the four 16-bit
+    * bands are recovered by shifting the signature, so recall is
+    * EXACTLY the image-level LSH's (pigeonhole ≤ 3 guaranteed; larger
+    * distances recalled iff a band collides, a property of the
+    * signatures alone) — then the full 64-bit popcount verifies each
+    * rep pair once. */
+  private def phashSigPairs(s: SparkSession, sigs: DataFrame,
+      thr: Int): DataFrame = {
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("img_id")).as("rep"))
+    val repBands = groups
+      .select(col("rep").as("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("band"),
+        expr("shiftright(sig, band * 16) & 65535").as("bh"),
+        col("doc_id"))
+    val gA = groups.select(col("rep").as("a"), col("sig").as("sa"))
+    val gB = groups.select(col("rep").as("b"), col("sig").as("sb"))
+    DedupSim.bucketPairs(repBands, cap = 64)
+      .join(gA, "a").join(gB, "b")
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
       .filter(col("hamming") <= thr)
-      .orderBy(col("a"), col("b"))
+      .select(col("sa"), col("sb"), col("hamming"))
   }
 
   /** A second deterministic PNG family for [[phashIncr]]'s
@@ -465,11 +506,28 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode one image into its full 64-bit aHash signature (the four
+    * 16-bit bands packed little-endian: band k at bits [16k, 16k+16)).
+    * [[phashOn]]'s distinct-signature collapse keys on this. */
+  private[graft] def phashSig(png: PngDecoder,
+      bytes: Array[Byte]): Long = {
+    val bv = phashBands(png, bytes)
+    (bv(3) << 48) | (bv(2) << 32) | (bv(1) << 16) | bv(0)
+  }
+
   /** Decode one image and emit its four 16-bit aHash band rows —
-    * the [[phashOn]] grid/mean/bit pipeline factored for reuse by the
+    * the grid/mean/bit pipeline factored for reuse by the
     * standing-index build and the batch admission. */
   private[graft] def phashBandRows(png: PngDecoder, imgId: Long,
       bytes: Array[Byte]): Seq[(Long, Int, Long)] = {
+    val bv = phashBands(png, bytes)
+    (0 until 4).map(k => (imgId, k, bv(k)))
+  }
+
+  /** The aHash core: decode, 8×8 nearest-sample, threshold on the
+    * integer mean, split into four 16-bit band values. */
+  private def phashBands(png: PngDecoder,
+      bytes: Array[Byte]): Array[Long] = {
     val img = png.decodeImage(bytes)
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
@@ -490,7 +548,7 @@ object Multimodal {
       if (sampled(idx) > mean) bv(idx / 16) |= 1L << (idx % 16)
       idx += 1
     }
-    (0 until 4).map(k => (imgId, k, bv(k)))
+    bv
   }
 
   /** q_mm_phash_incr — STANDING-INDEX incremental IMAGE admission
@@ -533,13 +591,13 @@ object Multimodal {
     * verifies; N batches cost N batch-sized probes, zero history
     * re-decodes. */
   def phashIncr(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pfx = "graft_phash_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val pfx = DedupSim.indexPrefix("graft_phash_idx", d)
     val idxT = pfx + DedupSim.datasetFingerprint(s, s"$d/documents.parquet")
     if (!s.catalog.tableExists(idxT)) {
+      Tables.refresh(s, d, "documents") // see dedupIncr (ADVICE r15)
       DedupSim.dropStaleIndexes(s, pfx, idxT)
       import s.implicits._
-      val baseIds = docs.filter(col("doc_id") % 3 === 0)
+      val baseIds = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
         .select(col("doc_id")).as[Long]
       baseIds.mapPartitions { it =>
         val png = new PngDecoder() // one codec context per partition
@@ -551,7 +609,8 @@ object Multimodal {
           System.getProperty("java.io.tmpdir"), idxT).toString)
         .format("parquet").saveAsTable(idxT)
     }
-    phashIncrAdmit(phashIncrBatchBands(s, docs), s.table(idxT), thr = 6)
+    phashIncrAdmit(phashIncrBatchBands(s, Tables.documents(s, d)),
+      s.table(idxT), thr = 6)
   }
 
   /** The planted incoming batch's band rows over any documents-shaped
@@ -860,19 +919,50 @@ object Multimodal {
   def phashCluster(s: SparkSession, d: String): DataFrame =
     phashClusterOn(s, Tables.documents(s, d), thr = 6)
 
-  /** Core of q_mm_phash_cluster. */
+  /** Core of q_mm_phash_cluster. CC runs on the SIGNATURE graph (r16):
+    * nodes are the distinct-signature representatives, edges the
+    * verified rep pairs from [[phashSigPairs]] — the quadratic
+    * image-pair stream never exists, not even inside the shuffle
+    * feeding CC. Labels map back through membership: every member of
+    * a signature group is Hamming-0-connected to its rep, so the
+    * group inherits the rep's component (or forms its own cluster,
+    * labelled by the rep, when it has ≥ 2 members and no cross-group
+    * edge). ccLabels labels a component by its minimum node; the
+    * minimum rep IS the minimum img_id of the whole expanded
+    * component (each rep is its group's min), so the labels — and the
+    * collapse ledger — equal the image-level CC's exactly. */
   def phashClusterOn(s: SparkSession, docsDf: DataFrame,
       thr: Int): DataFrame = {
-    val pairs = ScratchCache.cache(
-      phashOn(s, docsDf, thr).select(col("a"), col("b")))
-    val labels = GraphOps.ccLabels(pairs)
-      .withColumnRenamed("node", "img_id")
-    val bases = docsDf.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"))
-    val imgIds = bases.select(col("doc_id").as("img_id"))
-      .unionByName(bases.filter(col("doc_id") % 30 === 0)
-        .select((col("doc_id") + 10000000L).as("img_id")))
-    imgIds.join(labels, Seq("img_id"), "left")
+    import s.implicits._
+    val baseIds = docsDf.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+    val sigRows = baseIds.mapPartitions { it =>
+      val png = new PngDecoder()
+      it.flatMap { base =>
+        val variants =
+          if (base % 30 == 0) Seq((base, false), (base + 10000000L, true))
+          else Seq((base, false))
+        variants.map { case (imgId, bumped) =>
+          (imgId, phashSig(png, pngBytes(base, bumped)))
+        }
+      }
+    }.toDF("img_id", "sig")
+    val sigs = ScratchCache.cache(sigRows)
+    val repEdges = ScratchCache.cache(phashSigPairs(s, sigs, thr)
+      .select(col("sa"), col("sb")))
+    val reps = sigs.groupBy(col("sig"))
+      .agg(min(col("img_id")).as("rep"), count(lit(1)).as("n"))
+    val repComp = GraphOps.ccLabels(
+      repEdges.join(reps.select(col("sig").as("sa"),
+          col("rep").as("a")), "sa")
+        .join(reps.select(col("sig").as("sb"), col("rep").as("b")), "sb")
+        .select(col("a"), col("b")))
+      .withColumnRenamed("node", "rep")
+    val grpLab = reps.join(repComp, Seq("rep"), "left")
+      .select(col("sig"),
+        when(col("comp").isNotNull, col("comp"))
+          .when(col("n") >= 2, col("rep")).as("comp"))
+    sigs.join(grpLab, Seq("sig"))
       .agg(count(lit(1)).as("n_images"),
         sum(col("comp").isNotNull.cast("long")).as("n_in_dup_clusters"),
         countDistinct(col("comp")).as("n_clusters"),

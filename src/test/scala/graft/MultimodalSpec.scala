@@ -208,8 +208,8 @@ class MultimodalSpec extends GraftSuite {
     val d = sf
     Multimodal.phashIncr(spark, d).collect() // builds the index
     ScratchCache.releaseAll()
-    val idxT = "graft_phash_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
+    val idxT = DedupSim.indexPrefix("graft_phash_idx", d) +
+      DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
     val plan = Multimodal.phashIncrAdmit(
         Multimodal.phashIncrBatchBands(spark, Tables.documents(spark, d)),
         spark.table(idxT), thr = 6)
