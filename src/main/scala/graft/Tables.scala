@@ -33,6 +33,21 @@ object Tables {
       (build: => DataFrame): DataFrame =
     cachedOnce.getOrElseUpdate((s, d, name), { val df = build; df.cache(); df })
 
+  /** Evict and unpersist the memoized reader for table `name` under
+    * `d` (no-op when absent) and drop Spark's cached file listing for
+    * the path. Standing-index builders call this when the dataset
+    * fingerprint says the corpus was REGENERATED in-session: without
+    * it the rebuild would read the memoized frame — `.cache()`d with a
+    * snapshotted file listing — and the fresh-fingerprint-named index
+    * would silently hold stale rows (or the scan would fail on deleted
+    * part files). The next [[documents]]/[[embeddings]] call re-primes
+    * the memo from a fresh `read.parquet`. */
+  def refresh(s: SparkSession, d: String, name: String): Unit = {
+    cachedOnce.remove((s, d, name)).foreach(_.unpersist(false))
+    try s.catalog.refreshByPath(p(d, name))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def region(s: SparkSession, d: String): DataFrame =
     cached(s, d, "region")(s.read.parquet(p(d, "region")))
   def nation(s: SparkSession, d: String): DataFrame =

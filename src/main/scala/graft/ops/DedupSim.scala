@@ -73,6 +73,20 @@ object DedupSim {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Collision-free per-dataset index-name prefix: the sanitized path
+    * (kept for human readability) PLUS an 8-hex md5 of the RAW path.
+    * Sanitizing '/'→'_' alone makes /data/sf1's prefix a string-prefix
+    * of /data/sf1/extra's names, so [[dropStaleIndexes]]' prefix match
+    * could drop a nested/sibling dataset's LIVE index and delete its
+    * files (ADVICE r15); the raw-path hash makes each dataset's
+    * namespace disjoint (`..._<hash>_` never prefixes a different
+    * path's `..._<hash'>_` since both hashes are fixed-width). */
+  private[graft] def indexPrefix(kind: String, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    kind + "_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h + "_"
+  }
+
   /** Drop every standing index table whose name starts with `prefix`
     * but is not `keep`, plus its tmpdir parquet — without this, every
     * corpus regeneration would leak a stale fingerprint-named table
@@ -117,18 +131,21 @@ object DedupSim {
     * restricted to the batch, and the admission plan reads the index
     * table, never the history parquet. */
   def dedupIncr(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     // the index name carries an O(metadata) CONTENT fingerprint (the
     // file-manifest hash of [[datasetFingerprint]] — a filesystem
     // LIST, no data scan): a regenerated corpus at the same path
     // rebuilds the index instead of silently reusing a stale one,
     // and a FRESH-index admission never touches the documents parquet
     // on the index side at all
-    val pfx = "graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val pfx = indexPrefix("graft_dedup_idx", d)
     val idxT = pfx + datasetFingerprint(s, s"$d/documents.parquet")
     if (!s.catalog.tableExists(idxT)) {
+      // fingerprint changed (or first build): the Tables memo may hold
+      // a frame cached against the PREVIOUS generation's file listing —
+      // evict it so index AND batch read the current files (ADVICE r15)
+      Tables.refresh(s, d, "documents")
       dropStaleIndexes(s, pfx, idxT)
-      docs
+      Tables.documents(s, d)
         .select(md5(col("text")).as("sig")).distinct()
         .write.mode("overwrite")
         .bucketBy(8, "sig").sortBy("sig")
@@ -136,7 +153,7 @@ object DedupSim {
           System.getProperty("java.io.tmpdir"), idxT).toString)
         .format("parquet").saveAsTable(idxT)
     }
-    dedupIncrAdmit(dedupIncrBatch(docs), s.table(idxT))
+    dedupIncrAdmit(dedupIncrBatch(Tables.documents(s, d)), s.table(idxT))
   }
 
   /** The planted incoming batch over any (doc_id, source, text) frame:
@@ -209,20 +226,20 @@ object DedupSim {
     * history ∪ batch restricted to the batch, and the admission plan
     * reads the index tables, never the documents parquet. */
   def dedupIncrNear(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     // manifest-fingerprinted names (the dedupIncr discipline): a
     // regenerated corpus rebuilds the index instead of reusing a stale
     // one, and the freshness probe is a filesystem LIST, not a scan
-    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      datasetFingerprint(s, s"$d/documents.parquet")
-    val bandsT = s"graft_neardup_bands_$suffix"
-    val sigsT = s"graft_neardup_sigs_$suffix"
+    val fp = datasetFingerprint(s, s"$d/documents.parquet")
+    val bandsPfx = indexPrefix("graft_neardup_bands", d)
+    val sigsPfx = indexPrefix("graft_neardup_sigs", d)
+    val bandsT = bandsPfx + fp
+    val sigsT = sigsPfx + fp
     if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(sigsT)) {
-      dropStaleIndexes(s, "graft_neardup_bands_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_") + "_", bandsT)
-      dropStaleIndexes(s, "graft_neardup_sigs_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_") + "_", sigsT)
-      val perDoc = nearSignatures(docs.select(col("doc_id"), col("text")))
+      Tables.refresh(s, d, "documents") // see dedupIncr (ADVICE r15)
+      dropStaleIndexes(s, bandsPfx, bandsT)
+      dropStaleIndexes(s, sigsPfx, sigsT)
+      val perDoc = nearSignatures(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       nearBands(perDoc).write.mode("overwrite")
         .bucketBy(8, "bh").sortBy("bh")
         .option("path", java.nio.file.Paths.get(
@@ -235,7 +252,7 @@ object DedupSim {
         .format("parquet").saveAsTable(sigsT)
       ScratchCache.releaseAll()
     }
-    dedupIncrNearAdmit(dedupIncrNearBatch(docs),
+    dedupIncrNearAdmit(dedupIncrNearBatch(Tables.documents(s, d)),
       s.table(bandsT), s.table(sigsT))
   }
 
@@ -728,7 +745,9 @@ object DedupSim {
     * near-dup recall — is identical to the unsalted join (asserted by
     * a planted-cluster property test). Cold buckets have S = 1: no
     * replication, same plan as before. */
-  private[graft] def bucketPairs(buckets: DataFrame, cap: Int): DataFrame = {
+  private[graft] def bucketPairs(buckets: DataFrame, cap: Int,
+      pred: Option[(String, String) => Column] = None,
+      dedup: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = buckets
       .withColumn("s",
@@ -736,22 +755,35 @@ object DedupSim {
           Window.partitionBy(col("band"), col("bh"))) / lit(cap.toDouble)),
           lit(16L)).cast("int"))
       .withColumn("blk", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+    // extra input columns ride along on both sides so `pred` — an
+    // optional pair predicate built from the two side aliases — can be
+    // evaluated INSIDE the candidate join: a quantized bucket grid
+    // over-admits (e.g. the embcos ε band quantizes a peaked 1-D
+    // distribution into hot buckets whose pair grid is ~40× the true
+    // band volume), and filtering during the hash-join probe means the
+    // over-admitted pairs are never materialized, shuffled or
+    // distinct()ed
     val x = sized
       .withColumn("rep", explode(sequence(lit(0), col("s") - 1)))
-      .select(col("band"), col("bh"), col("blk").as("bx"),
-        col("rep").as("ry"), col("doc_id"))
+      .withColumnRenamed("blk", "bx").withColumnRenamed("rep", "ry")
       .as("x")
     val y = sized
       .withColumn("rep", explode(sequence(lit(0), col("s") - 1)))
-      .select(col("band"), col("bh"), col("rep").as("rx"),
-        col("blk").as("by"), col("doc_id"))
+      .withColumnRenamed("rep", "rx").withColumnRenamed("blk", "by")
       .as("y")
-    x.join(y,
+    val joined = x.join(y,
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.bx") === col("y.rx") && col("x.ry") === col("y.by") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") &&
+        pred.map(f => f("x", "y")).getOrElse(lit(true)))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // the grid itself meets every pair on exactly ONE key; distinct()
+    // is only needed when the INPUT puts a pair into several (band,
+    // bh) buckets (phash's four bands, the ε band's two-bucket
+    // emission). A caller whose pred already selects one canonical
+    // shared bucket per pair passes dedup = false and skips the
+    // pair-stream shuffle.
+    if (dedup) joined.distinct() else joined
   }
 
   /** q_sim_cosine_topk — brute-force cosine top-10 against one query
@@ -890,44 +922,50 @@ object DedupSim {
   /** q_dedup_embcos — embedding-cosine near-dup: the 50 closest vector
     * pairs by cosine (native codegen expression), totally ordered by
     * (rounded cos DESC, pair ids) so the cut is deterministic. A
-    * threshold filter would be data-dependent (this synthetic set has
-    * no true dup vectors — max pairwise cosine ≈ 0.51); top-k keeps
-    * the operator meaningful at every scale.
+    * threshold filter would be data-dependent; top-k keeps the
+    * operator meaningful at every scale.
     *
-    * NOT a nested-loop all-pairs join: this is exact top-k with
-    * IVF-style angular pruning (the FAISS coarse-quantizer idea made
-    * exact via the spherical triangle inequality), and the coarse
-    * quantizer is SIZED TO THE DATA — k ≈ √N near-balanced lists from
-    * [[kdQuantize]] (ceil(log₂√N) approx-median bisection rounds), so
-    * the always-candidate same-list volume is ~N·√N/2 at every N, not
-    * N²/k for a fixed k:
-    *   1. every vector belongs to exactly one quantizer list (by
-    *      construction) and records its angle θ_u to the list's
-    *      exact-decimal centroid; each list keeps its angular radius
-    *      r_i = max member angle;
-    *   2. same-list pairs are always candidates; their 50th-best raw
-    *      cosine is the pruning threshold τ;
-    *   3. a cross-list pair (i,j) can only beat τ if the bound
-    *      U_ij = cos(max(0, θ_ij − r_i − r_j)) ≥ τ (θ_ij = centroid
-    *      angle); angle(u,v) ≥ θ_ij − θ_u − θ_v makes U_ij a true
-    *      upper bound FOR ANY list assignment, so dropping list pairs
-    *      with U_ij < τ can never drop a top-50 pair — the result is
-    *      EXACT, not approximate, whatever the quantizer quality
-    *      (DedupSimSpec's brute-force differential asserts top-50
-    *      equality on strongly clustered sets, the regime where the
-    *      bound actually prunes).
-    * Every join is an equi join (the k-row centroid table broadcasts;
-    * member enumeration joins on list ids), so the plan has no
-    * nested-loop pair enumeration and candidate volume is N·√N/2 +
-    * Σ over *surviving* list pairs of |list_i|·|list_j|. On clustered
-    * data — the actual 100 TB near-dup case — θ_ij ≫ r_i + r_j for
-    * lists in different clusters and cross-list volume collapses
+    * NOT a nested-loop all-pairs join: exact top-k in two phases.
+    *   1. SEED: [[kdQuantize]] partitions the vectors into k ≈ √N
+    *      near-balanced lists (ceil(log₂√N) approx-median bisection
+    *      rounds — sized to the data, so same-list volume is ~N·√N/2
+    *      at every N, never N²/k for a fixed k). All same-list pairs
+    *      are candidates; their 50th-best raw cosine is τ.
+    *   2. PROJECTION-BAND cross candidates: for unit vectors,
+    *      cos(u,v) ≥ τ ⟹ ‖û−v̂‖ ≤ ε = √(2−2τ), and for ANY fixed unit
+    *      direction w, |⟨û,w⟩−⟨v̂,w⟩| ≤ ‖û−v̂‖ ≤ ε — so every pair
+    *      that could displace a seed lies within ε on EVERY 1-D
+    *      projection. Vectors are bucketed on floor(p₁/ε) (each row
+    *      emitted to its bucket and the next, so any pair within ε
+    *      shares a bucket — the r16 replacement for the spherical
+    *      triangle-inequality list bound, which concentration of
+    *      measure makes vacuous in 64-dim: the r15 10× sweep showed
+    *      100% of list pairs surviving it). Bucket pairs enumerate
+    *      through [[bucketPairs]]' 2-D block grid (hot buckets spread
+    *      across reducers), then a SECOND projection p₂ filters
+    *      scalar-narrow rows before the only wide work — the 64-dim
+    *      cosine — runs on the survivors.
+    * Exactness: a dropped cross pair has |p₁ diff| > ε or
+    * |p₂ diff| > ε ⟹ cos < τ − 1.1·10⁻⁶, so after the 6-dp rounding
+    * it ranks STRICTLY below all 50 same-list seeds (two doubles more
+    * than 1.1e-6 apart can never round to the same 1e-6 grid point —
+    * the slack is folded into ε) and cannot enter the top-50 under
+    * the (rounded cos DESC, a, b) order. DedupSimSpec's brute-force
+    * differential asserts top-50 equality on strongly clustered sets.
+    *
+    * Scale shape: every join is an equi join (bucket ids, vec ids) —
+    * no BNLJ anywhere; candidate volume is N·√N/2 seeds plus the
+    * ε-band collisions. On a real dup-carrying corpus — the actual
+    * 100 TB near-dup case — τ is driven to ≈1 by the dups themselves,
+    * ε collapses, and cross volume is ~linear (measured at gen-sf1:
+    * planted twins give τ ≈ 0.9998 ⟹ ε = 0.02, vs the r15 angular
+    * bound enumerating ~N²/2 = 199M pairs); on a dup-free weak set τ
+    * stays low and the band admits ~all pairs — but then the exact
+    * top-50 genuinely requires them, and they stream through bucketed
+    * shuffle joins on narrow (id, p₁, p₂) rows, never wide vectors
     * (PropertiesSpec "embcos candidate volume" measures
-    * [[embCosCandidateCount]] on planted-cluster sets at N ∈ {5k, 20k}
-    * and asserts ~N^1.5 growth, far below the ~N² of an unpruned
-    * plan); on this deliberately weak-clustered synthetic set most
-    * list pairs survive (the exact top-50 genuinely spans clusters),
-    * but through bucketed shuffle joins, never a BNLJ. */
+    * [[embCosCandidateCount]] on planted-cluster sets at N ∈
+    * {5k, 20k} and asserts ~N^1.5 growth). */
   def dedupEmbCos(s: SparkSession, d: String): DataFrame =
     dedupEmbCosOn(Tables.embeddings(s, d),
       parquetRowCount(s, s"$d/embeddings.parquet"))
@@ -939,15 +977,13 @@ object DedupSim {
   def dedupEmbCosOn(embeddings: DataFrame,
       knownCount: Option[Long] = None): DataFrame = {
     val parts = embCosParts(embeddings, knownCount)
-    // both orientations so u∈i, v∈j, u<v is matched exactly once
-    val qual2 = parts.qualPairs
-      .union(parts.qualPairs.select(col("lj").as("li"), col("li").as("lj")))
-    val cross = parts.assigned.as("x")
-      .join(broadcast(qual2), col("x.list_id") === col("li"))
-      .join(parts.assigned.as("y"),
-        col("y.list_id") === col("lj") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        expr("cosine_sim(x.v, y.v)").as("cos_raw"))
+    // the one wide join: fetch full vectors for the filtered cross
+    // candidates only
+    val v2 = parts.assigned.select(col("vec_id"), col("v"))
+    val cross = parts.crossCand
+      .join(v2.as("x"), col("a") === col("x.vec_id"))
+      .join(v2.as("y"), col("b") === col("y.vec_id"))
+      .select(col("a"), col("b"), expr("cosine_sim(x.v, y.v)").as("cos_raw"))
     parts.same.unionByName(cross)
       .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
@@ -956,18 +992,18 @@ object DedupSim {
 
   /** The pruning skeleton shared by [[dedupEmbCosOn]] and the
     * candidate-volume audit [[embCosCandidateCount]]:
-    * `assigned` = (vec_id, v, list_id, θ) for every vector,
-    * `same` = all same-list pair cosines (always candidates),
-    * `qualPairs` = the cross-list (li < lj) pairs that SURVIVE the
-    * angular upper bound and must be enumerated. */
+    * `assigned` = (vec_id, v, list_id, p₁, p₂) for every vector,
+    * `same` = all same-list pair cosines (the τ seeds),
+    * `crossCand` = the cross-list (a, b) id pairs inside the ε band
+    * on both projections — the only pairs that still need the full
+    * cosine. */
   private[graft] case class EmbCosParts(
-      assigned: DataFrame, same: DataFrame, qualPairs: DataFrame)
+      assigned: DataFrame, same: DataFrame, crossCand: DataFrame)
 
   private[graft] def embCosParts(embeddings: DataFrame,
       knownCount: Option[Long] = None): EmbCosParts = {
     val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
-    val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
     // k ≈ √N sizes the quantizer to the data. Callers that know the
     // table's row count (e.g. from parquet footers via
     // [[parquetRowCount]]) pass it so NO job runs during query
@@ -978,25 +1014,26 @@ object DedupSim {
     val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val vecs = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val lists = kdQuantize(vecs, k)
-    // exact-decimal per-list centroids (k rows — broadcastable: even at
-    // N = 10¹⁰ vectors, √N·64 doubles ≈ 50 MB)
-    val cent = lists
-      .select(col("list_id"), posexplode(col("v")))
-      .select(col("list_id"), col("pos"), emb(col("col")).as("x"))
-      .groupBy(col("list_id"), col("pos"))
-      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
-      .groupBy(col("list_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-        .as("cv"))
-    val assigned = lists
-      .join(broadcast(cent), "list_id")
-      .select(col("vec_id"), col("v"), col("list_id"),
-        acos(clamp(expr("cosine_sim(v, cv)"))).as("theta"))
-      // four consumers (same ×2 sides, radii, cross ×2 sides): without a
-      // cache each branch re-runs the centroid join
+    // two fixed unit projection directions, dimension-agnostic and
+    // deterministic: w₁ = 1/√d · (1,1,…), w₂ = 1/√d · (1,−1,1,−1,…)
+    // (orthogonal, so the two band filters cut independent slices);
+    // projections are of the NORMALIZED vector — the ε bound needs
+    // unit vectors. A zero vector projects to 0 (its cosine is NaN
+    // in both engines, same as the pre-r16 plan).
+    val assigned = kdQuantize(vecs, k)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(v, 0d, (acc, x) -> acc + x * x)")) *
+        sqrt(expr("cast(size(v) as double)")))
+      .withColumn("p1", when(col("nrm") === 0d, 0d).otherwise(
+        expr("aggregate(v, 0d, (acc, x) -> acc + x)") / col("nrm")))
+      .withColumn("p2", when(col("nrm") === 0d, 0d).otherwise(
+        expr("""aggregate(zip_with(v, sequence(0, size(v) - 1),
+                  (x, i) -> if(i % 2 = 0, x, -x)),
+                0d, (acc, x) -> acc + x)""") / col("nrm")))
+      .select(col("vec_id"), col("v"), col("list_id"), col("p1"), col("p2"))
+      // four consumers (same ×2 sides, bucket rows, cross verify ×2
+      // sides): without a cache each branch re-runs the quantizer
       .pipe(ScratchCache.cache)
-    val radii = assigned.groupBy(col("list_id")).agg(max(col("theta")).as("r"))
     val same = assigned.as("x").join(assigned.as("y"),
         col("x.list_id") === col("y.list_id") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -1005,29 +1042,51 @@ object DedupSim {
       // consumed by BOTH the τ branch and the final union — cache so the
       // same-list pair cosines are computed once
       .pipe(ScratchCache.cache)
-    // τ = 50th-best same-list cosine (or −2 ⇒ no pruning if < 50 pairs)
-    val tau = same.orderBy(col("cos_raw").desc).limit(50)
+    // the ε filters and the cross-list-only restriction evaluate
+    // INSIDE the grid join — the quantized band over-admits ~40× on
+    // peaked projections, and those pairs die during the probe instead
+    // of being materialized (see bucketPairs). The canonical-bucket
+    // term (a pair counts only in floor(max(p₁ᵤ,p₁ᵥ)/ε) — a bucket
+    // both sides emitted, by the two-bucket construction) makes every
+    // pair match exactly once, so the pair stream needs no distinct()
+    // shuffle (dedup = false).
+    val crossCand = bucketPairs(embCosBandRows(same, assigned), cap = 256,
+      pred = Some((l, r) =>
+        col(s"$l.list_id") =!= col(s"$r.list_id") &&
+        abs(col(s"$l.p1") - col(s"$r.p1")) <= col(s"$l.eps") &&
+        abs(col(s"$l.p2") - col(s"$r.p2")) <= col(s"$l.eps") &&
+        col(s"$l.bh") === floor(
+          greatest(col(s"$l.p1"), col(s"$r.p1")) / col(s"$l.eps"))),
+      dedup = false)
+    EmbCosParts(assigned, same, crossCand)
+  }
+
+  /** The ε-band bucket rows of [[embCosParts]]' cross-candidate phase:
+    * (band, bh, doc_id, list_id, p₁, p₂, eps) — each vector lands in
+    * its floor(p₁/ε) bucket AND the next one up, so any pair within ε
+    * shares ≥ 1 bucket; the scalar columns ride along for the in-join
+    * pair filter. τ = 50th-best same-list cosine (or −2 ⇒ no pruning
+    * when < 50 seed pairs exist); ε = √(2−2τ) carries the 1.1e-6
+    * rounding-tie slack (see [[dedupEmbCos]]) plus 1e-9 for sqrt/arith
+    * roundoff. ε is data-derived, so it reaches every row by a 1-row
+    * broadcast join on the non-foldable constant key (see k0) —
+    * construction stays fully lazy, no collect. */
+  private[graft] def embCosBandRows(same: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val eps = same.orderBy(col("cos_raw").desc).limit(50)
       .agg(when(count(lit(1)) < 50, lit(-2.0))
         .otherwise(min(col("cos_raw"))).as("tau"))
-      .withColumn("k", k0(col("tau")))
-    // k² list pairs = N rows — a broadcast join on the non-foldable
-    // constant key, never a BNLJ (see k0)
-    val centK = cent.withColumn("k", k0(col("list_id")))
-    val qual = centK.as("ci").join(broadcast(centK.as("cj")),
-        col("ci.k") === col("cj.k"))
-      .filter(col("ci.list_id") < col("cj.list_id"))
-      .select(col("ci.list_id").as("li"), col("cj.list_id").as("lj"),
-        acos(clamp(expr("cosine_sim(ci.cv, cj.cv)"))).as("thij"))
-      .join(radii.select(col("list_id").as("li"), col("r").as("ri")), "li")
-      .join(radii.select(col("list_id").as("lj"), col("r").as("rj")), "lj")
-      .select(col("li"), col("lj"),
-        cos(greatest(lit(0.0), col("thij") - col("ri") - col("rj"))).as("ub"),
-        k0(col("li")).as("k"))
-      .join(broadcast(tau), "k")
-      // 1e-9 slack absorbs acos/cos roundoff so the bound stays true
-      .filter(col("ub") >= col("tau") - 1e-9)
-      .select(col("li"), col("lj"))
-    EmbCosParts(assigned, same, qual)
+      .select((sqrt(greatest(lit(1e-12),
+        lit(2d) - lit(2d) * (col("tau") - lit(1.1e-6)))) + lit(1e-9))
+        .as("eps"))
+      .withColumn("k", k0(col("eps")))
+    assigned.drop("v").withColumn("k", k0(col("vec_id")))
+      .join(broadcast(eps), "k")
+      .select(lit(0).as("band"),
+        explode(array(floor(col("p1") / col("eps")),
+          floor(col("p1") / col("eps")) + 1)).as("bh"),
+        col("vec_id").as("doc_id"),
+        col("list_id"), col("p1"), col("p2"), col("eps"))
   }
 
   /** Row count straight from parquet footer metadata — a driver-side
@@ -1057,20 +1116,13 @@ object DedupSim {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Total candidate-pair volume the pruned plan enumerates (same-list
-    * pairs + members of surviving cross-list pairs) — the quantity the
+    * seed pairs + cross pairs surviving the projection bands — i.e.
+    * the pairs that reach a cosine evaluation) — the quantity the
     * N·√N scale property test audits (PropertiesSpec
     * "embcos candidate volume"). */
   private[graft] def embCosCandidateCount(embeddings: DataFrame): Long = {
     val parts = embCosParts(embeddings)
-    val samePairs = parts.same.count()
-    val sizes = parts.assigned.groupBy(col("list_id"))
-      .agg(count(lit(1)).as("sz"))
-    val crossPairs = parts.qualPairs
-      .join(sizes.select(col("list_id").as("li"), col("sz").as("ni")), "li")
-      .join(sizes.select(col("list_id").as("lj"), col("sz").as("nj")), "lj")
-      .agg(coalesce(sum(col("ni") * col("nj")), lit(0L)).as("c"))
-      .head().getLong(0)
-    samePairs + crossPairs
+    parts.same.count() + parts.crossCand.count()
   }
 
   /** Near-balanced k-d-style coarse quantizer: ⌈log₂ k⌉ rounds of
@@ -1088,8 +1140,9 @@ object DedupSim {
     * exactly-balanced split — a scale trap: round 0 has ONE list, so
     * the window serialized the entire dataset through a single
     * reducer's sort. The top-50 result does NOT depend on split
-    * quality (any assignment yields a valid quantizer; the angular
-    * bound in [[embCosParts]] keeps the result exact), so the
+    * quality (any assignment yields a valid quantizer; the
+    * projection-band bound in [[embCosParts]] keeps the result
+    * exact), so the
     * approximate median is strictly better: same asymptotics,
     * ±sketch-error balance, no single-task stage.
     *
@@ -1114,49 +1167,66 @@ object DedupSim {
     * iterative-refinement shape (k-means, CC).
     */
   private[graft] def kdQuantize(vecs: DataFrame, k: Int): DataFrame = {
-    val rounds =
+    val bits =
       if (k <= 1) 0
       else 32 - Integer.numberOfLeadingZeros(k - 1) // = ceil(log2(k))
+    // 16-WAY rounds (r16): each round splits every list on 2^b − 1
+    // approximate quantiles of its widest dim (b = up to 4 bits), so
+    // the SERIAL round chain — the measured wall-clock floor of the
+    // embcos/semantic keys, each round being two aggregates + a join
+    // + a checkpoint no matter how many executors exist — shrinks
+    // from ceil(log₂k) to ceil(log₂k / 4) with the FINAL list count
+    // unchanged (2^bits ∈ [k, 2k)): the quantile sketch prices all
+    // cut points in the same single pass the median took.
+    val rounds = (bits + 3) / 4
     // round 0's list_id is always 0 but must be NON-FOLDABLE (see k0):
     // a literal would constant-fold the round-0 join condition to
     // 0 = 0 → no equi keys → BroadcastNestedLoopJoin, whose broadcast
     // job would fire during the lazy checkpoint's planning
     var cur = vecs.select(col("vec_id"), col("v"),
       pmod(xxhash64(col("vec_id")), lit(1L)).as("list_id"))
-    for (_ <- 0 until rounds) {
-      // per (list, dim): spread + approx median in one pass; the
-      // widest dim's row survives → (list_id, sdim, cut). max_by over
-      // (sp, -pos) is the deterministic argmax (ties → lowest dim) as
-      // a partial-aggregable hash aggregate — no window (a
-      // partitionBy(list_id) window would constant-fold to an empty
+    for (r <- 0 until rounds) {
+      val b = math.min(4, bits - r * 4)
+      val fanout = 1 << b
+      val qs = (1 until fanout).map(i => lit(i.toDouble / fanout))
+      // per (list, dim): spread + the 2^b−1 approx quantiles in one
+      // pass; the widest dim's row survives → (list_id, sdim, cuts).
+      // max_by over (sp, -pos) is the deterministic argmax (ties →
+      // lowest dim) as a partial-aggregable hash aggregate — no window
+      // (a partitionBy(list_id) window would constant-fold to an empty
       // partition spec in round 0, where list_id is literal 0).
       val sdc = cur
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
         .agg((max(col("col")) - min(col("col"))).as("sp"),
-          percentile_approx(col("col"), lit(0.5), lit(1000)).as("cut"))
+          percentile_approx(col("col"), array(qs: _*), lit(1000))
+            .as("cuts"))
         .groupBy(col("list_id"))
-        .agg(max_by(struct(col("pos").as("sdim"), col("cut")),
+        .agg(max_by(struct(col("pos").as("sdim"), col("cuts")),
           struct(col("sp"), -col("pos"))).as("w"))
         .select(col("list_id"), col("w.sdim").as("sdim"),
-          col("w.cut").as("cut"))
-      // ≤ 2^round split rows joined back for the assignment. A
+          col("w.cuts").as("cuts"))
+      // ≤ 2^(4·round) split rows joined back for the assignment. A
       // SHUFFLE_HASH join, not broadcast: broadcast exchanges submit
       // their build job during doExecute — i.e. during this lazy
       // checkpoint's planning — which would make construction eager
       // again. The price is a per-round shuffle of the vectors by
       // list_id (the split table side is k rows); at 100 TB that
       // shuffle rides the same parquet-checkpoint-per-round swap the
-      // scaladoc above describes.
+      // scaladoc above describes. The bucket within a round = how
+      // many cuts the value passes; rows AT a cut pass it by a
+      // per-cut hash coin, so a constant-valued list still splits
+      // (binomially) instead of collapsing into bucket 0.
       val next = withAqeDisabled(cur.sparkSession)(cur
         .join(sdc.hint("SHUFFLE_HASH"), "list_id")
         .withColumn("sv", element_at(col("v"), col("sdim") + 1))
-        .withColumn("half",
-          when(col("sv") < col("cut"), 0L)
-            .when(col("sv") > col("cut"), 1L)
-            .otherwise(pmod(xxhash64(col("vec_id")), lit(2L))))
+        .withColumn("half", expr(
+          """aggregate(zip_with(cuts, sequence(1, size(cuts)),
+               (c, i) -> IF(sv > c OR
+                 (sv = c AND pmod(xxhash64(vec_id, i), 2) = 1), 1L, 0L)),
+             0L, (acc, x) -> acc + x)"""))
         .select(col("vec_id"), col("v"),
-          (col("list_id") * 2 + col("half")).as("list_id"))
+          (col("list_id") * fanout + col("half")).as("list_id"))
         .localCheckpoint(false))
       ScratchCache.defer(() => GraphOps.unpersistCheckpoint(next))
       cur = next
@@ -1672,20 +1742,21 @@ object DedupSim {
     * jobs. */
   def dedupIncrSemantic(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.registerFunctions(s)
-    val emb = Tables.embeddings(s, d)
-    val pfx = "graft_semdedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val pfx = indexPrefix("graft_semdedup_idx", d)
     val name = pfx + datasetFingerprint(s, s"$d/embeddings.parquet")
     val dir = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), name).toString
     if (!new java.io.File(s"$dir/lists/_SUCCESS").exists()) {
+      Tables.refresh(s, d, "embeddings") // see dedupIncr (ADVICE r15)
       dropStaleIndexDirs(pfx, name)
-      val cent = ScratchCache.cache(learnedCentroids(emb, k = 10))
+      val cent = ScratchCache.cache(
+        learnedCentroids(Tables.embeddings(s, d), k = 10))
       cent.write.mode("overwrite").parquet(s"$dir/quantizer")
-      ivfAssign(emb, cent).write.mode("overwrite")
+      ivfAssign(Tables.embeddings(s, d), cent).write.mode("overwrite")
         .partitionBy("list_id").parquet(s"$dir/lists")
       ScratchCache.releaseAll()
     }
-    dedupIncrSemanticAdmit(dedupIncrSemanticBatch(emb),
+    dedupIncrSemanticAdmit(dedupIncrSemanticBatch(Tables.embeddings(s, d)),
       s.read.parquet(s"$dir/quantizer"), s.read.parquet(s"$dir/lists"),
       tau = 0.999)
   }
@@ -1898,16 +1969,28 @@ object DedupSim {
     * do labels separate on PC1" embedding-health probe that runs
     * before any ANN/cluster pass at 100 TB.
     *
-    * DETERMINISM: the gram state is exact integers (partition-order
-    * invariant), the power iteration is a fixed driver-side double
-    * loop from a fixed start (sign fixed by making the
-    * largest-|loading| coordinate positive, lowest index on ties),
-    * and the projection pass quantizes each row's projection to
-    * DECIMAL(24,6) so the per-label moments ride exact decimal sums —
-    * every number is repartition-invariant. Oracle-N: DuckDB cannot
-    * replay the 50-step float recurrence bit-for-bit; the spec
-    * asserts the Rayleigh residual, a planted-direction recovery, and
-    * repartition invariance instead. */
+    * DETERMINISM — and since r16, a full DuckDB ORACLE: the gram
+    * state is exact integers (partition-order invariant); the power
+    * iteration runs on the EXACT INTEGER covariance numerator
+    * covp(i,j) = n·S_ij − S_i·S_j (scaling never matters under
+    * per-step normalization) with the iterate QUANTIZED to a 10⁶-
+    * scaled integer vector after every step — each step is then an
+    * exact big-integer matvec (summation-order-free, so SQL GROUP BY
+    * replays it), one deterministic double norm (a LOWEST-INDEX-FIRST
+    * fold of exact-integer squares — DuckDB replays it as
+    * list_dot_product over list(... ORDER BY r)), and one
+    * deterministic per-element floor(x+0.5) requantization. Sign
+    * fixed by making the largest-|loading| coordinate positive
+    * (lowest index on ties); λ and the trace come from exact integer
+    * contractions divided in a pinned operation order; the projection
+    * pass quantizes each row's projection to DECIMAL(24,6) so the
+    * per-label moments ride exact decimal sums. Every number is
+    * repartition-invariant AND bit-replayable: the oracle unrolls the
+    * 50 matvec steps as MATERIALIZED HUGEINT CTEs
+    * ([[graft.oracle.OracleSql.pcaSql]]). The spec still asserts the
+    * Rayleigh residual, planted-direction recovery and repartition
+    * invariance (quantizing the iterate at 10⁻⁶ leaves the component
+    * accurate far beyond the 6-dp wire). */
   def embPca(s: SparkSession, d: String): DataFrame =
     embPcaOn(s, Tables.embeddings(s, d))
 
@@ -1922,52 +2005,72 @@ object DedupSim {
       .collect()(0).getAs[scala.collection.Seq[Long]]("st")
     val n = st(0).toDouble
     require(n > 1, "q_emb_pca needs at least 2 vectors")
-    // covariance in ORIGINAL units: q is x·1000, so divide by 1000².
     val mean = Array.tabulate(dim)(i => st(1 + i) / n / 1000.0)
-    val cov = Array.ofDim[Double](dim, dim)
+    // EXACT integer covariance numerator: covp = n·S_ij − S_i·S_j
+    // (covariance in original units = covp / (n(n−1)·10⁶); the power
+    // iteration is scale-invariant so it runs on covp directly)
+    val nL = st(0)
+    val covp = Array.ofDim[BigInt](dim, dim)
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
         val idx = 1 + dim + i * dim - i * (i - 1) / 2 + (j - i)
-        val c = (st(idx) - st(1 + i).toDouble * st(1 + j) / n) /
-          (n - 1) / 1e6
-        cov(i)(j) = c; cov(j)(i) = c
+        val c = BigInt(nL) * st(idx) - BigInt(st(1 + i)) * st(1 + j)
+        covp(i)(j) = c; covp(j)(i) = c
         j += 1
       }
       i += 1
     }
-    // fixed-start power iteration (deterministic driver loop)
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    // fixed-start power iteration on 10⁶-quantized integer iterates:
+    // matvec exact (order-free), norm a lowest-index-first double
+    // fold over exact squares, requantize floor(x+0.5) — every step
+    // bit-replayable in SQL
+    var v = Array.fill(dim)(BigInt(125000)) // round(1/√64 · 10⁶)
     var it = 0
     while (it < 50) {
       val nv = Array.tabulate(dim) { r =>
-        var acc = 0.0
+        var acc = BigInt(0)
         var c = 0
-        while (c < dim) { acc += cov(r)(c) * v(c); c += 1 }
+        while (c < dim) { acc += covp(r)(c) * v(c); c += 1 }
         acc
       }
-      val nrm = math.sqrt(nv.map(x => x * x).sum)
-      v = if (nrm == 0.0) v else nv.map(_ / nrm)
+      var nrm2 = 0.0
+      var r = 0
+      while (r < dim) {
+        val d = nv(r).toDouble
+        nrm2 += d * d
+        r += 1
+      }
+      val nrm = math.sqrt(nrm2)
+      if (nrm != 0.0)
+        v = nv.map(x => BigInt(math.floor(x.toDouble / nrm * 1e6 + 0.5).toLong))
       it += 1
     }
     // sign convention: largest-|loading| coordinate positive (lowest
     // index wins ties) — the eigenvector is only defined up to ±1
-    val pivot = v.zipWithIndex.maxBy { case (x, ix) => (math.abs(x), -ix) }
-    if (pivot._1 < 0) v = v.map(-_)
-    val lambda = {
-      var acc = 0.0
+    val pivot = v.zipWithIndex.maxBy { case (x, ix) => (x.abs, BigInt(-ix)) }
+    if (pivot._1 < 0) v = v.map(x => -x)
+    // exact integer contractions; divisions in a pinned order shared
+    // with the oracle SQL
+    val v2 = v.map(x => x * x).sum
+    val lNum = {
+      var acc = BigInt(0)
       var r = 0
       while (r < dim) {
         var c = 0
-        while (c < dim) { acc += v(r) * cov(r)(c) * v(c); c += 1 }
+        while (c < dim) { acc += v(r) * covp(r)(c) * v(c); c += 1 }
         r += 1
       }
       acc
     }
-    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val tNum = (0 until dim).map(i => covp(i)(i)).sum
+    val lambda = lNum.toDouble / v2.toDouble / (n * (n - 1)) / 1e6
+    val trace = tNum.toDouble / (n * (n - 1)) / 1e6
+    val vUnitNrm = math.sqrt(v2.toDouble)
+    val vd = v.map(x => x.toDouble / vUnitNrm).toArray
     // distributed pass 2: centered projection, decimal-exact moments
-    val wCol = array(v.map(lit(_)).toIndexedSeq: _*)
+    val wCol = array(vd.map(lit(_)).toIndexedSeq: _*)
     val mCol = array(mean.map(lit(_)).toIndexedSeq: _*)
     val prj = aggregate(
       zip_with(
@@ -1980,7 +2083,14 @@ object DedupSim {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("p")).cast(DecimalType(38, 6)).as("sp"),
-        sum((col("p") * col("p")).cast(DecimalType(38, 12)))
+        // square at DECIMAL(18,6) so the product is DECIMAL(37,12) —
+        // EXACT; DECIMAL(24,6)² would exceed precision 38 and Spark
+        // would silently round the square to scale 6, diverging from
+        // the oracle's exact 12-scale squares by an ulp (caught at
+        // sf0.001)
+        sum((col("p").cast(DecimalType(18, 6)) *
+            col("p").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 12)))
           .cast(DecimalType(38, 12)).as("spp"))
       .select(col("label"), col("n_vecs"),
         round(col("sp").cast("double") / col("n_vecs"), 6)

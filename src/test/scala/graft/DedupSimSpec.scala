@@ -57,8 +57,8 @@ class DedupSimSpec extends GraftSuite {
     DedupSim.dedupIncr(spark, d).collect() // builds the index table
     // the index name carries the O(metadata) file-manifest fingerprint
     // so a regenerated corpus can never silently reuse a stale index
-    val idxT = "graft_dedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
+    val idxT = DedupSim.indexPrefix("graft_dedup_idx", d) +
+      DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
     val plan = DedupSim.dedupIncrAdmit(
       DedupSim.dedupIncrBatch(Tables.documents(spark, d)),
       spark.table(idxT))
@@ -132,12 +132,11 @@ class DedupSimSpec extends GraftSuite {
     val d = sf
     DedupSim.dedupIncrNear(spark, d).collect() // builds the index
     ScratchCache.releaseAll()
-    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
+    val fp = DedupSim.datasetFingerprint(spark, s"$d/documents.parquet")
     val plan = DedupSim.dedupIncrNearAdmit(
         DedupSim.dedupIncrNearBatch(Tables.documents(spark, d)),
-        spark.table(s"graft_neardup_bands_$sfx"),
-        spark.table(s"graft_neardup_sigs_$sfx"))
+        spark.table(DedupSim.indexPrefix("graft_neardup_bands", d) + fp),
+        spark.table(DedupSim.indexPrefix("graft_neardup_sigs", d) + fp))
       .queryExecution.executedPlan.toString
     ScratchCache.releaseAll()
     assert(plan.contains("graft_neardup_bands"),
@@ -210,8 +209,8 @@ class DedupSimSpec extends GraftSuite {
     val d = sf
     DedupSim.dedupIncrSemantic(spark, d).collect() // builds the index
     ScratchCache.releaseAll()
-    val name = "graft_semdedup_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + DedupSim.datasetFingerprint(spark, s"$d/embeddings.parquet")
+    val name = DedupSim.indexPrefix("graft_semdedup_idx", d) +
+      DedupSim.datasetFingerprint(spark, s"$d/embeddings.parquet")
     val dir = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), name).toString
     val plan = DedupSim.dedupIncrSemanticAdmit(
