@@ -716,11 +716,19 @@ object GraphOps {
     * All hops are exact integers — fully oracle-checked. Scale shape:
     * the [[landmarkHops]] BFS (state O(K·V)) + three tiny hash aggs;
     * nothing beyond the closeness contract. */
+  /** The q_graph_ecc demo key's landmark count and hop bound — shared
+    * with the DuckDB twin (OracleSql interpolates BOTH into the
+    * recursive-CTE hop guard and the radius_ub/radius_bounded label
+    * split), so changing the key here can never silently diverge from
+    * the oracle (ADVICE r15). */
+  val eccDemoLandmarks = 8
+  val eccDemoMaxHop = 3
+
   def eccentricity(s: SparkSession, d: String): DataFrame =
     eccentricityOn(Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-      nLandmarks = 8, maxHop = 3)
+      nLandmarks = eccDemoLandmarks, maxHop = eccDemoMaxHop)
 
   /** Core of q_graph_ecc over any (o, p) membership frame. */
   def eccentricityOn(membership: DataFrame, nLandmarks: Int,
@@ -2099,14 +2107,17 @@ private[graft] object LandmarkMemo {
   /** Memo lookup; on miss, `build(pin)` runs with pin = whether the
     * memo is enabled (spark.graft.landmarks.memo, default true).
     *
-    * SINGLE-ENTRY POLICY: a miss EVICTS everything first, so pinned
-    * blocks are bounded by one BFS (sym + mh + lm) at all times — the
-    * four landmark keys share one dataset per pass, so eviction only
-    * fires on a dataset (or fixture) change, never between the keys
-    * the memo exists for. Callers must have materialized any result
-    * derived from a previous entry before asking for a new one — true
-    * for Verify (each key writes before the next runs) and the specs
-    * (collect per assertion). */
+    * SINGLE-ENTRY POLICY: a miss EVICTS the previous entry, so LIVE
+    * pinned blocks are bounded by one BFS (sym + mh + lm) — the four
+    * landmark keys share one dataset per pass, so eviction only fires
+    * on a dataset (or fixture) change, never between the keys the
+    * memo exists for. Evicted pins are NOT unpersisted inline: a
+    * frame returned from the evicted entry may still be
+    * unmaterialized with checkpoint-truncated lineage, so their
+    * release is handed to [[ScratchCache]] and happens at the next
+    * harness drain (releaseAll runs only after every result has been
+    * consumed) — no caller-side materialization ordering is required
+    * (ADVICE r15). */
   private[ops] def getOrBuild(membership: DataFrame, nLandmarks: Int,
       maxHop: Int)(build: Boolean => (DataFrame, DataFrame, DataFrame))
       : (DataFrame, DataFrame, DataFrame) = {
@@ -2120,7 +2131,17 @@ private[graft] object LandmarkMemo {
       entries.get(k) match {
         case Some(v) => v
         case None =>
-          clear()
+          // EVICT the previous entry but DEFER its block release to
+          // the harness-level ScratchCache drain: a frame returned
+          // from that entry may still be unmaterialized, and the
+          // checkpoint truncated its lineage, so an immediate
+          // unpersist would strand it with missing blocks (ADVICE
+          // r15). ScratchCache.releaseAll runs only once the harness
+          // has consumed every result, which is exactly when the old
+          // pins become safe to drop.
+          entries.clear()
+          var r = owned.poll()
+          while (r != null) { ScratchCache.defer(r); r = owned.poll() }
           val v = { builds += 1; build(true) }
           entries.put(k, v)
           v

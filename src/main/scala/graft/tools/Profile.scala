@@ -62,13 +62,18 @@ object Profile {
         drain(); Thread.sleep(300)
         agg.set(Map.empty[String, Long].withDefaultValue(0L))
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        finally graft.ops.ScratchCache.releaseAll()
+        // a failed rep must read as FAILED, not as a suspiciously fast
+        // wall time — this tool adjudicates bench excursions (ADVICE
+        // r15)
+        val failed =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+          finally graft.ops.ScratchCache.releaseAll()
         val wall = (System.nanoTime() - t0) / 1e9
         drain(); Thread.sleep(300)
         val a = agg.get()
-        println(f"$n rep$r wall=$wall%6.2fs stages=${a("stages")}%3d " +
+        val mark = failed.map(c => s" FAILED($c)").getOrElse("")
+        println(f"$n rep$r$mark wall=$wall%6.2fs stages=${a("stages")}%3d " +
           f"run=${a("runMs") / 1e3}%7.2fs cpu=${a("cpuMs") / 1e3}%7.2fs " +
           f"gc=${a("gcMs") / 1e3}%6.2fs " +
           f"memSpill=${a("memSpill") / 1e6}%.1fMB " +
