@@ -93,7 +93,111 @@ object OracleSql {
       |  JOIN bandt bb ON bb.img_id = b AND bb.band = ba.band
       |  GROUP BY a, b)""".stripMargin
 
+  /** q_emb_pca's unrolled power-iteration twin (r16, converting the
+    * key from oracle-N to oracle-checked). Mirrors DedupSim.embPcaOn
+    * step for step:
+    *  - exact integer covariance numerator covp = n·S_ij − S_i·S_j
+    *    (HUGEINT — scale-invariant under per-step normalization);
+    *  - `iters` unrolled matvec rounds, each an order-free HUGEINT
+    *    GROUP BY sum, a deterministic norm (list_dot_product over
+    *    list(CAST(nv AS DOUBLE) ORDER BY r) — the same lowest-index-
+    *    first fold as the Scala loop), and FLOOR(x+0.5) requantization
+    *    to the 10⁶-scaled integer iterate;
+    *  - every per-round CTE is MATERIALIZED: v_k is referenced by both
+    *    nv_{k+1} and its own norm, so inlining would re-expand the
+    *    chain exponentially (the kcore lesson);
+    *  - λ / trace / loadings / means from exact contractions with the
+    *    division order pinned to the Scala side;
+    *  - per-row projection folds in position order via
+    *    list_dot_product against a ones list, quantized DECIMAL(24,6)
+    *    for exact per-label moments. */
+  private def pcaSql(iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS MATERIALIZED (SELECT vec_id, label, embedding FROM embeddings),
+      |qr AS MATERIALIZED (SELECT vec_id, label, pos,
+      |  CAST(ROUND(CAST(embedding[CAST(pos AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM (SELECT vec_id, label, embedding,
+      |        unnest(range(1, ${dim + 1})) AS pos FROM e0) t),
+      |nrow AS MATERIALIZED (SELECT COUNT(*) AS n FROM e0),
+      |sums AS MATERIALIZED (SELECT pos, SUM(qv) AS s FROM qr GROUP BY pos),
+      |cp0 AS MATERIALIZED (SELECT a.pos AS r, b.pos AS c,
+      |  SUM(CAST(a.qv AS HUGEINT) * b.qv) AS sij
+      |  FROM qr a JOIN qr b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      |  GROUP BY 1, 2),
+      |covh AS MATERIALIZED (SELECT r, c,
+      |  (SELECT CAST(n AS HUGEINT) FROM nrow) * sij
+      |    - CAST(sa.s AS HUGEINT) * sb.s AS cv
+      |  FROM cp0 JOIN sums sa ON cp0.r = sa.pos
+      |  JOIN sums sb ON cp0.c = sb.pos),
+      |covp AS MATERIALIZED (SELECT r, c, cv FROM covh
+      |  UNION ALL SELECT c AS r, r AS c, cv FROM covh WHERE r <> c),
+      |vi0 AS MATERIALIZED (SELECT pos AS c, CAST(125000 AS HUGEINT) AS val FROM sums),
+      |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s"""nv$k AS MATERIALIZED (SELECT cp.r AS r,
+        |  SUM(cp.cv * vi${k - 1}.val) AS nvv
+        |  FROM covp cp JOIN vi${k - 1} ON cp.c = vi${k - 1}.c GROUP BY cp.r),
+        |nl$k AS MATERIALIZED (SELECT sqrt(list_dot_product(l, l)) AS nrm
+        |  FROM (SELECT list(CAST(nvv AS DOUBLE) ORDER BY r) AS l FROM nv$k)),
+        |vi$k AS MATERIALIZED (SELECT r AS c,
+        |  CAST(FLOOR(CAST(nvv AS DOUBLE) / (SELECT nrm FROM nl$k)
+        |    * 1000000 + 0.5) AS HUGEINT) AS val FROM nv$k),
+        |""".stripMargin
+    }
+    sb ++= s"""sg AS MATERIALIZED (SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END AS sgn
+      |  FROM vi$iters ORDER BY ABS(val) DESC, c ASC LIMIT 1),
+      |vf AS MATERIALIZED (SELECT c, val * (SELECT sgn FROM sg) AS val FROM vi$iters),
+      |vsq AS MATERIALIZED (SELECT SUM(val * val) AS vv FROM vf),
+      |lm AS MATERIALIZED (SELECT SUM(cp.cv * a.val * b.val) AS lnum
+      |  FROM covp cp JOIN vf a ON cp.r = a.c JOIN vf b ON cp.c = b.c),
+      |tn AS MATERIALIZED (SELECT SUM(cv) AS tnum FROM covp WHERE r = c),
+      |consts AS MATERIALIZED (SELECT
+      |  CAST((SELECT lnum FROM lm) AS DOUBLE)
+      |    / CAST((SELECT vv FROM vsq) AS DOUBLE)
+      |    / (CAST((SELECT n FROM nrow) AS DOUBLE)
+      |       * (CAST((SELECT n FROM nrow) AS DOUBLE) - 1))
+      |    / 1000000.0 AS lambda,
+      |  CAST((SELECT tnum FROM tn) AS DOUBLE)
+      |    / (CAST((SELECT n FROM nrow) AS DOUBLE)
+      |       * (CAST((SELECT n FROM nrow) AS DOUBLE) - 1))
+      |    / 1000000.0 AS tr),
+      |wv AS MATERIALIZED (SELECT c AS pos, CAST(val AS DOUBLE)
+      |  / sqrt(CAST((SELECT vv FROM vsq) AS DOUBLE)) AS w FROM vf),
+      |mu AS MATERIALIZED (SELECT pos, CAST(s AS DOUBLE)
+      |  / CAST((SELECT n FROM nrow) AS DOUBLE) / 1000.0 AS m FROM sums),
+      |terms AS MATERIALIZED (SELECT qr.vec_id, qr.label, qr.pos,
+      |  (CAST(qr.qv AS DOUBLE) / 1000.0 - mu.m) * wv.w AS t
+      |  FROM qr JOIN mu ON qr.pos = mu.pos JOIN wv ON qr.pos = wv.pos),
+      |proj AS MATERIALIZED (SELECT vec_id, label,
+      |  CAST(ROUND(list_dot_product(lt, list_transform(lt, x -> 1.0)), 6)
+      |    AS DECIMAL(24,6)) AS p
+      |  FROM (SELECT vec_id, label, list(t ORDER BY pos) AS lt
+      |        FROM terms GROUP BY vec_id, label) t),
+      |agg AS (SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(p) AS DECIMAL(38,6)) AS sp,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,6)) * CAST(p AS DECIMAL(18,6)))
+      |    AS DECIMAL(38,12)) AS spp
+      |  FROM proj GROUP BY label)
+      |SELECT label, n_vecs,
+      |  ROUND(CAST(sp AS DOUBLE) / n_vecs, 6) AS proj_mean,
+      |  CASE WHEN n_vecs > 1 THEN
+      |    ROUND(sqrt((CAST(spp AS DOUBLE)
+      |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n_vecs)
+      |      / (n_vecs - 1)), 6)
+      |  END AS proj_sd,
+      |  ROUND((SELECT lambda FROM consts), 6) AS pc1_lambda,
+      |  ROUND((SELECT lambda FROM consts) / (SELECT tr FROM consts), 6)
+      |    AS pc1_var_share
+      |FROM agg ORDER BY label""".stripMargin
+    sb.toString
+  }
+
   val sql: Map[String, String] = Map(
+
+    // q_emb_pca: the 50-step quantized power iteration unrolled as
+    // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
+    // conversion
+    "q_emb_pca" -> pcaSql(iters = 50, dim = 64),
     "q_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |CAST(l_quantity AS DECIMAL(38,2))::DOUBLE AS qty,
@@ -712,20 +816,27 @@ object OracleSql {
 
     // landmark eccentricity / diameter / radius bounds: exact integer
     // hops from the same recursive BFS; k cast BIGINT to match Spark
+    // the hop bound and landmark count interpolate from the SAME
+    // constants the Scala key uses (GraphOps.eccDemoMaxHop /
+    // .eccDemoLandmarks) — both the recursive-CTE guard and the
+    // radius_ub/radius_bounded split, so key and oracle can never
+    // silently diverge (ADVICE r15)
     "q_graph_ecc" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_partkey % 4 = 0),
         |ec AS (SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
         |sym AS (SELECT u, v FROM ec UNION ALL SELECT v AS u, u AS v FROM ec),
         |lm AS (SELECT u AS lmk FROM (
-        |  SELECT DISTINCT u FROM sym ORDER BY u LIMIT 8)),
+        |  SELECT DISTINCT u FROM sym ORDER BY u
+        |  LIMIT ${graft.ops.GraphOps.eccDemoLandmarks})),
         |bfs AS (
         |  SELECT lmk, lmk AS node, 0 AS hop FROM lm
         |  UNION
         |  SELECT bfs.lmk, sym.v AS node, bfs.hop + 1 AS hop
-        |  FROM bfs JOIN sym ON bfs.node = sym.u WHERE bfs.hop < 3
+        |  FROM bfs JOIN sym ON bfs.node = sym.u
+        |  WHERE bfs.hop < ${graft.ops.GraphOps.eccDemoMaxHop}
         |),
         |mh AS MATERIALIZED (SELECT lmk, node, MIN(hop) AS hop
         |  FROM bfs GROUP BY 1, 2),
@@ -737,7 +848,8 @@ object OracleSql {
         |  FROM (SELECT mh.hop FROM mh JOIN lm ON mh.node = lm.lmk
         |    WHERE mh.lmk < mh.node)
         |  GROUP BY hop ORDER BY hop DESC LIMIT 1),
-        |rad AS (SELECT CASE WHEN ecc < 3 THEN 'radius_ub'
+        |rad AS (SELECT CASE
+        |    WHEN ecc < ${graft.ops.GraphOps.eccDemoMaxHop} THEN 'radius_ub'
         |    ELSE 'radius_bounded' END AS stat, CAST(ecc AS BIGINT) AS k,
         |  COUNT(*) AS n
         |  FROM (SELECT e.ecc FROM ecc e JOIN lm ON e.node = lm.lmk)
@@ -2980,6 +3092,34 @@ object OracleSql {
 
     // the partitioned-layout roundtrip preserves values exactly, so the
     // oracle recomputes the two pruned years straight from the table
+    // standing-index compaction ledger: the REAL filesystem file
+    // counts (history write = 1 file per populated projection-bucket
+    // dir, each of the 3 planted appends = +1 per touched dir,
+    // compaction rewrites dirs at >= 3 files to exactly 1) are
+    // replayed closed-form from the data; the projection bucket is
+    // the same sequential-fold double arithmetic the embcos oracle
+    // proves bit-parity for
+    "q_index_compact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id,
+        |  CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(CAST(len(v) AS DOUBLE)) = 0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(FLOOR(list_dot_product(v, list_transform(v, x -> 1.0)) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(CAST(len(v) AS DOUBLE))) * 16)
+        |      AS BIGINT)
+        |  END AS bucket FROM e),
+        |agg AS (SELECT bucket,
+        |  MAX(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END)
+        |    + COUNT(DISTINCT CASE WHEN vec_id % 4 = 3 THEN vec_id % 3 END)
+        |    AS nfb,
+        |  COUNT(*) AS n_rows
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, CAST(nfb AS BIGINT) AS n_files_before,
+        |  CAST(CASE WHEN nfb >= 3 THEN 1 ELSE nfb END AS BIGINT)
+        |    AS n_files_after,
+        |  n_rows
+        |FROM agg ORDER BY bucket""".stripMargin,
+
     // Z-order advisor: the 5-step shift-mask bit spread is replayed
     // with DuckDB's << & | on the same BIGINT masks — any deviation in
     // the interleave or the data-driven file split breaks every

@@ -166,6 +166,75 @@ class AnnLshSpec extends GraftSuite {
       s"probe missed appended cluster peers: $top")
   }
 
+  test("index compaction: probe equality before/after on the REAL " +
+      "ivf-append artifact, untouched dirs byte-identical, " +
+      "append-after-compact works, demo ledger idempotent") {
+    import graft.ops.IndexMaint
+    val rnd = new scala.util.Random(41)
+    def cluster(c: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val v = Array.fill(64)(0.0f); v(c * 9) = 120.0f
+      (base + i, c, v.toSeq.map(_ + (rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val baseDf = (0 until 6).flatMap(c => cluster(c, 12, c * 100L))
+      .toDF("vec_id", "label", "embedding")
+    def batch(k: Int) = (0 until 6)
+      .flatMap(c => cluster(c, 2, c * 100L + 50 + k * 10))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_spec").toString
+    // build + 3 appends -> each touched list dir holds 4 files
+    (0 until 3).foreach { k =>
+      DedupSim.simAnnIvfAppendOn(baseDf, batch(k), dir).collect()
+      graft.ops.ScratchCache.releaseAll()
+    }
+    val before = IndexMaint.partFileCounts(spark, s"$dir/lists", "list_id")
+    assert(before.values.max >= 4, s"append fixture too cold: $before")
+    val cent = spark.read.parquet(s"$dir/quantizer")
+    def probe(): Seq[String] = {
+      val r = DedupSim.ivfSearch(spark.read.parquet(s"$dir/lists"),
+        cent, queryVecId = 50L).collect().map(_.toString).toSeq
+      graft.ops.ScratchCache.releaseAll(); r
+    }
+    val probeBefore = probe()
+    // cold-dir mtimes must survive compaction untouched
+    val fs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    val coldBefore = fs.filter(d => before(
+        d.getName.stripPrefix("list_id=").toLong) < 3)
+      .map(d => d.getName -> d.listFiles().map(f =>
+        (f.getName, f.lastModified())).sortBy(_._1).toSeq).toMap
+    val hot = IndexMaint.compact(spark, s"$dir/lists", "list_id",
+      minFiles = 3)
+    assert(hot.nonEmpty, "nothing compacted")
+    val after = IndexMaint.partFileCounts(spark, s"$dir/lists", "list_id")
+    hot.foreach(l => assert(after(l) == 1, s"list $l not compacted: $after"))
+    // probe-result equality: compaction must not change a single row
+    assert(probe() == probeBefore, "probe diverged after compaction")
+    // untouched dirs byte-identical (same files, same mtimes)
+    val coldAfter = coldBefore.keys.map { n =>
+      val d = new java.io.File(s"$dir/lists/$n")
+      n -> d.listFiles().map(f =>
+        (f.getName, f.lastModified())).sortBy(_._1).toSeq
+    }.toMap
+    assert(coldAfter == coldBefore, "cold dirs were rewritten")
+    // append still works on the compacted artifact
+    DedupSim.simAnnIvfAppendOn(baseDf, batch(3), dir).collect()
+    graft.ops.ScratchCache.releaseAll()
+    val afterAppend = IndexMaint.partFileCounts(spark, s"$dir/lists",
+      "list_id")
+    assert(afterAppend.values.sum > after.values.sum,
+      "append after compaction added no files")
+    // the oracle-checked demo key: repeated invocation returns the
+    // PERSISTED ledger (re-compacting a compacted index would measure
+    // different before-counts)
+    val l1 = IndexMaint.indexCompact(spark, sf).collect().map(_.toString)
+    graft.ops.ScratchCache.releaseAll()
+    val l2 = IndexMaint.indexCompact(spark, sf).collect().map(_.toString)
+    graft.ops.ScratchCache.releaseAll()
+    assert(l1.toSeq == l2.toSeq, "demo ledger not idempotent")
+    assert(l1.nonEmpty)
+  }
+
   test("IVF ANN recall vs brute force is substantial") {
     val brute = DedupSim.simCosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
