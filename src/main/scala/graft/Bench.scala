@@ -20,6 +20,8 @@ object Bench {
       // and hand it to betweenness/brandes/ecc for free — honest for a
       // production session, dishonest for per-key timings
       .config("spark.graft.landmarks.memo", "false")
+      // same honesty rule for the shared co-purchase edge build memo
+      .config("spark.graft.edges.memo", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,9 +32,11 @@ object Verify {
       // caches in Tables are not registered there and stay warm)
       graft.ops.ScratchCache.releaseAll()
     }
-    // the landmark-BFS memo (kept across keys by design) is done once
-    // every query has been dumped — return its pinned blocks
+    // the landmark-BFS and co-purchase-edge memos (kept across keys by
+    // design) are done once every query has been dumped — return their
+    // pinned blocks
     graft.ops.LandmarkMemo.clear()
+    graft.ops.EdgeMemo.clear()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1355,8 +1355,22 @@ object GraphOps {
     * on a 300-row graph — vs 1.3 s truncated). The LAZY checkpoint
     * truncates at construction time, stays job-free, materializes once
     * on first use; blocks release via ScratchCache like any scratch. */
+  /** Storage level for round checkpoints. Default MEMORY_AND_DISK
+    * (Spark's localCheckpoint default — spills instead of failing
+    * under memory pressure); `spark.graft.checkpoint.memoryOnly=true`
+    * switches to MEMORY_ONLY, the r15-verdict A/B for single-run
+    * variance on disk-contended hosts. MEMORY_ONLY + truncated
+    * lineage means an evicted block is unrecoverable, so the flag is
+    * an experiment knob, not the default. */
+  private[graft] def ckptLevel(s: SparkSession)
+      : org.apache.spark.storage.StorageLevel =
+    if (s.conf.getOption("spark.graft.checkpoint.memoryOnly")
+        .exists(_.trim.toBoolean))
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   private def trunc(df: DataFrame): DataFrame = {
-    val t = df.localCheckpoint(false)
+    val t = df.localCheckpoint(false, ckptLevel(df.sparkSession))
     ScratchCache.defer(() => unpersistCheckpoint(t))
     t
   }
@@ -1610,21 +1624,39 @@ object GraphOps {
     * edge list. Returns (sym, labels) — sym is the checkpointed
     * DIRECTED doubling of the undirected edge set (each edge twice),
     * labels the final (node, lab) frame. */
+  /** The shared co-purchase SYMMETRIC edge build — labelProp,
+    * modularity, louvain and louvain2 all start from this identical
+    * sym(u, v) frame (distinct membership → size-tagged co-pairs →
+    * distinct → ∪ reversed → repartition(u)). MEMOIZED per (session,
+    * canonical membership plan) through [[EdgeMemo]], the
+    * LandmarkMemo discipline extended to the edge build (VERDICT r15
+    * #6): a Verify pass runs the four keys back-to-back on one
+    * dataset, so the memo pays the two distincts + co-pair join +
+    * shuffle ONCE instead of four times; Bench disables it
+    * (spark.graft.edges.memo=false) to keep per-key timings
+    * self-contained.
+    *
+    * sym is REPARTITIONED BY u before the checkpoint: the per-round
+    * join broadcasts the (tiny) label frame, broadcast-hash preserves
+    * the streamed side's partitioning, and HashPartitioning(u)
+    * satisfies ClusteredDistribution for BOTH downstream aggregations
+    * ((u, lab) counting and the per-u argmax) — so after this one
+    * shuffle every round is exchange-free. When labels outgrow the
+    * broadcast threshold (labels are |V|-sized; a 100 TB graph's
+    * vocabulary may not fit), Catalyst falls back to a shuffled join
+    * and the rounds pay their shuffles — plan degrades, never breaks. */
+  private def coSymEdges(membership: DataFrame): DataFrame =
+    EdgeMemo.getOrBuild(membership) { pin =>
+      val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
+      val ec = coPairs(op).distinct()
+      val built = ec.unionByName(
+          ec.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+      if (pin) EdgeMemo.pin(built) else trunc(built)
+    }
+
   private def lpaLabels(membership: DataFrame): (DataFrame, DataFrame) = {
-    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
-    val ec = coPairs(op).distinct()
-    // sym is REPARTITIONED BY u before the checkpoint: the per-round
-    // join broadcasts the (tiny) label frame, broadcast-hash preserves
-    // the streamed side's partitioning, and HashPartitioning(u)
-    // satisfies ClusteredDistribution for BOTH downstream aggregations
-    // ((u, lab) counting and the per-u argmax) — so after this one
-    // shuffle every round is exchange-free. When labels outgrow the
-    // broadcast threshold (labels are |V|-sized; a 100 TB graph's
-    // vocabulary may not fit), Catalyst falls back to a shuffled join
-    // and the rounds pay their shuffles — plan degrades, never breaks.
-    val sym = trunc(ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")))
+    val sym = coSymEdges(membership)
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to 4) {
@@ -1792,11 +1824,7 @@ object GraphOps {
   /** Core of q_graph_louvain over any (o, p) membership frame. */
   def louvainOn(membership: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
-    val ec = coPairs(op).distinct()
-    val sym = trunc(ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")))
+    val sym = coSymEdges(membership) // shared memoized build
     val deg = ScratchCache.cache(
       sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
     val m2 = sym.count() // 2m, one scalar count job
@@ -1872,11 +1900,7 @@ object GraphOps {
   /** Core of q_graph_louvain2 over any (o, p) membership frame. */
   def louvain2On(membership: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
-    val ec = coPairs(op).distinct()
-    val sym = trunc(ec.unionByName(
-        ec.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")))
+    val sym = coSymEdges(membership) // shared memoized build
     val deg = ScratchCache.cache(
       sym.groupBy(col("u")).agg(count(lit(1)).as("dg")))
     val m2 = sym.count() // 2m, one scalar count job
@@ -2065,6 +2089,61 @@ object GraphOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
       .orderBy(col("size"))
+  }
+}
+
+/** Session-scoped memo for the shared co-purchase symmetric edge
+  * build (labelProp / modularity / louvain / louvain2) — the
+  * [[LandmarkMemo]] discipline extended to the edge build (VERDICT
+  * r15 #6). Same contract: keyed on (session, canonicalized
+  * membership plan); entries are EAGER memo-owned localCheckpoints;
+  * a miss evicts the previous entry with its pins' release DEFERRED
+  * to the ScratchCache drain; `spark.graft.edges.memo=false` (Bench)
+  * bypasses it for self-contained per-key timings. */
+private[graft] object EdgeMemo {
+  private val entries = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]
+  private val owned =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+  /** Number of edge builds actually run (test observability). */
+  @volatile private[graft] var builds: Long = 0L
+
+  /** Eagerly pin `df` with a memo-owned localCheckpoint. */
+  private[ops] def pin(df: DataFrame): DataFrame = {
+    val t = df.localCheckpoint(true)
+    owned.add(() => GraphOps.unpersistCheckpoint(t))
+    t
+  }
+
+  private[ops] def getOrBuild(membership: DataFrame)
+      (build: Boolean => DataFrame): DataFrame = {
+    val s = membership.sparkSession
+    val enabled = s.conf.getOption("spark.graft.edges.memo")
+      .forall(_.trim.toBoolean)
+    if (!enabled) { builds += 1; build(false) }
+    else {
+      val k = (s, membership.queryExecution.analyzed.canonicalized)
+      entries.get(k) match {
+        case Some(v) => v
+        case None =>
+          // defer evicted pins to the harness drain — the LandmarkMemo
+          // eviction contract (see there)
+          entries.clear()
+          var r = owned.poll()
+          while (r != null) { ScratchCache.defer(r); r = owned.poll() }
+          val v = { builds += 1; build(true) }
+          entries.put(k, v)
+          v
+      }
+    }
+  }
+
+  /** Unpersist every memo-owned checkpoint and forget all entries. */
+  def clear(): Unit = {
+    entries.clear()
+    var r = owned.poll()
+    while (r != null) { r(); r = owned.poll() }
   }
 }
 

@@ -585,6 +585,46 @@ class GraphOpsSpec extends GraftSuite {
     }
   }
 
+  test("edge memo: one co-purchase edge build serves labelProp/" +
+      "modularity/louvain/louvain2 across releaseAll, values " +
+      "bit-identical to memo-off") {
+    import spark.implicits._
+    val m = Seq((1L, 0L), (1L, 4L), (2L, 4L), (2L, 8L), (3L, 8L),
+      (3L, 12L), (4L, 12L), (4L, 16L), (5L, 16L), (5L, 20L))
+      .toDF("o", "p")
+    EdgeMemo.clear()
+    val b0 = EdgeMemo.builds
+    val lp1 = GraphOps.labelPropOn(m).collect().map(_.toSeq).toSeq
+    assert(EdgeMemo.builds == b0 + 1)
+    ScratchCache.releaseAll() // memo-owned blocks must survive it
+    val md1 = GraphOps.modularityOn(m).collect().map(_.toSeq).toSeq
+    val lv1 = GraphOps.louvainOn(m).collect().map(_.toSeq).toSeq
+    val l21 = GraphOps.louvain2On(m).collect().map(_.toSeq).toSeq
+    ScratchCache.releaseAll()
+    assert(EdgeMemo.builds == b0 + 1,
+      "the four community keys over the same membership must reuse " +
+        s"the memoized edge build (builds went ${EdgeMemo.builds - b0})")
+    EdgeMemo.clear()
+    // memo-off twin: same values, one build per key
+    spark.conf.set("spark.graft.edges.memo", "false")
+    try {
+      val lp2 = GraphOps.labelPropOn(m).collect().map(_.toSeq).toSeq
+      val md2 = GraphOps.modularityOn(m).collect().map(_.toSeq).toSeq
+      val lv2 = GraphOps.louvainOn(m).collect().map(_.toSeq).toSeq
+      val l22 = GraphOps.louvain2On(m).collect().map(_.toSeq).toSeq
+      ScratchCache.releaseAll()
+      assert(EdgeMemo.builds == b0 + 5)
+      assert(lp1 == lp2, "labelProp must not depend on the memo")
+      assert(md1 == md2, "modularity must not depend on the memo")
+      assert(lv1 == lv2, "louvain must not depend on the memo")
+      assert(l21 == l22, "louvain2 must not depend on the memo")
+    } finally {
+      spark.conf.unset("spark.graft.edges.memo")
+      EdgeMemo.clear()
+      ScratchCache.releaseAll()
+    }
+  }
+
   test("ecc: when truncation bites, the radius stat drops its " +
       "upper-bound claim") {
     import spark.implicits._
