@@ -528,6 +528,17 @@ class DedupSimSpec extends GraftSuite {
     }
   }
 
+  test("embcos plan shape: no nested-loop pair enumeration anywhere") {
+    // the projection-band rewrite must keep every join an equi join —
+    // a BNLJ/cartesian sneaking into the grid or verify joins would be
+    // the 100 TB scale-killer the banding exists to prevent
+    val plan = DedupSim.dedupEmbCos(spark, sf)
+      .queryExecution.executedPlan.toString
+    ScratchCache.releaseAll()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("embcos top-50 ≡ brute force on STRONGLY clustered vectors " +
       "(pruning active)") {
     // The oracle checks exactness on the weak-clustered synthetic set,
