@@ -220,11 +220,14 @@ object DedupSim {
     * (entirely new 5-shingles → J ≈ 0 vs history) TWICE (+2e6 kept,
     * +3e6 dup_batch).
     *
-    * No DuckDB oracle (xxhash64 minhash — the q_dedup_near precedent);
-    * the gate is DedupSimSpec's equivalence proof: admission against
-    * the standing index ≡ the from-scratch [[dedupNearOn]] of
-    * history ∪ batch restricted to the batch, and the admission plan
-    * reads the index tables, never the documents parquet. */
+    * ORACLE-CHECKED since r16 (the md5 minhash — DuckDB replays the
+    * whole pipeline: shingle hashes, 128 permutation minima, band
+    * collisions vs the index, within-batch pairs, J ≥ 0.8,
+    * precedence); DedupSimSpec additionally proves the incremental
+    * contract: admission against the standing index ≡ the
+    * from-scratch [[dedupNearOn]] of history ∪ batch restricted to
+    * the batch, and the admission plan reads the index tables, never
+    * the documents parquet. */
   def dedupIncrNear(s: SparkSession, d: String): DataFrame = {
     // manifest-fingerprinted names (the dedupIncr discipline): a
     // regenerated corpus rebuilds the index instead of reusing a stale
@@ -325,13 +328,17 @@ object DedupSim {
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
       .orderBy(col("source"))
 
-  /** q_dedup_near — MinHash/LSH near-duplicate pairs (no oracle —
-    * approximate; property tests assert recall ⊇ exact dups).
+  /** q_dedup_near — MinHash/LSH near-duplicate pairs. ORACLE-CHECKED
+    * since r16: the shingle and band hashes are 60-bit md5 truncations
+    * (bit-shared by both engines — the winnowing/tfidf idiom), so
+    * DuckDB replays shingles → 128 permutation minima → band buckets →
+    * candidates → exact Jaccard end-to-end; property tests still
+    * assert recall ⊇ exact dups.
     *
     * Pipeline (all Catalyst expressions, zero UDFs):
-    *   word 5-shingles (higher-order transform over the token array)
-    *   → 128 minhashes (xxhash64 seeded by permutation index)
-    *   → 32 bands of 4 rows hashed together
+    *   word 5-shingles (window leads over the token stream)
+    *   → md5 shingle hash → 128 affine-permutation minima
+    *   → 32 bands of 4 slots hashed together (md5)
     *   → explode bands, groupBy bucket → candidate pairs
     *   → exact shingle-set Jaccard ≥ 0.8 on candidates only.
     * At 100 TB scale the band explode is 32 rows/doc and the bucket
@@ -354,28 +361,32 @@ object DedupSim {
     // transform) is a trap: CollapseProject inlines the shingle array
     // into every permutation slot and evaluation goes interpreted —
     // thousands of times slower.
-    // Shingle identity is a ROLLING HASH, fully codegen'd: explode
-    // tokens, hash each once, then xxhash64 over (h, lead1..lead4) in a
-    // window ordered by position — the 5-gram string is never
-    // materialized and no higher-order function touches the hot path
-    // (interpreted HOF evaluation + its per-element allocations was the
-    // dominant cost and GC load of earlier variants). The window's
-    // shuffle by doc_id is shared by the signature and verification
-    // branches via ReuseExchange.
+    // Shingle identity is md5 OF THE 5-GRAM STRING, truncated to 60
+    // bits (r16, replacing the r13 xxhash64 rolling hash): both
+    // engines share md5 bit-for-bit (the q_text_winnowing /
+    // q_text_tfidf idiom), which is what converts this key — and the
+    // incremental-admission twin — from oracle-N to oracle-CHECKED.
+    // The 5-gram is assembled from window leads of the token string
+    // (codegen'd concat_ws; no higher-order function touches the hot
+    // path — interpreted HOF evaluation + its per-element allocations
+    // was the dominant cost and GC load of earlier variants). The
+    // window's shuffle by doc_id is shared by the signature and
+    // verification branches via ReuseExchange.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh5 = documents
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("th"))
-      .select(col("doc_id"), col("th"),
-        lead(col("th"), 1).over(w).as("t1"),
-        lead(col("th"), 2).over(w).as("t2"),
-        lead(col("th"), 3).over(w).as("t3"),
-        lead(col("th"), 4).over(w).as("t4"))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"),
+        lead(col("t0"), 3).over(w).as("t3"),
+        lead(col("t0"), 4).over(w).as("t4"))
       .filter(col("t4").isNotNull) // docs shorter than 5 tokens drop out
       .select(col("doc_id"),
-        xxhash64(col("th"), col("t1"), col("t2"), col("t3"), col("t4"))
-          .as("sh"))
+        conv(substring(md5(concat_ws(" ", col("t0"), col("t1"),
+          col("t2"), col("t3"), col("t4"))), 1, 15), 16, 10)
+          .cast("long").as("sh"))
     // Base hash masked to 32 bits so the affine permutations can't
     // overflow a long under ANSI arithmetic (32-bit value × 9-bit odd
     // multiplier + small offset stays < 2^42). Duplicate shingles don't
@@ -402,11 +413,17 @@ object DedupSim {
   }
 
   /** The 32 LSH band rows (band, bh, doc_id) of a [[nearSignatures]]
-    * frame — 4 signature slots hashed per band. */
+    * frame — 4 signature slots mixed per band by an EXACT-INTEGER
+    * polynomial (((m₀·31 + m₁)·31 + m₂)·31 + m₃, max ~3.4e16 — no
+    * overflow), replayable in DuckDB verbatim and 32 md5s/doc cheaper
+    * than a cryptographic band hash. A mix collision between unequal
+    * quadruples can only ADD a candidate pair, which the exact
+    * Jaccard verify then kills. */
   private[graft] def nearBands(perDoc: DataFrame): DataFrame = {
     val bandCols = (0 until 32).map { b =>
+      val ms = (b * 4 until b * 4 + 4).map(k => col(s"m$k"))
       struct(lit(b).as("band"),
-        xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*).as("bh"))
+        (((ms(0) * 31L + ms(1)) * 31L + ms(2)) * 31L + ms(3)).as("bh"))
     }
     perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))

@@ -192,12 +192,118 @@ object OracleSql {
     sb.toString
   }
 
+  /** Shared md5-MinHash CTE text for q_dedup_near / q_dedup_incr_near
+    * (r16, converting both from oracle-N to oracle-checked): given a
+    * docs relation exposing (doc_id, text), emits the `<p>sh` (60-bit
+    * md5 5-gram shingle hashes, the winnowing idiom), `<p>h` (32-bit
+    * masked base), `<p>sig` (the 128 affine-permutation minima),
+    * `<p>hs` (distinct shingle-hash sets + sizes for the exact-Jaccard
+    * verify) and `<p>band` (32 LSH band hashes, md5 of the
+    * comma-joined slots) CTE definitions under prefix `p` — mirroring
+    * DedupSim.nearSignatures / nearBands op for op. */
+  private def minhashCtes(p: String, rel: String): String = {
+    val mins = (0 until 128).map(k =>
+      s"MIN(h * ${2L * k + 1} + ${k * 1315423911L}) AS m$k")
+      .grouped(4).map(_.mkString(", ")).mkString(",\n|    ")
+    val bandCase = (0 until 32).map { b =>
+      val m = (b * 4 until b * 4 + 4).map(k => s"m$k")
+      s"WHEN $b THEN (((${m(0)} * 31 + ${m(1)}) * 31 + ${m(2)}) * 31 + ${m(3)})"
+    }.mkString("\n|      ")
+    s"""${p}sh AS MATERIALIZED (SELECT doc_id,
+      |  ('0x' || substr(md5(array_to_string(list_slice(parts,
+      |    CAST(i AS INT), CAST(i + 4 AS INT)), ' ')), 1, 15))::BIGINT AS sh
+      |  FROM (SELECT doc_id, parts, unnest(range(1, len(parts) - 3)) AS i
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts
+      |          FROM $rel) t0) t1),
+      |${p}h AS MATERIALIZED (SELECT doc_id, sh, sh & 4294967295 AS h
+      |  FROM ${p}sh),
+      |${p}sig AS MATERIALIZED (SELECT doc_id,
+      |    $mins
+      |  FROM ${p}h GROUP BY doc_id),
+      |${p}hs AS MATERIALIZED (SELECT doc_id,
+      |  list_sort(list_distinct(list(sh))) AS hs,
+      |  CAST(COUNT(DISTINCT sh) AS INT) AS n FROM ${p}h GROUP BY doc_id),
+      |${p}band AS MATERIALIZED (SELECT doc_id, CAST(bb.band AS INT) AS band,
+      |  CASE bb.band
+      |      $bandCase
+      |    END AS bh
+      |  FROM ${p}sig, (SELECT unnest(range(0, 32)) AS band) bb)""".stripMargin
+  }
+
+  /** The exact-Jaccard expression over two `<p>hs` aliases — rounded
+    * to 6 dp BEFORE the ≥ τ filter, exactly like
+    * DedupSim.jaccardVerify. */
+  private def jac(a: String, b: String): String =
+    s"ROUND(CAST(len(list_intersect($a.hs, $b.hs)) AS DOUBLE) / " +
+      s"($a.n + $b.n - len(list_intersect($a.hs, $b.hs))), 6)"
+
   val sql: Map[String, String] = Map(
 
     // q_emb_pca: the 50-step quantized power iteration unrolled as
     // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
     // conversion
     "q_emb_pca" -> pcaSql(iters = 50, dim = 64),
+
+    // q_dedup_near: md5-minhash banded LSH + exact-Jaccard verify,
+    // fully replayed (r16 oracle conversion — the shingle and band
+    // hashes moved from xxhash64 to 60-bit md5, which both engines
+    // share bit-for-bit). The grid join's candidate SET equals the
+    // plain band self-join, so the oracle joins bands directly.
+    "q_dedup_near" ->
+      s"""WITH ${minhashCtes("", "documents")},
+        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM band x JOIN band y
+        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |ver AS (SELECT a, b, ${jac("ha", "hb")} AS jaccard
+        |  FROM cands JOIN hs ha ON cands.a = ha.doc_id
+        |  JOIN hs hb ON cands.b = hb.doc_id)
+        |SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // q_dedup_incr_near: the standing-index admission ledger replayed
+    // end-to-end — history signatures from documents, the planted
+    // batch (verbatim re-entries %7=1 +1e6, suffix-extended %9=5 +4e6,
+    // twice-submitted reversals %10=0 +2e6/+3e6), band collisions vs
+    // the index, within-batch pairs, J ≥ 0.8, dup_index precedence
+    "q_dedup_incr_near" ->
+      s"""WITH batchd AS MATERIALIZED (
+        |  SELECT doc_id + 1000000 AS doc_id, source, text
+        |    FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, source, text || ' zz yy xx ww vv uu tt'
+        |    FROM documents WHERE doc_id % 9 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |    FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, source,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |${minhashCtes("h_", "documents")},
+        |${minhashCtes("b_", "batchd")},
+        |ci AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM b_band x JOIN h_band y
+        |  ON x.band = y.band AND x.bh = y.bh),
+        |vi AS (SELECT DISTINCT ci.a AS doc_id
+        |  FROM ci JOIN b_hs ha ON ci.a = ha.doc_id
+        |  JOIN h_hs hb ON ci.b = hb.doc_id
+        |  WHERE ${jac("ha", "hb")} >= 0.8),
+        |cb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM b_band x JOIN b_band y
+        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |vb AS (SELECT DISTINCT cb.b AS doc_id
+        |  FROM cb JOIN b_hs ha ON cb.a = ha.doc_id
+        |  JOIN b_hs hb ON cb.b = hb.doc_id
+        |  WHERE ${jac("ha", "hb")} >= 0.8)
+        |SELECT bt.doc_id, bt.source,
+        |  CASE WHEN vi.doc_id IS NOT NULL THEN 'dup_index'
+        |       WHEN vb.doc_id IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'kept' END AS decision
+        |FROM batchd bt
+        |LEFT JOIN vi ON bt.doc_id = vi.doc_id
+        |LEFT JOIN vb ON bt.doc_id = vb.doc_id
+        |ORDER BY bt.doc_id""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |CAST(l_quantity AS DECIMAL(38,2))::DOUBLE AS qty,
