@@ -438,9 +438,13 @@ object Multimodal {
     // ⌈n/64⌉)² reducers (output-volume work only — the quadratic is
     // the ledger contract itself, not join overhead). Cross-group:
     // members of verified signature pairs inherit the rep distance.
+    // dedup=false: each image emits exactly ONE (band, sig) bucket row
+    // and the grid meets every pair on one key, so the pair stream has
+    // no duplicates to drop — skipping distinct() saves a shuffle of
+    // the op's largest stream (the within-group ledger expansion)
     val within = DedupSim.bucketPairs(
         sigs.select(lit(0).as("band"), col("sig").as("bh"),
-          col("img_id").as("doc_id")), cap = 64)
+          col("img_id").as("doc_id")), cap = 64, dedup = false)
       .select(col("a"), col("b"), lit(0L).as("hamming"))
     val cross = sigs.select(col("img_id").as("u"), col("sig").as("sa"))
       .join(verified, "sa")
