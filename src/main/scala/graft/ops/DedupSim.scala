@@ -655,17 +655,20 @@ object DedupSim {
     *
     * Approximation contract: pairs split across quantizer lists are
     * missed BY DESIGN (SemDeDup's own trade — candidate volume drops
-    * N² → Σ|list|²/2 ≈ N·√N/2); the quantizer uses approx-median
-    * sketches, so no DuckDB oracle (declared oracle-N like the ANN
-    * keys). DedupSimSpec asserts (1) EXACT equality with brute-force
-    * all-pairs dedup when the quantizer is forced to one list, (2) the
-    * planted-twin ledger on the real corpus, (3) found pairs are
-    * always a subset of brute-force pairs (no false positives — the
-    * cosine verify is exact) at any k.
+    * N² → Σ|list|²/2 ≈ N·√N/2). ORACLE-CHECKED since r16: the
+    * equal-width [[kdQuantize]] is pinned double/integer arithmetic,
+    * so DuckDB replays the corpus+twin build, the quantizer rounds,
+    * the within-list cosine ≥ τ pairs, pointer-doubling CC and the
+    * collapse ledger end-to-end ([[graft.oracle.OracleSql]]
+    * semanticSql). DedupSimSpec additionally asserts (1) EXACT
+    * equality with brute-force all-pairs dedup when the quantizer is
+    * forced to one list, (2) the planted-twin ledger on the real
+    * corpus, (3) found pairs are always a subset of brute-force pairs
+    * (no false positives — the cosine verify is exact) at any k.
     *
-    * Scale shape: the within-list self-join is bounded by the
-    * near-balanced list size (~√N rows per list by construction — the
-    * quantizer splits on approximate medians, so no hot list); CC runs
+    * Scale shape: the within-list self-join is bounded by the list
+    * size (near-balanced up to the distribution's shape under
+    * equal-width cuts); CC runs
     * on the PAIR graph (≪ corpus); the final classification is one
     * equi join of the corpus against the label table. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
@@ -1142,32 +1145,35 @@ object DedupSim {
     parts.same.count() + parts.crossCand.count()
   }
 
-  /** Near-balanced k-d-style coarse quantizer: ⌈log₂ k⌉ rounds of
-    * approximate-median bisection, each round splitting every list in
-    * half on its widest dimension (max − min spread, ties to the lowest
-    * dim). Returns (vec_id, v, list_id) with 2^⌈log₂ k⌉ ∈ [k, 2k)
-    * lists.
+  /** Near-balanced k-d-style coarse quantizer: grouped rounds of
+    * EQUAL-WIDTH splitting on each list's widest dimension
+    * (max − min spread, ties to the lowest dim). Returns
+    * (vec_id, v, list_id) with 2^⌈log₂ k⌉ ∈ [k, 2k) lists.
     *
-    * The split point is `percentile_approx(dim value, 0.5)` per list —
-    * a DISTRIBUTED partial aggregate (map-side sketches merged on
-    * reducers), so no round ever sorts a list through one task; rows
-    * at the split value tie-break by a hash of vec_id so a
-    * constant-valued list still splits evenly. An earlier formulation
+    * The per-round cut structure is equal-width buckets over the
+    * widest dim's exact [min, max] (r16, replacing percentile_approx
+    * median sketches): min/max are order-free DISTRIBUTED partial
+    * aggregates — no round ever sorts a list through one task, and
+    * unlike a quantile sketch the whole quantizer is BIT-REPLAYABLE
+    * in SQL (pinned double arithmetic + floor), which is what lets
+    * q_dedup_semantic carry a full DuckDB oracle. Fully degenerate
+    * lists (mx = mn) split by pmod(vec_id, f). An earlier formulation
     * used `ntile(2) OVER (PARTITION BY list_id ORDER BY sv)` for an
     * exactly-balanced split — a scale trap: round 0 has ONE list, so
     * the window serialized the entire dataset through a single
-    * reducer's sort. The top-50 result does NOT depend on split
-    * quality (any assignment yields a valid quantizer; the
-    * projection-band bound in [[embCosParts]] keeps the result
-    * exact), so the
-    * approximate median is strictly better: same asymptotics,
-    * ±sketch-error balance, no single-task stage.
+    * reducer's sort. Equal-width balance is distribution-shaped
+    * (center-heavy on gaussian data) rather than sketch-exact, but
+    * split QUALITY never affects correctness — any assignment yields
+    * a valid quantizer: the projection-band bound in [[embCosParts]]
+    * keeps embcos exact, and q_dedup_semantic's within-list-only
+    * candidate trade is part of its declared contract whatever the
+    * lists are.
     *
     * Construction is FULLY LAZY — no action, no job until the caller
     * acts on the result (q_dedup_embcos builds with zero jobs;
-    * asserted in DedupSimSpec). Each round computes spread AND
-    * approx-median for every dim in ONE aggregate (the sketch work on
-    * the 63 non-widest dims is the price of one pass), then ends in a
+    * asserted in DedupSimSpec). Each round computes min/max for
+    * every dim in ONE aggregate (the work on the 63 non-widest dims
+    * is the price of one pass), then ends in a
     * LAZY localCheckpoint so the plan stays constant-size across
     * rounds instead of doubling (a cache-per-round variant was tried:
     * execution dedups fine, but the 2^rounds logical plan OOMs AQE's
@@ -1187,14 +1193,14 @@ object DedupSim {
     val bits =
       if (k <= 1) 0
       else 32 - Integer.numberOfLeadingZeros(k - 1) // = ceil(log2(k))
-    // 16-WAY rounds (r16): each round splits every list on 2^b − 1
-    // approximate quantiles of its widest dim (b = up to 4 bits), so
+    // 16-WAY rounds (r16): each round splits every list into 2^b
+    // equal-width buckets of its widest dim (b = up to 4 bits), so
     // the SERIAL round chain — the measured wall-clock floor of the
     // embcos/semantic keys, each round being two aggregates + a join
     // + a checkpoint no matter how many executors exist — shrinks
     // from ceil(log₂k) to ceil(log₂k / 4) with the FINAL list count
-    // unchanged (2^bits ∈ [k, 2k)): the quantile sketch prices all
-    // cut points in the same single pass the median took.
+    // unchanged (2^bits ∈ [k, 2k)): one min/max pass prices every
+    // bucket boundary at once.
     val rounds = (bits + 3) / 4
     // round 0's list_id is always 0 but must be NON-FOLDABLE (see k0):
     // a literal would constant-fold the round-0 join condition to
@@ -1205,24 +1211,26 @@ object DedupSim {
     for (r <- 0 until rounds) {
       val b = math.min(4, bits - r * 4)
       val fanout = 1 << b
-      val qs = (1 until fanout).map(i => lit(i.toDouble / fanout))
-      // per (list, dim): spread + the 2^b−1 approx quantiles in one
-      // pass; the widest dim's row survives → (list_id, sdim, cuts).
-      // max_by over (sp, -pos) is the deterministic argmax (ties →
-      // lowest dim) as a partial-aggregable hash aggregate — no window
-      // (a partitionBy(list_id) window would constant-fold to an empty
+      // per (list, dim): exact [min, max] in one pass; the widest
+      // dim's row survives → (list_id, sdim, mn, mx). EQUAL-WIDTH
+      // buckets over that range (r16, replacing approx-median cuts):
+      // min/max are order-free exact aggregates and the bucket index
+      // is pinned double arithmetic — the whole quantizer is
+      // bit-replayable in SQL, which is what converts
+      // q_dedup_semantic from oracle-N to oracle-checked. max_by over
+      // (sp, -pos) is the deterministic argmax (ties → lowest dim) as
+      // a partial-aggregable hash aggregate — no window (a
+      // partitionBy(list_id) window would constant-fold to an empty
       // partition spec in round 0, where list_id is literal 0).
       val sdc = cur
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
-        .agg((max(col("col")) - min(col("col"))).as("sp"),
-          percentile_approx(col("col"), array(qs: _*), lit(1000))
-            .as("cuts"))
+        .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
         .groupBy(col("list_id"))
-        .agg(max_by(struct(col("pos").as("sdim"), col("cuts")),
-          struct(col("sp"), -col("pos"))).as("w"))
+        .agg(max_by(struct(col("pos").as("sdim"), col("mn"), col("mx")),
+          struct((col("mx") - col("mn")).as("sp"), -col("pos"))).as("w"))
         .select(col("list_id"), col("w.sdim").as("sdim"),
-          col("w.cuts").as("cuts"))
+          col("w.mn").as("mn"), col("w.mx").as("mx"))
       // ≤ 2^(4·round) split rows joined back for the assignment. A
       // SHUFFLE_HASH join, not broadcast: broadcast exchanges submit
       // their build job during doExecute — i.e. during this lazy
@@ -1230,18 +1238,20 @@ object DedupSim {
       // again. The price is a per-round shuffle of the vectors by
       // list_id (the split table side is k rows); at 100 TB that
       // shuffle rides the same parquet-checkpoint-per-round swap the
-      // scaladoc above describes. The bucket within a round = how
-      // many cuts the value passes; rows AT a cut pass it by a
-      // per-cut hash coin, so a constant-valued list still splits
-      // (binomially) instead of collapsing into bucket 0.
+      // scaladoc above describes. Bucket = floor((sv−mn)/(mx−mn)·f)
+      // clamped to f−1 (sv = mx lands exactly on f); a fully
+      // degenerate list (mx = mn ⟹ every dim constant) splits by
+      // pmod(vec_id, f) instead of collapsing into bucket 0 — also
+      // replayable, unlike the previous per-cut hash coin.
       val next = withAqeDisabled(cur.sparkSession)(cur
         .join(sdc.hint("SHUFFLE_HASH"), "list_id")
         .withColumn("sv", element_at(col("v"), col("sdim") + 1))
-        .withColumn("half", expr(
-          """aggregate(zip_with(cuts, sequence(1, size(cuts)),
-               (c, i) -> IF(sv > c OR
-                 (sv = c AND pmod(xxhash64(vec_id, i), 2) = 1), 1L, 0L)),
-             0L, (acc, x) -> acc + x)"""))
+        .withColumn("half",
+          when(col("mx") > col("mn"),
+            least(lit(fanout - 1L),
+              floor((col("sv") - col("mn")) / (col("mx") - col("mn"))
+                * lit(fanout.toDouble))))
+          .otherwise(pmod(col("vec_id"), lit(fanout.toLong))))
         .select(col("vec_id"), col("v"),
           (col("list_id") * fanout + col("half")).as("list_id"))
         .localCheckpoint(false))

@@ -237,12 +237,107 @@ object OracleSql {
     s"ROUND(CAST(len(list_intersect($a.hs, $b.hs)) AS DOUBLE) / " +
       s"($a.n + $b.n - len(list_intersect($a.hs, $b.hs))), 6)"
 
+  /** q_dedup_semantic's DuckDB twin (r16, converting the key from
+    * oracle-N to oracle-checked after kdQuantize moved to equal-width
+    * cuts): replays the corpus+twin build, k = ⌈√N⌉ and the grouped
+    * 16-way quantizer rounds (widest dim per list by exact max−min
+    * spread, ties lowest dim; bucket = floor((sv−mn)/(mx−mn)·f)
+    * clamped, degenerate lists by vec_id mod f — all pinned
+    * double/integer arithmetic), the within-list cosine ≥ τ pair
+    * enumeration, pointer-doubling connected components (the
+    * q_dedup_cluster idiom) and the per-label collapse ledger. Three
+    * static quantizer rounds cover bits ≤ 12 (k ≤ 4096, N ≤ ~16.7M
+    * vectors — far beyond every swept SF; the Scala side handles any
+    * N); a round whose fanout is 1 is a no-op on both sides. */
+  private def semanticSql(tau: Double, ccRounds: Int): String = {
+    val rounds = (1 to 3).map { r =>
+      s"""mm$r AS MATERIALIZED (SELECT a.list_id, u.pos,
+        |  MIN(u.x) AS mn, MAX(u.x) AS mx
+        |  FROM a${r - 1} a JOIN vx u ON a.vec_id = u.vec_id
+        |  GROUP BY 1, 2),
+        |wd$r AS MATERIALIZED (SELECT list_id, pos, mn, mx FROM (
+        |  SELECT list_id, pos, mn, mx, ROW_NUMBER() OVER (
+        |    PARTITION BY list_id ORDER BY (mx - mn) DESC, pos ASC) AS rn
+        |  FROM mm$r) t WHERE rn = 1),
+        |a$r AS MATERIALIZED (SELECT a.vec_id,
+        |  a.list_id * (SELECT f$r FROM prm) + CASE
+        |    WHEN (SELECT f$r FROM prm) = 1 THEN 0
+        |    WHEN w.mx > w.mn THEN LEAST((SELECT f$r FROM prm) - 1,
+        |      CAST(FLOOR((u.x - w.mn) / (w.mx - w.mn)
+        |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT))
+        |    ELSE a.vec_id % (SELECT f$r FROM prm) END AS list_id
+        |  FROM a${r - 1} a JOIN wd$r w ON a.list_id = w.list_id
+        |  JOIN vx u ON a.vec_id = u.vec_id AND u.pos = w.pos)""".stripMargin
+    }.mkString(",\n")
+    val cc = (1 to ccRounds).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
+        |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
+        |  JOIN l${k - 1} la ON ue.a = la.node
+        |  JOIN l${k - 1} lb ON ue.b = lb.node GROUP BY ue.a),
+        |l$k AS MATERIALIZED (SELECT x.node, LEAST(x.comp, y.comp) AS comp
+        |  FROM t$k x JOIN t$k y ON x.comp = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, label,
+      |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |vecs AS MATERIALIZED (SELECT * FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 10000000 AS vec_id, label,
+      |    list_transform(v, (x, i) ->
+      |      CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS v
+      |  FROM base WHERE vec_id % 25 = 0),
+      |cnt AS (SELECT COUNT(*) AS n FROM vecs),
+      |par AS (SELECT CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS k
+      |  FROM cnt),
+      |bt AS (SELECT COALESCE(MIN(b), 0) AS bits
+      |  FROM (SELECT unnest(range(0, 31)) AS b) bb, par
+      |  WHERE (1::BIGINT << CAST(b AS INT)) >= k),
+      |prm AS MATERIALIZED (SELECT
+      |  (1::BIGINT << CAST(LEAST(4, bits) AS INT)) AS f1,
+      |  (1::BIGINT << CAST(GREATEST(0, LEAST(4, bits - 4)) AS INT)) AS f2,
+      |  (1::BIGINT << CAST(GREATEST(0, LEAST(4, bits - 8)) AS INT)) AS f3
+      |  FROM bt),
+      |vx AS MATERIALIZED (SELECT vec_id, pos,
+      |  CAST(v[CAST(pos AS INT)] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS pos
+      |        FROM vecs) t),
+      |a0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS list_id
+      |  FROM vecs),
+      |$rounds,
+      |pairs AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM a3 x JOIN a3 y
+      |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+      |  JOIN vecs va ON x.vec_id = va.vec_id
+      |  JOIN vecs vb ON y.vec_id = vb.vec_id
+      |  WHERE list_dot_product(va.v, vb.v)
+      |    / (sqrt(list_dot_product(va.v, va.v))
+      |       * sqrt(list_dot_product(vb.v, vb.v))) >= $tau),
+      |ue AS MATERIALIZED (SELECT a, b FROM pairs
+      |  UNION ALL SELECT b AS a, a AS b FROM pairs),
+      |l0 AS MATERIALIZED (SELECT a AS node, a AS comp FROM ue GROUP BY a),
+      |$cc
+      |SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN l.comp IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_in_dup_clusters,
+      |  CAST(COUNT(DISTINCT l.comp) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(CASE WHEN l.comp IS NOT NULL AND l.comp <> v.vec_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(COUNT(*) - SUM(CASE WHEN l.comp IS NOT NULL
+      |    AND l.comp <> v.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM vecs v LEFT JOIN l$ccRounds l ON v.vec_id = l.node
+      |GROUP BY v.label ORDER BY v.label""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     // q_emb_pca: the 50-step quantized power iteration unrolled as
     // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
     // conversion
     "q_emb_pca" -> pcaSql(iters = 50, dim = 64),
+
+    // q_dedup_semantic: the equal-width quantizer + within-list
+    // cosine + CC + collapse ledger, replayed end-to-end (see
+    // semanticSql) — r16's oracle-N → oracle conversion
+    "q_dedup_semantic" -> semanticSql(tau = 0.999, ccRounds = 8),
 
     // q_dedup_near: md5-minhash banded LSH + exact-Jaccard verify,
     // fully replayed (r16 oracle conversion — the shingle and band
