@@ -357,42 +357,90 @@ object Joins {
         .when(col("c_custkey") % 7 === 0,
           sub(col("c_name"), (col("c_custkey") % 5) + 1, "x"))
         .otherwise(col("c_name")).as("qname"))
-    // {s} ∪ one-char deletions, 1-based substring arithmetic (DuckDB twin
-    // uses the identical formula on the raw strings). The join key is
+    // One-char deletion variants, 1-based substring arithmetic (the
+    // DuckDB twin uses the identical formula on the raw strings). A
+    // DISTINCT string set per name — deleting any char of an
+    // equal-char run yields the same string; the full name rides as a
+    // separate flagged row, so the pooled stream equals the old
+    // array_union({s}, deletions) pool exactly. Join keys are
     // xxhash64(variant), not the variant string — half the shuffle
-    // bytes and a long equi-key; hash collisions can only ADD candidate
-    // pairs, and the exact levenshtein verify kills them, so the result
-    // is unchanged (the oracle need not reproduce the hash).
-    def variants(nameC: Column): Column = array_union(
-      array(nameC),
+    // bytes and a long equi-key.
+    def delVariants(nameC: Column): Column = array_distinct(
       transform(sequence(lit(1), length(nameC)), i =>
         concat(substring(nameC, lit(1), (i - 1).cast("int")),
           substring(nameC, (i + 1).cast("int"), lit(64)))))
-    // id-only candidate pipeline: the variant join and the distinct
-    // carry TWO LONGS per row, not the name strings (the 19× exploded
-    // pair stream is the op's bulk — ~3.5M rows here — and shuffling
-    // 18-char strings through its distinct measured 2.3× slower:
-    // 7.8 s vs 3.4 s focused at sf0.1); names
-    // re-attach afterwards on the ~|matches| distinct pairs via
-    // dimension joins (broadcast here; at 100 TB the canon side is
-    // corpus-sized and these become plain shuffle equi joins — linear
-    // either way).
-    // cached: the exploded streams feed BOTH the candidate join and
-    // the density probe (two longs per row either way)
-    val qv = ScratchCache.cache(q.select(col("q_id"),
-      explode(variants(col("qname"))).as("vs"))
-      .select(col("q_id"), xxhash64(col("vs")).as("v")))
-    val cv = ScratchCache.cache(canon.select(col("c_custkey"),
-      explode(variants(col("c_name"))).as("vs"))
-      .select(col("c_custkey"), xxhash64(col("vs")).as("v")))
-    // bucket-density probe: per-variant q×c pair products. Buckets are
-    // the hashed keys; the oracle twin buckets the raw variant strings
-    // — identical absent a 64-bit collision (collisions could only
-    // merge buckets, and the oracle gate at every swept SF confirms
-    // none occur; candidates themselves are collision-immune because
-    // the exact verify kills impostors)
-    val density = qv.groupBy(col("v")).agg(count(lit(1)).as("nq"))
-      .join(cv.groupBy(col("v")).agg(count(lit(1)).as("nc")), "v")
+    // ROUTE-SPLIT candidate pipeline (r16 verdict ask #1): the old
+    // shape joined one undifferentiated variant pool per side, then
+    // paid a distinct() over the op's LARGEST stream (15.1M pairs at
+    // gsf1) to collapse multi-variant meetings — dominated by the
+    // 2.4M identity self-matches (a name shares every deletion
+    // variant with itself). Now each pooled row carries (id,
+    // full-name hash, is-deletion flag, variant hash); ONE equi join
+    // on the variant hash meets all four routes full⋈full / full⋈del
+    // / del⋈full / del⋈del at once, and a post-join codegen filter
+    // suppresses same-name del⋈del meetings (qf = cf) — no extra
+    // shuffle. Every SURVIVING (dist ≤ 1) pair then meets exactly
+    // once, so the distinct() disappears:
+    //  - dist 0 (qname = c_name): meets on full⋈full (one full row
+    //    per side); its del⋈del meetings are exactly the suppressed
+    //    ones; full⋈del needs lengths differing by 1 — impossible.
+    //  - dist 1 substitution (same length, names differ at one
+    //    position i): full routes are length/equality-impossible; on
+    //    del⋈del the pair shares exactly ONE distinct variant string
+    //    (del_j(s) = del_k(t) with j ≤ k forces s constant on [j,i]
+    //    and on [i+1,k], and all deletions from an equal-char run
+    //    are the SAME string, so every witness collapses to one
+    //    distinct variant).
+    //  - dist 1 insertion/deletion (lengths differ by 1): meets on
+    //    exactly one of full⋈del / del⋈full, once (the shorter
+    //    side's full string equals exactly one distinct deletion
+    //    variant of the longer); other routes length-impossible.
+    // Duplicate meetings still exist for dist-2 pairs (e.g. "ab" vs
+    // "ba" share deletion variants "a" AND "b") — the exact
+    // levenshtein verify kills every copy before the counting agg,
+    // so they cost a row of filter work, never a wrong count.
+    // Collision honesty: exact-once additionally assumes no xxhash64
+    // collision lands inside a true match's neighborhood. A pair
+    // whose full names merely hash-equal is still counted once (it
+    // meets on full⋈full instead of del⋈del); only a collision on an
+    // UNSHARED variant of a true dist≤1 pair would double-count — a
+    // 2^-64 event per near-pair, and the 4-scale oracle gate would
+    // surface any manifestation. The old pair-distinct was
+    // collision-immune; this is the deliberate price of dropping the
+    // op's largest shuffle.
+    // id-only pipeline as before: pooled rows are (long, long, bool,
+    // long), never the 18-char strings; names re-attach on the
+    // ~|matches| stream via dimension joins (broadcast here; at
+    // 100 TB the canon side is corpus-sized and these become plain
+    // shuffle equi joins — linear either way).
+    // cached: the pooled streams feed BOTH the candidate join and
+    // the density probe.
+    val qPool = ScratchCache.cache(
+      q.select(col("q_id"), xxhash64(col("qname")).as("qf"),
+          lit(false).as("q_del"), xxhash64(col("qname")).as("v"))
+        .unionByName(q.select(col("q_id"),
+            xxhash64(col("qname")).as("qf"), lit(true).as("q_del"),
+            explode(delVariants(col("qname"))).as("vs"))
+          .select(col("q_id"), col("qf"), col("q_del"),
+            xxhash64(col("vs")).as("v"))))
+    val cPool = ScratchCache.cache(
+      canon.select(col("c_custkey"), xxhash64(col("c_name")).as("cf"),
+          lit(false).as("c_del"), xxhash64(col("c_name")).as("v"))
+        .unionByName(canon.select(col("c_custkey"),
+            xxhash64(col("c_name")).as("cf"), lit(true).as("c_del"),
+            explode(delVariants(col("c_name"))).as("vs"))
+          .select(col("c_custkey"), col("cf"), col("c_del"),
+            xxhash64(col("vs")).as("v"))))
+    // bucket-density probe: per-variant q×c pair products over the
+    // SAME pooled streams (full + distinct deletions — identical
+    // contents to the old array_union pool; a full row can never
+    // share v with a same-side deletion row barring a cross-length
+    // collision). Buckets are the hashed keys; the oracle twin
+    // buckets the raw variant strings — identical absent a 64-bit
+    // collision (collisions could only merge buckets, and the oracle
+    // gate at every swept SF confirms none occur).
+    val density = qPool.groupBy(col("v")).agg(count(lit(1)).as("nq"))
+      .join(cPool.groupBy(col("v")).agg(count(lit(1)).as("nc")), "v")
       .select((col("nq") * col("nc")).as("pairs"))
       .agg(
         coalesce(sum(when(col("pairs") > hotBucketPairs, 1L)
@@ -400,8 +448,20 @@ object Joins {
         coalesce(sum(when(col("pairs") > hotBucketPairs, col("pairs"))),
           lit(0L)).as("hot_pairs"),
         coalesce(max(col("pairs")), lit(0L)).as("max_pairs"))
-    val cands = qv.join(cv, "v")
-      .select(col("q_id"), col("c_custkey")).distinct()
+    // repartition(q_id) between blocking and verify, for two reasons:
+    // (1) SKEW — the variant join's output keeps hash(v) partitioning,
+    // and hot variant buckets would concentrate the expensive
+    // levenshtein+rejoin work on a few tasks (measured: verify 6.1 s
+    // pipelined on hash(v) vs 2.5 s rebalanced, sf0.1; the r16
+    // distinct() was incidentally doing this rebalance); (2) the
+    // exchange hashes by q_id, which the downstream per-query agg
+    // reuses — so dropping the distinct costs no extra shuffle, the
+    // rebalance IS the agg's exchange, moved before the heavy work,
+    // and it carries two longs per row.
+    val cands = qPool.join(cPool, "v")
+      .filter(!(col("q_del") && col("c_del") && col("qf") === col("cf")))
+      .select(col("q_id"), col("c_custkey"))
+      .repartition(col("q_id"))
       .join(broadcast(q), "q_id")
       .join(broadcast(canon), "c_custkey")
       .withColumn("dist", levenshtein(col("qname"), col("c_name")))
