@@ -1189,7 +1189,26 @@ object DedupSim {
     * blocks to a parquet checkpoint between rounds — the standard
     * iterative-refinement shape (k-means, CC).
     */
-  private[graft] def kdQuantize(vecs: DataFrame, k: Int): DataFrame = {
+  private[graft] def kdQuantize(vecs: DataFrame, k: Int): DataFrame =
+    kdQuantizeWithSplits(vecs, k)._1
+
+  /** [[kdQuantize]] variant that ALSO returns the per-round split
+    * tables — (round, list_id, sdim, mn, mx, fanout) — i.e. the
+    * quantizer itself as a persistable artifact. This is what makes
+    * the equal-width tree a FROZEN quantizer for
+    * q_dedup_incr_semantic: [[kdqAssign]] walks the persisted tables
+    * to assign NEW vectors without refitting, and since every cut is
+    * an exact min/max plus pinned double arithmetic, the whole walk
+    * (build + assignment) replays bit-for-bit in DuckDB — the r16→r17
+    * oracle-N → oracle-checked conversion. The split frames reference
+    * the same lazy per-round plans the assignment consumed (exact
+    * order-free aggregates, deterministic argmax), so what persists
+    * is exactly what was applied; like the assignment they must be
+    * consumed before [[ScratchCache.releaseAll]] frees the round
+    * checkpoints. */
+  private[graft] def kdQuantizeWithSplits(vecs: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
+    val splitRounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val bits =
       if (k <= 1) 0
       else 32 - Integer.numberOfLeadingZeros(k - 1) // = ceil(log2(k))
@@ -1231,6 +1250,8 @@ object DedupSim {
           struct((col("mx") - col("mn")).as("sp"), -col("pos"))).as("w"))
         .select(col("list_id"), col("w.sdim").as("sdim"),
           col("w.mn").as("mn"), col("w.mx").as("mx"))
+      splitRounds += sdc.select(lit(r + 1).as("round"), col("list_id"),
+        col("sdim"), col("mn"), col("mx"), lit(fanout.toLong).as("fanout"))
       // ≤ 2^(4·round) split rows joined back for the assignment. A
       // SHUFFLE_HASH join, not broadcast: broadcast exchanges submit
       // their build job during doExecute — i.e. during this lazy
@@ -1257,6 +1278,49 @@ object DedupSim {
         .localCheckpoint(false))
       ScratchCache.defer(() => GraphOps.unpersistCheckpoint(next))
       cur = next
+    }
+    val emptySplits = vecs.sparkSession.range(0)
+      .select(lit(0).as("round"), lit(0L).as("list_id"),
+        lit(0).as("sdim"), lit(0d).as("mn"), lit(0d).as("mx"),
+        lit(1L).as("fanout"))
+    (cur, splitRounds.reduceOption(_ unionByName _).getOrElse(emptySplits))
+  }
+
+  /** Assign `vecs` (vec_id + v, any passthrough columns, no list_id)
+    * through a FROZEN [[kdQuantizeWithSplits]] quantizer: one
+    * broadcast join per persisted round, replaying the build's exact
+    * bucket arithmetic — a history vector re-assigns to exactly the
+    * list the build gave it. A new vector can reach a list no history
+    * vector occupied (no split row at the next round): it then takes
+    * bucket 0 deterministically — a vector-only rule, so identical
+    * batch vectors always share a final list (the within-batch dup
+    * contract), and every descendant of a history-empty list is
+    * history-empty, so the fallback can never manufacture history
+    * candidates. Scale shape: R = ⌈log₂k/4⌉ broadcast joins of a
+    * ≤ k-row table each — batch-sized work, zero history scans. */
+  private[graft] def kdqAssign(vecs: DataFrame, splits: DataFrame)
+      : DataFrame = {
+    val passCols = vecs.columns.map(col).toSeq
+    // per-round fanouts: a ≤ ⌈log₂k/4⌉-row driver read of the artifact
+    val rf = splits.select(col("round"), col("fanout")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // non-foldable 0, same reason as kdQuantize round 0
+    var cur = vecs.withColumn("list_id",
+      pmod(xxhash64(col("vec_id")), lit(1L)))
+    for ((r, f) <- rf) {
+      val sp = broadcast(splits.filter(col("round") === r)
+        .select(col("list_id"), col("sdim"), col("mn"), col("mx")))
+      cur = cur.join(sp, Seq("list_id"), "left")
+        .withColumn("sv", element_at(col("v"), col("sdim") + 1))
+        .withColumn("half",
+          when(col("sdim").isNull, lit(0L))
+            .when(col("mx") > col("mn"),
+              least(lit(f - 1L),
+                floor((col("sv") - col("mn")) / (col("mx") - col("mn"))
+                  * lit(f.toDouble))))
+            .otherwise(pmod(col("vec_id"), lit(f))))
+        .select(passCols :+ (col("list_id") * f + col("half"))
+          .as("list_id"): _*)
     }
     cur
   }
@@ -1726,12 +1790,14 @@ object DedupSim {
     * multimodal 100 TB training-data pipeline runs daily: new
     * embeddings arrive and must be admitted against the corpus-so-far
     * WITHOUT re-embedding, re-training or re-scanning history. The
-    * standing index is the [[simAnnIvfIndex]] artifact built ONCE from
-    * history: the [[learnedCentroids]] quantizer (k rows, then FROZEN
-    * — the production reality; retraining would reshuffle every list)
-    * beside the `partitionBy(list_id)` inverted lists. Admitting a
-    * batch: assign the BATCH ONLY on the frozen quantizer (one
-    * broadcast of k rows), read history candidates from the touched
+    * standing index is built ONCE from history: the
+    * [[kdQuantizeWithSplits]] equal-width kd-cut tables (≤ k rows,
+    * then FROZEN — the production reality; refitting would reshuffle
+    * every list) beside the `partitionBy(list_id)` inverted lists,
+    * k = ⌈√N⌉ (the [[dedupSemantic]] SemDeDup list-count contract).
+    * Admitting a batch: assign the BATCH ONLY on the frozen split
+    * tables ([[kdqAssign]] — one broadcast join per round), read
+    * history candidates from the touched
     * inverted lists via a STATIC `list_id IN (...)` partition filter
     * (the touched-list set is a ≤ k-row driver read of the batch
     * assignment — bounded by the quantizer size, not the data), verify
@@ -1751,14 +1817,18 @@ object DedupSim {
     * trade); ≡ 7 (mod 25) enters REVERSED (unrelated direction,
     * cos ≪ τ) TWICE (+3e6 kept, +4e6 dup_batch).
     *
-    * No DuckDB oracle (the float-iteration-learned quantizer — the
-    * q_sim_ann_ivf / q_dedup_incr_near precedent); the gate is
-    * DedupSimSpec's EQUIVALENCE PROOF: admission against the standing
-    * index ≡ the from-scratch within-list semantic dedup of
-    * history ∪ batch under the SAME frozen quantizer, restricted to
-    * the batch (per-vector case-by-case), idempotent re-ingest after
-    * index growth, and the admission plan asserted to read the index
-    * artifact, never the embeddings parquet, on the history side.
+    * ORACLE-CHECKED since r17 (the r16 verdict's ask #2): the
+    * persisted split tables make the whole key SQL-replayable —
+    * DuckDB rebuilds the history quantizer (exact min/max cuts,
+    * pinned double bucket arithmetic), walks the batch through the
+    * same tables, and replays the within-list cosine ≥ τ decisions
+    * (OracleSql.incrSemanticSql). DedupSimSpec additionally keeps the
+    * EQUIVALENCE PROOF: admission against the standing index ≡ the
+    * from-scratch within-list semantic dedup of history ∪ batch under
+    * the SAME frozen quantizer, restricted to the batch (per-vector
+    * case-by-case), idempotent re-ingest after index growth, and the
+    * admission plan asserted to read the index artifact, never the
+    * embeddings parquet, on the history side.
     *
     * Scale shape: batch-sized assign (broadcast k-row quantizer) +
     * one partition-pruned scan of the touched lists + within-list
@@ -1773,18 +1843,32 @@ object DedupSim {
     val name = pfx + datasetFingerprint(s, s"$d/embeddings.parquet")
     val dir = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), name).toString
-    if (!new java.io.File(s"$dir/lists/_SUCCESS").exists()) {
+    // gate on BOTH artifacts: an index written by an older layout (or
+    // a build killed between the two writes) rebuilds instead of
+    // half-loading
+    if (!new java.io.File(s"$dir/lists/_SUCCESS").exists() ||
+        !new java.io.File(s"$dir/splits/_SUCCESS").exists()) {
       Tables.refresh(s, d, "embeddings") // see dedupIncr (ADVICE r15)
       dropStaleIndexDirs(pfx, name)
-      val cent = ScratchCache.cache(
-        learnedCentroids(Tables.embeddings(s, d), k = 10))
-      cent.write.mode("overwrite").parquet(s"$dir/quantizer")
-      ivfAssign(Tables.embeddings(s, d), cent).write.mode("overwrite")
-        .partitionBy("list_id").parquet(s"$dir/lists")
+      val e = ScratchCache.cache(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v")))
+      // k = ⌈√N⌉, the SemDeDup list-count contract of dedupSemantic
+      // (within-list candidate volume Σ(N/k)²·k = N^1.5 at k = √N)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val (asg, splits) =
+        kdQuantizeWithSplits(e.select(col("vec_id"), col("v")), k)
+      // splits first, the _SUCCESS-gated lists last — a partial build
+      // (killed between the writes) re-enters this branch and rebuilds
+      splits.write.mode("overwrite").parquet(s"$dir/splits")
+      asg.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("vec_id"), col("label"), col("v"), col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/lists")
       ScratchCache.releaseAll()
     }
     dedupIncrSemanticAdmit(dedupIncrSemanticBatch(Tables.embeddings(s, d)),
-      s.read.parquet(s"$dir/quantizer"), s.read.parquet(s"$dir/lists"),
+      s.read.parquet(s"$dir/splits"), s.read.parquet(s"$dir/lists"),
       tau = 0.999)
   }
 
@@ -1827,15 +1911,19 @@ object DedupSim {
           reverse(col("embedding")).as("embedding")))
   }
 
-  /** Admit `batch` (vec_id, label, embedding) against the standing IVF
-    * index (`cent` (list_id, cv) + `lists` (vec_id, label, v,
-    * list_id)): batch assignment is computed in-flight on the frozen
-    * quantizer; history is touched ONLY through the inverted lists,
-    * partition-pruned to the batch's touched list ids (a ≤ k-row
-    * driver read). */
+  /** Admit `batch` (vec_id, label, embedding) against the standing
+    * kd-tree index (`splits` — the [[kdQuantizeWithSplits]] per-round
+    * cut tables — + `lists` (vec_id, label, v, list_id)): batch
+    * assignment is computed in-flight by [[kdqAssign]] on the frozen
+    * split tables; history is touched ONLY through the inverted
+    * lists, partition-pruned to the batch's touched list ids (a
+    * ≤ k-row driver read). */
   private[graft] def dedupIncrSemanticAdmit(batch: DataFrame,
-      cent: DataFrame, lists: DataFrame, tau: Double): DataFrame = {
-    val asg = ScratchCache.cache(ivfAssign(batch, cent))
+      splits: DataFrame, lists: DataFrame, tau: Double): DataFrame = {
+    val asg = ScratchCache.cache(kdqAssign(
+      batch.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")),
+      splits))
     // touched lists: bounded by the quantizer size k, never the data —
     // collected so the list scan carries a STATIC partition filter
     val touched = asg.select(col("list_id")).distinct()

@@ -249,26 +249,34 @@ object OracleSql {
     * static quantizer rounds cover bits ≤ 12 (k ≤ 4096, N ≤ ~16.7M
     * vectors — far beyond every swept SF; the Scala side handles any
     * N); a round whose fanout is 1 is a no-op on both sides. */
+  /** The 3 static grouped 16-way quantizer round CTEs (mm/wd/a 1..3)
+    * over CTEs named `vx` (exploded positions), `a0` (round-0
+    * assignment) and `prm` (per-round fanouts f1..f3) — the SQL twin
+    * of kdQuantize's equal-width rounds, shared by semanticSql and
+    * incrSemanticSql. Covers bits ≤ 12 (k ≤ 4096); a round whose
+    * fanout is 1 is a no-op on both sides. */
+  private def kdqRoundCtes: String = (1 to 3).map { r =>
+    s"""mm$r AS MATERIALIZED (SELECT a.list_id, u.pos,
+      |  MIN(u.x) AS mn, MAX(u.x) AS mx
+      |  FROM a${r - 1} a JOIN vx u ON a.vec_id = u.vec_id
+      |  GROUP BY 1, 2),
+      |wd$r AS MATERIALIZED (SELECT list_id, pos, mn, mx FROM (
+      |  SELECT list_id, pos, mn, mx, ROW_NUMBER() OVER (
+      |    PARTITION BY list_id ORDER BY (mx - mn) DESC, pos ASC) AS rn
+      |  FROM mm$r) t WHERE rn = 1),
+      |a$r AS MATERIALIZED (SELECT a.vec_id,
+      |  a.list_id * (SELECT f$r FROM prm) + CASE
+      |    WHEN (SELECT f$r FROM prm) = 1 THEN 0
+      |    WHEN w.mx > w.mn THEN LEAST((SELECT f$r FROM prm) - 1,
+      |      CAST(FLOOR((u.x - w.mn) / (w.mx - w.mn)
+      |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT))
+      |    ELSE a.vec_id % (SELECT f$r FROM prm) END AS list_id
+      |  FROM a${r - 1} a JOIN wd$r w ON a.list_id = w.list_id
+      |  JOIN vx u ON a.vec_id = u.vec_id AND u.pos = w.pos)""".stripMargin
+  }.mkString(",\n")
+
   private def semanticSql(tau: Double, ccRounds: Int): String = {
-    val rounds = (1 to 3).map { r =>
-      s"""mm$r AS MATERIALIZED (SELECT a.list_id, u.pos,
-        |  MIN(u.x) AS mn, MAX(u.x) AS mx
-        |  FROM a${r - 1} a JOIN vx u ON a.vec_id = u.vec_id
-        |  GROUP BY 1, 2),
-        |wd$r AS MATERIALIZED (SELECT list_id, pos, mn, mx FROM (
-        |  SELECT list_id, pos, mn, mx, ROW_NUMBER() OVER (
-        |    PARTITION BY list_id ORDER BY (mx - mn) DESC, pos ASC) AS rn
-        |  FROM mm$r) t WHERE rn = 1),
-        |a$r AS MATERIALIZED (SELECT a.vec_id,
-        |  a.list_id * (SELECT f$r FROM prm) + CASE
-        |    WHEN (SELECT f$r FROM prm) = 1 THEN 0
-        |    WHEN w.mx > w.mn THEN LEAST((SELECT f$r FROM prm) - 1,
-        |      CAST(FLOOR((u.x - w.mn) / (w.mx - w.mn)
-        |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT))
-        |    ELSE a.vec_id % (SELECT f$r FROM prm) END AS list_id
-        |  FROM a${r - 1} a JOIN wd$r w ON a.list_id = w.list_id
-        |  JOIN vx u ON a.vec_id = u.vec_id AND u.pos = w.pos)""".stripMargin
-    }.mkString(",\n")
+    val rounds = kdqRoundCtes
     val cc = (1 to ccRounds).map { k =>
       s"""t$k AS MATERIALIZED (SELECT ue.a AS node,
         |  MIN(LEAST(la.comp, lb.comp)) AS comp FROM ue
@@ -327,12 +335,107 @@ object OracleSql {
       |GROUP BY v.label ORDER BY v.label""".stripMargin
   }
 
+  /** q_dedup_incr_semantic's DuckDB twin (r17, converting the key
+    * from oracle-N to oracle-checked after the standing index moved
+    * from the learned IVF quantizer to persisted kdQuantize split
+    * tables): replays the HISTORY quantizer build (k = ⌈√N⌉, the same
+    * 3 static grouped rounds as semanticSql), the planted batch
+    * (+1e6 verbatim / +2e6 dim-0-perturbed / +3e6 and +4e6 reversed),
+    * the batch walk through the FROZEN split tables (LEFT joins;
+    * history-empty lists take bucket 0, degenerate lists vec_id % f —
+    * the kdqAssign rules), and the within-list cosine ≥ τ admission
+    * decisions with dup_index precedence over dup_batch. */
+  private def incrSemanticSql(tau: Double): String = {
+    val bAssign = (1 to 3).map { r =>
+      s"""b$r AS MATERIALIZED (SELECT b.vec_id,
+        |  b.list_id * (SELECT f$r FROM prm) + CASE
+        |    WHEN (SELECT f$r FROM prm) = 1 THEN 0
+        |    WHEN w.list_id IS NULL THEN 0
+        |    WHEN w.mx > w.mn THEN LEAST((SELECT f$r FROM prm) - 1,
+        |      CAST(FLOOR((u.x - w.mn) / (w.mx - w.mn)
+        |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT))
+        |    ELSE b.vec_id % (SELECT f$r FROM prm) END AS list_id
+        |  FROM b${r - 1} b LEFT JOIN wd$r w ON b.list_id = w.list_id
+        |  LEFT JOIN bx u ON b.vec_id = u.vec_id
+        |    AND u.pos = w.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, label,
+      |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM vecs),
+      |par AS (SELECT CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS k
+      |  FROM cnt),
+      |bt AS (SELECT COALESCE(MIN(b), 0) AS bits
+      |  FROM (SELECT unnest(range(0, 31)) AS b) bb, par
+      |  WHERE (1::BIGINT << CAST(b AS INT)) >= k),
+      |prm AS MATERIALIZED (SELECT
+      |  (1::BIGINT << CAST(LEAST(4, bits) AS INT)) AS f1,
+      |  (1::BIGINT << CAST(GREATEST(0, LEAST(4, bits - 4)) AS INT)) AS f2,
+      |  (1::BIGINT << CAST(GREATEST(0, LEAST(4, bits - 8)) AS INT)) AS f3
+      |  FROM bt),
+      |vx AS MATERIALIZED (SELECT vec_id, pos,
+      |  CAST(v[CAST(pos AS INT)] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS pos
+      |        FROM vecs) t),
+      |a0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS list_id
+      |  FROM vecs),
+      |$kdqRoundCtes,
+      |batch AS MATERIALIZED (
+      |  SELECT vec_id + 1000000 AS vec_id, label, v
+      |    FROM vecs WHERE vec_id % 25 = 0
+      |  UNION ALL SELECT vec_id + 2000000, label,
+      |    list_transform(v, (x, i) ->
+      |      CASE WHEN i = 1 THEN x + 0.001 ELSE x END)
+      |    FROM vecs WHERE vec_id % 25 = 3
+      |  UNION ALL SELECT vec_id + 3000000, label,
+      |    list_transform(range(1, len(v) + 1), i ->
+      |      v[CAST(len(v) + 1 - i AS INT)])
+      |    FROM vecs WHERE vec_id % 25 = 7
+      |  UNION ALL SELECT vec_id + 4000000, label,
+      |    list_transform(range(1, len(v) + 1), i ->
+      |      v[CAST(len(v) + 1 - i AS INT)])
+      |    FROM vecs WHERE vec_id % 25 = 7),
+      |bx AS MATERIALIZED (SELECT vec_id, pos,
+      |  CAST(v[CAST(pos AS INT)] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS pos
+      |        FROM batch) t),
+      |b0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS list_id FROM batch),
+      |$bAssign,
+      |di AS (SELECT DISTINCT b.vec_id FROM b3 b
+      |  JOIN a3 h ON b.list_id = h.list_id
+      |  JOIN batch vb ON b.vec_id = vb.vec_id
+      |  JOIN vecs vh ON h.vec_id = vh.vec_id
+      |  WHERE list_dot_product(vb.v, vh.v)
+      |    / (sqrt(list_dot_product(vb.v, vb.v))
+      |       * sqrt(list_dot_product(vh.v, vh.v))) >= $tau),
+      |db AS (SELECT DISTINCT y.vec_id FROM b3 x
+      |  JOIN b3 y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+      |  JOIN batch va ON x.vec_id = va.vec_id
+      |  JOIN batch vbb ON y.vec_id = vbb.vec_id
+      |  WHERE list_dot_product(va.v, vbb.v)
+      |    / (sqrt(list_dot_product(va.v, va.v))
+      |       * sqrt(list_dot_product(vbb.v, vbb.v))) >= $tau)
+      |SELECT b.vec_id, b.label,
+      |  CASE WHEN di.vec_id IS NOT NULL THEN 'dup_index'
+      |    WHEN db.vec_id IS NOT NULL THEN 'dup_batch'
+      |    ELSE 'kept' END AS decision
+      |FROM batch b
+      |LEFT JOIN di ON b.vec_id = di.vec_id
+      |LEFT JOIN db ON b.vec_id = db.vec_id
+      |ORDER BY b.vec_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     // q_emb_pca: the 50-step quantized power iteration unrolled as
     // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
     // conversion
     "q_emb_pca" -> pcaSql(iters = 50, dim = 64),
+
+    // q_dedup_incr_semantic: history kd-quantizer build + frozen-table
+    // batch walk + within-list cosine admission ledger, replayed
+    // end-to-end (see incrSemanticSql) — r17's oracle-N → oracle
+    // conversion (VERDICT r16 ask #2)
+    "q_dedup_incr_semantic" -> incrSemanticSql(tau = 0.999),
 
     // q_dedup_semantic: the equal-width quantizer + within-list
     // cosine + CC + collapse ledger, replayed end-to-end (see

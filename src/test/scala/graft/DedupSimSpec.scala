@@ -165,9 +165,35 @@ class DedupSimSpec extends GraftSuite {
       (14L, 0L, Seq(0.7, 0.0, 0.0, 0.7)),  // dup of 13       -> dup_batch
       (15L, 1L, Seq(0.0, 0.7, 0.0, -0.7))) // new direction   -> kept
       .toDF("vec_id", "label", "embedding")
-    val cent = DedupSim.learnedCentroids(hist, k = 2)
-    val lists = DedupSim.ivfAssign(hist, cent)
-    val got = DedupSim.dedupIncrSemanticAdmit(batch, cent, lists, 0.999)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // k = 2 equal-width kd quantizer: the widest dim over hist is
+    // dim 0 (range 1.5, dim-2 tie broken to the lower dim), cut at
+    // 0.75 — direction-0 vectors land in bucket 1, the rest bucket 0.
+    // Persist the artifact pair like the real key does (the lazy
+    // build frames reference round checkpoints that releaseAll frees)
+    val art = java.nio.file.Files
+      .createTempDirectory("graft_semkdq").toString
+    val (histAsg, splitsB) = DedupSim.kdQuantizeWithSplits(
+      prep(hist).select(col("vec_id"), col("v")), k = 2)
+    splitsB.write.mode("overwrite").parquet(s"$art/splits")
+    histAsg.join(prep(hist).select(col("vec_id"), col("label")), "vec_id")
+      .write.mode("overwrite").parquet(s"$art/lists")
+    ScratchCache.releaseAll()
+    val splits = spark.read.parquet(s"$art/splits")
+    val lists = spark.read.parquet(s"$art/lists")
+    // a history vector walked through the frozen tables re-assigns to
+    // exactly the list the build gave it
+    val rebuilt = DedupSim.kdqAssign(
+        prep(hist).select(col("vec_id"), col("v")), splits)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ScratchCache.releaseAll()
+    val built = lists.select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rebuilt == built, s"rebuilt=$rebuilt built=$built")
+    val got = DedupSim.dedupIncrSemanticAdmit(batch, splits, lists, 0.999)
       .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
     ScratchCache.releaseAll()
     assert(got == Seq(11L -> "dup_index", 12L -> "dup_index",
@@ -175,8 +201,8 @@ class DedupSimSpec extends GraftSuite {
     // FROM-SCRATCH EQUIVALENCE under the same frozen quantizer: assign
     // history ∪ batch, enumerate within-list cosine ≥ τ pairs, restrict
     // to the batch with the same precedence rule
-    val allAsg = DedupSim.ivfAssign(
-      hist.unionByName(batch), cent)
+    val allAsg = DedupSim.kdqAssign(
+      prep(hist.unionByName(batch)), splits)
     val pairs = allAsg.as("x").join(allAsg.as("y"),
         col("x.list_id") === col("y.list_id") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -197,9 +223,9 @@ class DedupSimSpec extends GraftSuite {
     // idempotent re-ingest: admitting the same batch against
     // index ∪ kept-batch-vectors re-classifies everything as dup_index
     val keptIds = got.filter(_._2 == "kept").map(_._1)
-    val keptAsg = DedupSim.ivfAssign(
-      batch.filter(col("vec_id").isin(keptIds: _*)), cent)
-    val again = DedupSim.dedupIncrSemanticAdmit(batch, cent,
+    val keptAsg = DedupSim.kdqAssign(
+      prep(batch.filter(col("vec_id").isin(keptIds: _*))), splits)
+    val again = DedupSim.dedupIncrSemanticAdmit(batch, splits,
         lists.unionByName(keptAsg), 0.999)
       .collect().map(_.getString(2)).toSet
     ScratchCache.releaseAll()
@@ -215,7 +241,7 @@ class DedupSimSpec extends GraftSuite {
       .get(System.getProperty("java.io.tmpdir"), name).toString
     val plan = DedupSim.dedupIncrSemanticAdmit(
         DedupSim.dedupIncrSemanticBatch(Tables.embeddings(spark, d)),
-        spark.read.parquet(s"$dir/quantizer"),
+        spark.read.parquet(s"$dir/splits"),
         spark.read.parquet(s"$dir/lists"), 0.999)
       .queryExecution.executedPlan.toString
     ScratchCache.releaseAll()
@@ -235,17 +261,24 @@ class DedupSimSpec extends GraftSuite {
       (1L, 0L, vec(0, 0.0)), (2L, 0L, vec(0, 0.5)),
       (3L, 1L, vec(1, 0.0)), (4L, 1L, vec(1, 0.5)))
       .toDF("vec_id", "label", "embedding")
-    val cent = DedupSim.learnedCentroids(hist, k = 2)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_sem_prune").toString
-    DedupSim.ivfAssign(hist, cent).write.mode("overwrite")
-      .partitionBy("list_id").parquet(s"$tmp/lists")
+    val (histAsg, splitsB) = DedupSim.kdQuantizeWithSplits(
+      prep(hist).select(col("vec_id"), col("v")), k = 2)
+    splitsB.write.mode("overwrite").parquet(s"$tmp/splits")
+    histAsg.join(prep(hist).select(col("vec_id"), col("label")), "vec_id")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$tmp/lists")
     ScratchCache.releaseAll()
     // a batch living entirely in direction-0 touches ONE of the two
     // inverted lists — the scan must list/read only that directory
     val batch = Seq((21L, 0L, vec(0, 0.002)), (22L, 0L, vec(0, 0.3)))
       .toDF("vec_id", "label", "embedding")
-    val out = DedupSim.dedupIncrSemanticAdmit(batch, cent,
+    val out = DedupSim.dedupIncrSemanticAdmit(batch,
+      spark.read.parquet(s"$tmp/splits"),
       spark.read.parquet(s"$tmp/lists"), 0.999)
     assert(out.collect().map(_.getString(2)).toSeq ==
       Seq("dup_index", "dup_index"))
