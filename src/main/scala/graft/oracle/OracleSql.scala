@@ -424,12 +424,99 @@ object OracleSql {
       |ORDER BY b.vec_id""".stripMargin
   }
 
+  /** q_text_classifier_train's DuckDB twin (r17, converting the key
+    * from oracle-N to oracle-checked under the blessed contract
+    * change): the logistic link became the PINNED-RATIONAL sigmoid
+    * p = 0.5·(1 + m/(1+|m|)) and the eval loss the Brier score —
+    * +, ·, / and abs only, so every per-row double is bit-identical
+    * across engines, and the DECIMAL(28,14) gradient sums replay
+    * exactly. The `iters` full-batch rounds unroll as MATERIALIZED
+    * CTE pairs (gradient aggregate → 1-row weight update), the
+    * q_emb_pca idiom. */
+  private def classifierTrainSql(iters: Int): String = {
+    def mExpr(w: String) =
+      s"($w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3 + $w.w4 * x4)"
+    def pExpr(w: String) =
+      s"(0.5 * (1.0 + ${mExpr(w)} / (1.0 + abs(${mExpr(w)}))))"
+    val rounds = (1 to iters).map { r =>
+      val pw = s"w${r - 1}"
+      val p = pExpr(pw)
+      s"""g$r AS MATERIALIZED (SELECT COUNT(*) AS n,
+        |  SUM(CAST(($p - y) AS DECIMAL(28,14))) AS g0,
+        |  SUM(CAST(($p - y) * x1 AS DECIMAL(28,14))) AS g1,
+        |  SUM(CAST(($p - y) * x2 AS DECIMAL(28,14))) AS g2,
+        |  SUM(CAST(($p - y) * x3 AS DECIMAL(28,14))) AS g3,
+        |  SUM(CAST(($p - y) * x4 AS DECIMAL(28,14))) AS g4
+        |  FROM ft, $pw),
+        |w$r AS MATERIALIZED (SELECT
+        |  $pw.w0 - CAST(g$r.g0 AS DOUBLE) / CAST(g$r.n AS DOUBLE) AS w0,
+        |  $pw.w1 - CAST(g$r.g1 AS DOUBLE) / CAST(g$r.n AS DOUBLE) AS w1,
+        |  $pw.w2 - CAST(g$r.g2 AS DOUBLE) / CAST(g$r.n AS DOUBLE) AS w2,
+        |  $pw.w3 - CAST(g$r.g3 AS DOUBLE) / CAST(g$r.n AS DOUBLE) AS w3,
+        |  $pw.w4 - CAST(g$r.g4 AS DOUBLE) / CAST(g$r.n AS DOUBLE) AS w4
+        |  FROM $pw, g$r)""".stripMargin
+    }.mkString(",\n")
+    val pF = pExpr(s"w$iters")
+    s"""WITH f AS (SELECT lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |  CAST(len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT)
+      |    AS ns,
+      |  CAST(length(text) AS BIGINT) AS nc,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+      |    'g')) AS BIGINT) AS nd,
+      |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+      |    AS nsp
+      |  FROM documents),
+      |ft AS MATERIALIZED (SELECT
+      |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |  CAST((ns * 1000000) // nt AS DOUBLE) / 1000000.0 AS x1,
+      |  CAST((nd * 1000000) // greatest(nc, 1) AS DOUBLE) / 1000000.0
+      |    AS x2,
+      |  CAST((least(nt, 256) * 1000000) // 256 AS DOUBLE) / 1000000.0
+      |    AS x3,
+      |  CAST(((nc - nsp) * 1000000) // (nt * 8) AS DOUBLE) / 1000000.0
+      |    AS x4
+      |  FROM f),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+      |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+      |  CAST(0 AS DOUBLE) AS w4),
+      |$rounds,
+      |met AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(y AS DECIMAL(28,14))) AS npos,
+      |  SUM(CASE WHEN (CASE WHEN $pF >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+      |    THEN 1 ELSE 0 END) AS ncorrect,
+      |  SUM(CAST(($pF - y) * ($pF - y) AS DECIMAL(28,14))) AS se
+      |  FROM ft, w$iters)
+      |SELECT term, value FROM (
+      |  SELECT 'accuracy' AS term,
+      |    ROUND(CAST(ncorrect AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      AS value FROM met
+      |  UNION ALL SELECT 'brier',
+      |    ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM met
+      |  UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM met
+      |  UNION ALL SELECT 'n_positive',
+      |    ROUND(CAST(npos AS DOUBLE), 6) FROM met
+      |  UNION ALL SELECT 'w_bias', ROUND(w0, 6) FROM w$iters
+      |  UNION ALL SELECT 'w_stop', ROUND(w1, 6) FROM w$iters
+      |  UNION ALL SELECT 'w_digit', ROUND(w2, 6) FROM w$iters
+      |  UNION ALL SELECT 'w_len', ROUND(w3, 6) FROM w$iters
+      |  UNION ALL SELECT 'w_wlen', ROUND(w4, 6) FROM w$iters)
+      |ORDER BY term""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     // q_emb_pca: the 50-step quantized power iteration unrolled as
     // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
     // conversion
     "q_emb_pca" -> pcaSql(iters = 50, dim = 64),
+
+    // q_text_classifier_train: pinned-rational sigmoid + Brier score,
+    // 16 unrolled decimal-gradient rounds (see classifierTrainSql) —
+    // r17's oracle-N → oracle conversion (VERDICT r16 ask #3, blessed
+    // contract change)
+    "q_text_classifier_train" -> classifierTrainSql(iters = 16),
 
     // q_dedup_incr_semantic: history kd-quantizer build + frozen-table
     // batch walk + within-list cosine admission ledger, replayed

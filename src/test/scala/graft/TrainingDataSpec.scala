@@ -113,9 +113,12 @@ class TrainingDataSpec extends GraftSuite {
         r.getDouble(3), r.getDouble(4)))
     val w = Array.fill(5)(0.0)
     val n = feats.length.toDouble
-    def p(f: (Double, Double, Double, Double, Double)): Double =
-      1.0 / (1.0 + math.exp(-(w(0) + w(1) * f._2 + w(2) * f._3 +
-        w(3) * f._4 + w(4) * f._5)))
+    // the pinned-rational sigmoid, op-for-op (see classifierTrainOn)
+    def p(f: (Double, Double, Double, Double, Double)): Double = {
+      val m = w(0) + w(1) * f._2 + w(2) * f._3 +
+        w(3) * f._4 + w(4) * f._5
+      0.5 * (1.0 + m / (1.0 + math.abs(m)))
+    }
     for (_ <- 1 to 16) {
       val sums = Array.fill(5)(BigDecimal(0))
       feats.foreach { f =>
