@@ -79,22 +79,33 @@ object DedupSim {
     * of /data/sf1/extra's names, so [[dropStaleIndexes]]' prefix match
     * could drop a nested/sibling dataset's LIVE index and delete its
     * files (ADVICE r15); the raw-path hash makes each dataset's
-    * namespace disjoint (`..._<hash>_` never prefixes a different
-    * path's `..._<hash'>_` since both hashes are fixed-width). */
+    * namespace disjoint for every realistic path. One contrived
+    * residual remained (ADVICE r16): a path that literally embeds
+    * another dataset's sanitized name plus its 8-hex md5 could still
+    * make that dataset's prefix a string-prefix of this one's names —
+    * so [[dropStaleIndexes]] / [[dropStaleIndexDirs]] now match the
+    * FULL name shape (anchored `prefix + 16-hex fingerprint`), never
+    * a bare startsWith, and a live sibling index can only be dropped
+    * if its entire name collides. */
   private[graft] def indexPrefix(kind: String, d: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     kind + "_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h + "_"
   }
 
-  /** Drop every standing index table whose name starts with `prefix`
-    * but is not `keep`, plus its tmpdir parquet — without this, every
-    * corpus regeneration would leak a stale fingerprint-named table
-    * and its files for the life of the metastore (ADVICE r14). */
+  /** Drop every standing index table named `prefix` + a 16-hex
+    * [[datasetFingerprint]] (the full anchored name shape — see the
+    * [[indexPrefix]] scaladoc for why a bare startsWith is not
+    * enough) that is not `keep`, plus its tmpdir parquet — without
+    * this, every corpus regeneration would leak a stale
+    * fingerprint-named table and its files for the life of the
+    * metastore (ADVICE r14). */
   private[graft] def dropStaleIndexes(s: SparkSession, prefix: String,
-      keep: String): Unit =
+      keep: String): Unit = {
+    val shape =
+      (java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{16}").r
     s.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith(prefix) && n != keep)
+      .filter(n => shape.matches(n) && n != keep)
       .foreach { n =>
         s.sql(s"DROP TABLE IF EXISTS `$n`")
         val p = new org.apache.hadoop.fs.Path(java.nio.file.Paths
@@ -102,6 +113,7 @@ object DedupSim {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
+  }
 
   /** q_dedup_incr — STANDING-INDEX incremental dedup (r13): the
     * signature index of the corpus-so-far is persisted ONCE as a
@@ -1874,16 +1886,19 @@ object DedupSim {
 
   /** Delete stale fingerprint-named index DIRECTORIES under tmpdir
     * (the filesystem twin of [[dropStaleIndexes]] for parquet-artifact
-    * indexes that have no metastore entry). */
+    * indexes that have no metastore entry; same anchored
+    * `prefix + 16-hex` name shape, never a bare startsWith). */
   private[graft] def dropStaleIndexDirs(prefix: String, keep: String)
       : Unit = {
+    val shape =
+      (java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{16}").r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix) && f.getName != keep)
+      .filter(f => shape.matches(f.getName) && f.getName != keep)
       .foreach(rm)
   }
 

@@ -690,6 +690,14 @@ object GraphOps {
       .orderBy(col("harmonic6").desc, col("node")).limit(20)
   }
 
+  /** The q_graph_ecc demo key's landmark count and hop bound — shared
+    * with the DuckDB twin (OracleSql interpolates BOTH into the
+    * recursive-CTE hop guard and the radius_ub/radius_bounded label
+    * split), so changing the key here can never silently diverge from
+    * the oracle (ADVICE r15). */
+  val eccDemoLandmarks = 8
+  val eccDemoMaxHop = 3
+
   /** q_graph_ecc — bounded-hop ECCENTRICITY / DIAMETER / RADIUS bounds
     * from the landmark BFS (r14, completing the landmark family beside
     * closeness and the two betweenness variants): per node the
@@ -716,14 +724,6 @@ object GraphOps {
     * All hops are exact integers — fully oracle-checked. Scale shape:
     * the [[landmarkHops]] BFS (state O(K·V)) + three tiny hash aggs;
     * nothing beyond the closeness contract. */
-  /** The q_graph_ecc demo key's landmark count and hop bound — shared
-    * with the DuckDB twin (OracleSql interpolates BOTH into the
-    * recursive-CTE hop guard and the radius_ub/radius_bounded label
-    * split), so changing the key here can never silently diverge from
-    * the oracle (ADVICE r15). */
-  val eccDemoLandmarks = 8
-  val eccDemoMaxHop = 3
-
   def eccentricity(s: SparkSession, d: String): DataFrame =
     eccentricityOn(Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)

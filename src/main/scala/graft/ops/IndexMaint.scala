@@ -16,11 +16,13 @@ import graft.Tables
   * linearly with appends and eventually eats the probe advantage — a
   * real pipeline compacts hot partitions on a cadence. [[compact]]
   * rewrites every partition directory holding ≥ `minFiles` data files
-  * into a single file (Spark dynamic partition overwrite — untouched
-  * partitions keep their files byte-for-byte) and returns the audit
+  * into a single file via a sibling staging write + per-partition
+  * atomic rename swap (untouched partitions keep their files
+  * byte-for-byte, and a kill at any point is detected and repaired on
+  * the next call — see the compact scaladoc) and returns the audit
   * ledger; AnnLshSpec proves probe-result equality before/after over
-  * the REAL `q_sim_ann_ivf_append` artifact and that appends keep
-  * working after a compaction.
+  * the REAL `q_sim_ann_ivf_append` artifact, that appends keep
+  * working after a compaction, and the kill-mid-swap recovery.
   */
 object IndexMaint {
 
@@ -46,30 +48,86 @@ object IndexMaint {
 
   /** Rewrite every partition directory of `dir` holding ≥ `minFiles`
     * data files into ONE file. Only the hot partitions' rows are
-    * rewritten (dynamic partition overwrite replaces exactly the
-    * directories present in the written frame); the rewrite
-    * repartitions by the partition column so each directory lands as a
-    * single file. Returns the hot partition values that were
-    * compacted. */
+    * rewritten; the rewrite repartitions by the partition column so
+    * each directory lands as a single file. Returns the hot partition
+    * values that were compacted.
+    *
+    * CRASH SAFETY (r16 ADVICE): the rewrite never reads and
+    * overwrites the live path in one job. The compacted hot
+    * partitions are written to a SIBLING staging directory first;
+    * only after that write commits does the swap run, one atomic
+    * directory rename pair per partition (live → aside, staged →
+    * live). Every kill point leaves each partition wholly pre- or
+    * wholly post-compaction except the instant between a pair's two
+    * renames — and that window is DETECTED and repaired by
+    * [[recoverInterrupted]] on the next call (the parked aside copy
+    * is restored when the live dir is missing), so a partial failure
+    * can never be silently served as a thinner index. A second
+    * compact() after success is a no-op: every compacted directory
+    * holds one file, below any sane `minFiles`. */
   def compact(s: SparkSession, dir: String, partCol: String,
       minFiles: Int): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-staging")
+    val aside = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    recoverInterrupted(fs, root, staging, aside)
     val hot = partFileCounts(s, dir, partCol)
       .filter(_._2 >= minFiles).keys.toSeq.sorted
     if (hot.nonEmpty) {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val before = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
-      try {
-        s.read.parquet(dir)
-          .filter(col(partCol).isInCollection(hot))
-          .repartition(col(partCol))
-          .write.mode("overwrite").partitionBy(partCol).parquet(dir)
-      } finally before match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      s.read.parquet(dir)
+        .filter(col(partCol).isInCollection(hot))
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(staging.toString)
+      // pin the one-file-per-directory contract instead of assuming it
+      // (r16 ADVICE): an ambient spark.sql.files.maxRecordsPerFile (or
+      // a future writer change) that splits task output fails HERE,
+      // loudly, before any live directory is touched
+      val staged = partFileCounts(s, staging.toString, partCol)
+      require(hot.forall(p => staged.get(p).contains(1)),
+        "compaction staging wrote more than one file for some " +
+        s"partition (counts ${staged.filter(_._2 != 1)}) — is " +
+        "spark.sql.files.maxRecordsPerFile set? The single-file " +
+        "contract of compact() does not hold under output splitting")
+      fs.mkdirs(aside)
+      hot.foreach { p =>
+        val live = new org.apache.hadoop.fs.Path(root, s"$partCol=$p")
+        rename(fs, live, new org.apache.hadoop.fs.Path(aside, s"$partCol=$p"))
+        rename(fs, new org.apache.hadoop.fs.Path(staging, s"$partCol=$p"),
+          live)
       }
+      fs.delete(aside, true)
+      fs.delete(staging, true)
+      ()
     }
     hot
+  }
+
+  private def rename(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+
+  /** Repair state left by a compact() killed mid-flight. Aside copies
+    * whose live directory is missing (killed between a swap pair's two
+    * renames) are restored; everything else in the aside/staging dirs
+    * is leftover garbage from partitions already swapped (or a staging
+    * write that never got to swap) and is dropped. After this, every
+    * partition of `root` is wholly pre- or wholly post-compaction. */
+  private[graft] def recoverInterrupted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path,
+      aside: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(aside)) {
+      fs.listStatus(aside).filter(_.isDirectory).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (!fs.exists(live)) rename(fs, st.getPath, live)
+      }
+      fs.delete(aside, true)
+    }
+    if (fs.exists(staging)) { fs.delete(staging, true); () }
   }
 
   /** q_index_compact — the oracle-checked COMPACTION DEMO: builds a
@@ -115,37 +173,56 @@ object IndexMaint {
     if (!new java.io.File(s"$ledgerPath/_SUCCESS").exists()) {
       Tables.refresh(s, d, "embeddings") // see dedupIncr (ADVICE r15)
       DedupSim.dropStaleIndexDirs(pfx, name)
-      val bucketed = withBucket(Tables.embeddings(s, d))
-      // history: one write, one file per populated bucket directory
-      bucketed.filter(col("vec_id") % 4 =!= 3)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/index")
-      // three planted daily appends: one more file per touched dir
-      (0 until 3).foreach { b =>
-        bucketed.filter(col("vec_id") % 4 === 3 && col("vec_id") % 3 === b)
-          .repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket")
-          .parquet(s"$dir/index")
+      // the oracle's closed-form file counts assume one file per
+      // repartition(bucket) write per directory — pin the conf that
+      // assumption rides on instead of inheriting it (r16 ADVICE)
+      val mrKey = "spark.sql.files.maxRecordsPerFile"
+      val mrBefore = s.conf.getOption(mrKey)
+      s.conf.set(mrKey, "0")
+      try indexCompactBuild(s, d, dir)
+      finally mrBefore match {
+        case Some(v) => s.conf.set(mrKey, v)
+        case None => s.conf.unset(mrKey)
       }
-      val beforeCounts = partFileCounts(s, s"$dir/index", "bucket")
-      compact(s, s"$dir/index", "bucket", minFiles = 3)
-      val afterCounts = partFileCounts(s, s"$dir/index", "bucket")
-      import s.implicits._
-      val files = beforeCounts.toSeq.sorted
-        .map { case (bk, nb) => (bk, nb, afterCounts.getOrElse(bk, 0)) }
-        .toDF("bucket", "n_files_before", "n_files_after")
-      s.read.parquet(s"$dir/index")
-        .groupBy(col("bucket").cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_rows"))
-        .join(files, Seq("bucket"))
-        .select(col("bucket"),
-          col("n_files_before").cast("long").as("n_files_before"),
-          col("n_files_after").cast("long").as("n_files_after"),
-          col("n_rows"))
-        .write.mode("overwrite").parquet(ledgerPath)
     }
     s.read.parquet(ledgerPath).orderBy(col("bucket"))
+  }
+
+  /** The cold path of [[indexCompact]]: build + 3 appends + compact +
+    * ledger write. Separated out so the conf pin wraps exactly the
+    * writes. */
+  private def indexCompactBuild(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val ledgerPath = s"$dir/_ledger"
+    val bucketed = withBucket(Tables.embeddings(s, d))
+    // history: one write, one file per populated bucket directory
+    bucketed.filter(col("vec_id") % 4 =!= 3)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/index")
+    // three planted daily appends: one more file per touched dir
+    (0 until 3).foreach { b =>
+      bucketed.filter(col("vec_id") % 4 === 3 && col("vec_id") % 3 === b)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$dir/index")
+    }
+    val beforeCounts = partFileCounts(s, s"$dir/index", "bucket")
+    compact(s, s"$dir/index", "bucket", minFiles = 3)
+    val afterCounts = partFileCounts(s, s"$dir/index", "bucket")
+    import s.implicits._
+    val files = beforeCounts.toSeq.sorted
+      .map { case (bk, nb) => (bk, nb, afterCounts.getOrElse(bk, 0)) }
+      .toDF("bucket", "n_files_before", "n_files_after")
+    s.read.parquet(s"$dir/index")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(files, Seq("bucket"))
+      .select(col("bucket"),
+        col("n_files_before").cast("long").as("n_files_before"),
+        col("n_files_after").cast("long").as("n_files_after"),
+        col("n_rows"))
+      .write.mode("overwrite").parquet(ledgerPath)
   }
 
   /** The DuckDB-replayable projection bucket: floor(16 · Σvᵢ /

@@ -139,9 +139,11 @@ object OracleSql {
         |  FROM covp cp JOIN vi${k - 1} ON cp.c = vi${k - 1}.c GROUP BY cp.r),
         |nl$k AS MATERIALIZED (SELECT sqrt(list_dot_product(l, l)) AS nrm
         |  FROM (SELECT list(CAST(nvv AS DOUBLE) ORDER BY r) AS l FROM nv$k)),
-        |vi$k AS MATERIALIZED (SELECT r AS c,
-        |  CAST(FLOOR(CAST(nvv AS DOUBLE) / (SELECT nrm FROM nl$k)
-        |    * 1000000 + 0.5) AS HUGEINT) AS val FROM nv$k),
+        |vi$k AS MATERIALIZED (SELECT nv$k.r AS c,
+        |  CASE WHEN (SELECT nrm FROM nl$k) = 0 THEN p.val
+        |    ELSE CAST(FLOOR(CAST(nvv AS DOUBLE) / (SELECT nrm FROM nl$k)
+        |      * 1000000 + 0.5) AS HUGEINT) END AS val
+        |  FROM nv$k JOIN vi${k - 1} p ON nv$k.r = p.c),
         |""".stripMargin
     }
     sb ++= s"""sg AS MATERIALIZED (SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END AS sgn
