@@ -274,4 +274,94 @@ class PropertiesSpec extends GraftSuite {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("fuzzy join route-split: exact-once on adversarial random corpora " +
+      "(duplicate names, transposes, repeated-char runs)") {
+    // The r17 route-split replaced the candidate-pair distinct() with
+    // a meets-exactly-once argument (length-partitioned routes + the
+    // one-shared-deletion-variant lemma for substitution pairs, with
+    // same-name del⋈del meetings suppressed). A tiny alphabet makes
+    // the hard cases DENSE — names sharing several deletion variants
+    // ("ab"/"ba" share both "a" and "b"), equal-char runs, and
+    // duplicate names across DIFFERENT ids (the identity-by-name case
+    // the customer fixture never produces). Any double-counted
+    // surviving pair would inflate n_cands vs the brute force.
+    import org.apache.spark.sql.functions.col
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def sub(s: String, fromEnd: Int, ch: Char): String =
+      s.updated(s.length - fromEnd - 1, ch)
+    // same planting as Joins.joinFuzzyOn (keys ≡0 mod 7 / mod 13)
+    def dirty(k: Long, n: String): String =
+      if (k % 13 == 0) sub(sub(n, (k % 5 + 1).toInt, 'x'), (k % 5 + 4).toInt, 'y')
+      else if (k % 7 == 0) sub(n, (k % 5 + 1).toInt, 'x')
+      else n
+    val nameGen = Gen.choose(8, 12).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString))
+    val corpusGen = Gen.choose(6, 14).flatMap(n =>
+      Gen.listOfN(n, nameGen).map(_.zipWithIndex.map {
+        case (nm, i) => ((i + 1).toLong, nm) }))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(corpusGen) { (names: List[(Long, String)]) =>
+        val got = DedupSim.synchronized { // joinFuzzyOn caches scratch
+          val out = Joins.joinFuzzyOn(names.toDF("c_custkey", "c_name"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          ScratchCache.releaseAll()
+          out
+        }.filter(!_._1.startsWith("density_"))
+        val queries = names.map { case (k, n) => k -> dirty(k, n) }
+        val expected = queries.map { case (_, qn) =>
+          val ds = names.map { case (ck, cn) => (ck, lev(qn, cn)) }
+            .filter(_._2 <= 1)
+          val outcome =
+            if (ds.isEmpty) "miss"
+            else if (ds.map(_._2).min == 0) "exact"
+            else if (ds.length == 1) "fuzzy_unique" else "fuzzy_ambiguous"
+          (outcome, ds.length.toLong)
+        }.groupBy(_._1).map { case (o, xs) =>
+          o -> (xs.length.toLong, xs.map(_._2).sum) }
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kdQuantize split tables: walking the frozen artifact reassigns " +
+      "every build vector to its build list, on random degenerate-heavy " +
+      "vector sets") {
+    // The r17 incr-semantic oracle conversion rests on kdqAssign
+    // replaying kdQuantizeWithSplits' cuts exactly. Values drawn from
+    // a 3-point set force the HAIRY paths: equal-width ties (lowest
+    // dim wins), fully degenerate lists (mx = mn → vec_id % fanout),
+    // and k exceeding the distinct-vector count.
+    import org.apache.spark.sql.functions.col
+    val vecGen = Gen.listOfN(4, Gen.oneOf(0.0, 0.5, 1.0))
+    val caseGen = for {
+      n <- Gen.choose(4, 16)
+      vs <- Gen.listOfN(n, vecGen)
+      k <- Gen.choose(1, 8)
+    } yield (vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }, k)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(caseGen) { case (rows: List[(Long, List[Double])], k: Int) =>
+        val df = rows.toDF("vec_id", "v")
+        val (asg, splits) = DedupSim.kdQuantizeWithSplits(df, k)
+        val built = asg.select(col("vec_id"), col("list_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val walked = DedupSim.kdqAssign(df, splits)
+          .select(col("vec_id"), col("list_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        ScratchCache.releaseAll()
+        built == walked
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
