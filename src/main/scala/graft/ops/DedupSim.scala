@@ -1357,8 +1357,12 @@ object DedupSim {
     * effects); search ranks only the query's bucket with the native
     * codegen `cosine_sim` expression. At 100 TB: bucketing is one
     * narrow map + one shuffle by bucket; brute force would be a full
-    * cross product. No oracle (approximate by construction) — recall
-    * against brute force asserted in tests with planted neighbors. */
+    * cross product. ORACLE-CHECKED since r17: approximate-by-
+    * construction never precluded an oracle — the DuckDB twin replays
+    * the SAME approximation (identical plane literals, identical
+    * sequential-fold sign dots and cosine rank; see
+    * OracleSql.annLshSql) — and the recall-vs-brute-force specs with
+    * planted neighbors stay as the semantic gate. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame =
     simAnnLshOn(Tables.embeddings(s, d), queryVecId = 0L)
 

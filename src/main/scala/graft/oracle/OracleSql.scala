@@ -507,7 +507,42 @@ object OracleSql {
       |ORDER BY term""".stripMargin
   }
 
+  /** q_sim_ann_lsh's DuckDB twin (r17, converting the key from
+    * oracle-N to oracle-checked): "approximate by construction" never
+    * precluded an oracle — it only requires the oracle to replay the
+    * SAME approximation (the kdQuantize precedent). The 6 Gaussian
+    * hyperplanes are deterministic literals (java.util.Random(42)
+    * nextGaussian is pinned StrictMath, and Double shortest-repr
+    * round-trips to the same bits in both parsers); the bucket sign
+    * dots and the cosine rank are the sequential-fold double recipe
+    * whose Spark↔DuckDB bit-parity the semantic keys already prove;
+    * the top-10 boundary is total (rounded cos DESC, vec_id ASC). */
+  private def annLshSql: String = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = "[" + p.mkString(",") + "]::DOUBLE[]"
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|  + ").stripMargin
+    s"""WITH e AS (SELECT vec_id, label,
+      |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS MATERIALIZED (SELECT vec_id, label, v,
+      |  $bucketExpr AS bucket FROM e),
+      |q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  ROUND(list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v))
+      |       * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM b, q WHERE b.bucket = q.qbucket AND vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    // q_sim_ann_lsh: fixed-hyperplane bucketing + in-bucket cosine
+    // rank, replayed with the identical plane literals (see annLshSql)
+    // — r17's third oracle-N → oracle conversion
+    "q_sim_ann_lsh" -> annLshSql,
 
     // q_emb_pca: the 50-step quantized power iteration unrolled as
     // MATERIALIZED HUGEINT CTEs (see pcaSql) — r16's oracle-N → oracle
