@@ -1304,12 +1304,23 @@ object DedupSim {
     * bucket arithmetic — a history vector re-assigns to exactly the
     * list the build gave it. A new vector can reach a list no history
     * vector occupied (no split row at the next round): it then takes
-    * bucket 0 deterministically — a vector-only rule, so identical
-    * batch vectors always share a final list (the within-batch dup
-    * contract), and every descendant of a history-empty list is
+    * bucket 0 deterministically — a vector-only rule in THAT branch,
+    * so identical batch vectors on a history-empty path always share
+    * a final list, and every descendant of a history-empty list is
     * history-empty, so the fallback can never manufacture history
-    * candidates. Scale shape: R = ⌈log₂k/4⌉ broadcast joins of a
-    * ≤ k-row table each — batch-sized work, zero history scans. */
+    * candidates. (A DEGENERATE split — mx = mn on the chosen dim —
+    * buckets by vec_id % f instead, replaying the build's rule so
+    * history vectors land on their build list; identical batch
+    * vectors with different vec_ids CAN diverge there, so the
+    * within-batch dup contract is scoped to the other two branches.)
+    * Batch vectors are CLAMPED to the frozen list's [0, f) bucket
+    * range at BOTH edges: a value above the history max takes bucket
+    * f-1 and one below the history min takes bucket 0, keeping every
+    * assignment inside its parent's [parent*f, parent*f+f) range —
+    * without the lower clamp a below-min value would escape into a
+    * sibling parent's bucket space and lose its near-dups. Scale
+    * shape: R = ⌈log₂k/4⌉ broadcast joins of a ≤ k-row table each —
+    * batch-sized work, zero history scans. */
   private[graft] def kdqAssign(vecs: DataFrame, splits: DataFrame)
       : DataFrame = {
     val passCols = vecs.columns.map(col).toSeq
@@ -1327,9 +1338,9 @@ object DedupSim {
         .withColumn("half",
           when(col("sdim").isNull, lit(0L))
             .when(col("mx") > col("mn"),
-              least(lit(f - 1L),
+              greatest(lit(0L), least(lit(f - 1L),
                 floor((col("sv") - col("mn")) / (col("mx") - col("mn"))
-                  * lit(f.toDouble))))
+                  * lit(f.toDouble)))))
             .otherwise(pmod(col("vec_id"), lit(f))))
         .select(passCols :+ (col("list_id") * f + col("half"))
           .as("list_id"): _*)
@@ -1710,7 +1721,7 @@ object DedupSim {
     * path returns the same rows as the in-memory path. */
   private[graft] def ivfIndexProbe(s: SparkSession, dir: String,
       queryVecId: Long, nprobe: Int = 2): DataFrame = {
-    val lists = s.read.parquet(s"$dir/lists")
+    val lists = IndexMaint.openIndex(s, s"$dir/lists")
     val qRow = lists.filter(col("vec_id") === queryVecId)
       .select(col("v")).head()
     val qv = qRow.getSeq[Double](0).toArray
@@ -1785,13 +1796,14 @@ object DedupSim {
         .parquet(s"$dir/lists")
     }
     val cent = s.read.parquet(s"$dir/quantizer")
-    val existingIds = s.read.parquet(s"$dir/lists").select(col("vec_id"))
+    val existingIds = IndexMaint.openIndex(s, s"$dir/lists")
+      .select(col("vec_id"))
     val admitted = batch.join(existingIds, Seq("vec_id"), "left_anti")
     // assign carries only (vec_id, label, v, list_id); re-attach the
     // batch marker for the ledger
     ivfAssign(admitted, cent).withColumn("is_batch", lit(true))
       .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
-    s.read.parquet(s"$dir/lists")
+    IndexMaint.openIndex(s, s"$dir/lists")
       .groupBy(col("list_id"))
       .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("n_base"),
         sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
@@ -1884,8 +1896,8 @@ object DedupSim {
       ScratchCache.releaseAll()
     }
     dedupIncrSemanticAdmit(dedupIncrSemanticBatch(Tables.embeddings(s, d)),
-      s.read.parquet(s"$dir/splits"), s.read.parquet(s"$dir/lists"),
-      tau = 0.999)
+      s.read.parquet(s"$dir/splits"),
+      IndexMaint.openIndex(s, s"$dir/lists"), tau = 0.999)
   }
 
   /** Delete stale fingerprint-named index DIRECTORIES under tmpdir

@@ -60,9 +60,11 @@ object IndexMaint {
     * live). Every kill point leaves each partition wholly pre- or
     * wholly post-compaction except the instant between a pair's two
     * renames — and that window is DETECTED and repaired by
-    * [[recoverInterrupted]] on the next call (the parked aside copy
-    * is restored when the live dir is missing), so a partial failure
-    * can never be silently served as a thinner index. A second
+    * [[recoverInterrupted]] on the next compact() call AND on every
+    * index open ([[openIndex]], which all standing-index read paths
+    * use — the parked aside copy is restored when the live dir is
+    * missing), so a partial failure can never be silently served as
+    * a thinner index by this library's own readers. A second
     * compact() after success is a no-op: every compacted directory
     * holds one file, below any sane `minFiles`. */
   def compact(s: SparkSession, dir: String, partCol: String,
@@ -128,6 +130,25 @@ object IndexMaint {
       fs.delete(aside, true)
     }
     if (fs.exists(staging)) { fs.delete(staging, true); () }
+  }
+
+  /** Open a compactable partitioned index artifact for reading,
+    * repairing any state a killed compact() left behind FIRST. Without
+    * this, any reader between a kill-mid-swap and the next compact()
+    * call would silently serve the index with the parked partition's
+    * rows missing — parquet partition discovery just skips the absent
+    * directory (r17 ADVICE). The happy path costs two driver-side
+    * existence probes; repair work only runs when the aside/staging
+    * sibling dirs actually exist. Every standing-index read path
+    * (the ANN probes, the append ledger, the incr-semantic admit)
+    * goes through here rather than a bare `read.parquet`. */
+  private[graft] def openIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverInterrupted(fs, root,
+      new org.apache.hadoop.fs.Path(dir + ".compact-staging"),
+      new org.apache.hadoop.fs.Path(dir + ".compact-old"))
+    s.read.parquet(dir)
   }
 
   /** q_index_compact — the oracle-checked COMPACTION DEMO: builds a

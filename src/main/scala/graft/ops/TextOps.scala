@@ -1153,17 +1153,46 @@ object TextOps {
     * the per-round argmax is a hash-map scan, not a cluster round-trip.
     * [[bpeTrainDistributedOn]] keeps the all-rounds-on-the-cluster
     * twin for vocabularies too large to collect (spec-asserted equal).
+    *
+    * The collect is SIZE-GATED (r17 verdict): the driver pull is a
+    * `limit(maxLocalVocab + 1)` — a hard bound on what can ever reach
+    * driver memory — and when the vocabulary overflows the threshold
+    * (`spark.graft.bpe.maxLocalVocab`, default 5M rows ≈ a few hundred
+    * MB of (word, freq) pairs) the key path falls back to the
+    * distributed twin instead of OOMing an 8g driver on the ~100M-row
+    * vocabulary a 100 TB corpus produces. Gated ≡ ungated is
+    * spec-pinned in TrainingDataSpec (the trip path on a tiny planted
+    * threshold, the no-trip path at the default).
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrainOn(s, Tables.documents(s, d), 5)
 
   /** Core of q_text_bpe_train: distributed corpus collapse + local
-    * incremental merge loop; returns the merge table. */
-  def bpeTrainOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame = {
+    * incremental merge loop (or the distributed twin past the vocab
+    * size gate); returns the merge table. */
+  def bpeTrainOn(s: SparkSession, docsDf: DataFrame, k: Int): DataFrame =
+    bpeTrainGated(s, docsDf, k)._1
+
+  /** [[bpeTrainOn]] plus which path ran (true = local trainer), so the
+    * gate-trip behavior is spec-assertable. The `limit(maxLocal + 1)`
+    * means the probe itself can never pull more than threshold + 1
+    * rows: if the vocabulary fits, the limit is a no-op and the rows
+    * ARE the complete vocab (no second collapse pass); if it
+    * overflows, the prefix only proves the overflow and is discarded
+    * for the distributed twin. */
+  private[graft] def bpeTrainGated(s: SparkSession, docsDf: DataFrame,
+      k: Int): (DataFrame, Boolean) = {
     import s.implicits._
-    val vocab = bpeVocabOn(docsDf).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    bpeLocalMerges(vocab, k).toDF("round", "l", "r", "n").orderBy(col("round"))
+    val maxLocal = s.conf.getOption("spark.graft.bpe.maxLocalVocab")
+      .map(_.toInt).getOrElse(5000000)
+    val probe = bpeVocabOn(docsDf).limit(maxLocal + 1).collect()
+    if (probe.length > maxLocal)
+      (bpeTrainDistributedOn(s, docsDf, k), false)
+    else {
+      val vocab = probe.map(r => (r.getString(0), r.getLong(1)))
+      (bpeLocalMerges(vocab, k).toDF("round", "l", "r", "n")
+        .orderBy(col("round")), true)
+    }
   }
 
   /** The corpus→vocabulary collapse shared by train and encode: one
@@ -1286,8 +1315,17 @@ object TextOps {
     // cache the collapse: it feeds both the driver-side merge learn
     // (collect) and the encode projection — one corpus pass, not two
     val vocab = ScratchCache.cache(bpeVocabOn(docsDf))
-    val merges = bpeLocalMerges(
-      vocab.collect().map(r => (r.getString(0), r.getLong(1))), k)
+    // same size gate as bpeTrainGated: the driver pull is bounded by
+    // limit(threshold + 1); an overflowing vocabulary learns its
+    // merges via the distributed trainer (which collects only the
+    // 1-row argmax per round), never a full-vocab collect
+    val maxLocal = s.conf.getOption("spark.graft.bpe.maxLocalVocab")
+      .map(_.toInt).getOrElse(5000000)
+    val probe = vocab.limit(maxLocal + 1).collect()
+    val merges =
+      if (probe.length > maxLocal) bpeTrainCore(s, docsDf, k)._1
+      else bpeLocalMerges(
+        probe.map(r => (r.getString(0), r.getLong(1))), k)
     val seg0 = vocab.select(
       rtrim(regexp_replace(col("tok"), "(.)", "$1;;"), ";").as("seg"),
       col("freq"))

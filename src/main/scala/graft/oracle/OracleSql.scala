@@ -353,9 +353,10 @@ object OracleSql {
         |  b.list_id * (SELECT f$r FROM prm) + CASE
         |    WHEN (SELECT f$r FROM prm) = 1 THEN 0
         |    WHEN w.list_id IS NULL THEN 0
-        |    WHEN w.mx > w.mn THEN LEAST((SELECT f$r FROM prm) - 1,
+        |    WHEN w.mx > w.mn THEN GREATEST(0,
+        |      LEAST((SELECT f$r FROM prm) - 1,
         |      CAST(FLOOR((u.x - w.mn) / (w.mx - w.mn)
-        |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT))
+        |        * CAST((SELECT f$r FROM prm) AS DOUBLE)) AS BIGINT)))
         |    ELSE b.vec_id % (SELECT f$r FROM prm) END AS list_id
         |  FROM b${r - 1} b LEFT JOIN wd$r w ON b.list_id = w.list_id
         |  LEFT JOIN bx u ON b.vec_id = u.vec_id

@@ -31,13 +31,10 @@ object ColdTime {
     SparkEntry.queries("q_agg_global")(spark, sfDir).count()
     graft.ops.ScratchCache.releaseAll()
     names.foreach { n =>
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(prefix)).foreach(rm)
+      // anchored `prefix + 16-hex fingerprint` shape, same as
+      // dropStaleIndexDirs — a bare startsWith could wipe a sibling
+      // dataset's LIVE artifacts when one name string-prefixes another
+      graft.ops.DedupSim.dropStaleIndexDirs(prefix, keep = "")
       def one(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()

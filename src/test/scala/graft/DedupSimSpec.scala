@@ -295,6 +295,42 @@ class DedupSimSpec extends GraftSuite {
     ScratchCache.releaseAll()
   }
 
+  test("kdqAssign clamps batch buckets at BOTH range edges: a value " +
+      "below the frozen list's history min stays in its parent's " +
+      "bucket space") {
+    import org.apache.spark.sql.functions._
+    // Hand-crafted two-round frozen quantizer (kdqAssign accepts any
+    // splits frame): round 1 cuts dim 0 over [0,1] with fanout 2;
+    // round 2 cuts dim 1 — child list 1's history range is [5,6].
+    val splits = Seq(
+      (1, 0L, 0, 0.0, 1.0, 2L),
+      (2, 0L, 1, 0.0, 1.0, 2L),
+      (2, 1L, 1, 5.0, 6.0, 2L))
+      .toDF("round", "list_id", "sdim", "mn", "mx", "fanout")
+    // batch vector (0.9, 4.0): round 1 -> half 1, parent list 1;
+    // round 2 on list 1: sv 4.0 sits BELOW the frozen mn 5.0 —
+    // floor((4-5)/1*2) = -2. Unclamped that yields list 1*2-2 = 0,
+    // ESCAPING into parent 0's bucket space; the clamp pins it to
+    // bucket 0 -> list 2, the low edge of its own parent's range.
+    // A twin at mn exactly (0.9, 5.0) also takes bucket 0 -> same
+    // list, so low-edge near-dups of history stay co-located.
+    val batch = Seq(
+      (100L, Seq(0.9, 4.0)), (101L, Seq(0.9, 5.0)),
+      (102L, Seq(0.9, 7.5)),                  // above mx: clamps to f-1
+      (103L, Seq(0.1, 0.5)))                  // parent 0 mid-range
+      .toDF("vec_id", "v")
+    val got = DedupSim.kdqAssign(batch, splits)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ScratchCache.releaseAll()
+    assert(got(100L) == 2L, s"below-min must clamp to bucket 0: $got")
+    assert(got(101L) == 2L, s"at-min twin must share the list: $got")
+    assert(got(102L) == 3L, s"above-max must clamp to f-1: $got")
+    assert(got(103L) == 1L, s"parent-0 mid-range: $got")
+    assert(got.values.forall(l => l >= 0L && l < 4L),
+      s"every list must sit inside [0, 4): $got")
+  }
+
   test("dataset fingerprint: zero Spark jobs, detects same-shape edits, " +
       "and stale fingerprint-named indexes are dropped on rebuild") {
     import org.apache.spark.sql.functions._

@@ -76,6 +76,28 @@ class TrainingDataSpec extends GraftSuite {
     assert(big.take(k) == local) // prefix-stability: more rounds, same start
   }
 
+  test("bpe train vocab-size gate: a vocabulary over " +
+      "spark.graft.bpe.maxLocalVocab trips to the distributed twin " +
+      "with an identical merge table") {
+    val corpus = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n"))).toSeq
+    // default threshold: the sf vocab fits, the local trainer runs
+    val (viaLocal, usedLocal) = TextOps.bpeTrainGated(spark, corpus, 5)
+    assert(usedLocal, "sf vocab must fit under the default 5M threshold")
+    // planted tiny threshold: the gate MUST trip (the sf docs carry
+    // far more than 3 distinct words) and the key's output must be
+    // byte-equal — gated ≡ ungated
+    val key = "spark.graft.bpe.maxLocalVocab"
+    spark.conf.set(key, "3")
+    try {
+      val (viaDist, usedLocal2) = TextOps.bpeTrainGated(spark, corpus, 5)
+      assert(!usedLocal2, "a 3-row threshold must trip the gate")
+      assert(rows(viaDist) == rows(viaLocal))
+    } finally spark.conf.unset(key)
+  }
+
   test("bpe encode: the learned merges compress the fixture to the " +
       "hand-computed token-length histogram") {
     // after the 5 merges (es, est, lo, low, ew):
@@ -91,6 +113,18 @@ class TrainingDataSpec extends GraftSuite {
         r.getAs[Long]("n_corpus_words"), r.getAs[Long]("n_corpus_tokens")))
     assert(out.toSeq == Seq(
       (1, 1L, 5L, 5L), (3, 2L, 8L, 24L), (4, 1L, 3L, 12L)))
+    // encode shares the train gate: with a tripping threshold (4
+    // distinct vocab words > 3) the merges come from the distributed
+    // trainer and the histogram must be byte-equal
+    val key = "spark.graft.bpe.maxLocalVocab"
+    spark.conf.set(key, "3")
+    try {
+      val gated = TextOps.bpeEncodeOn(spark,
+        docs((1L, text, "en", "s1")), 5).collect()
+        .map(r => (r.getInt(0), r.getAs[Long]("n_vocab_words"),
+          r.getAs[Long]("n_corpus_words"), r.getAs[Long]("n_corpus_tokens")))
+      assert(gated.toSeq == out.toSeq)
+    } finally spark.conf.unset(key)
   }
 
   test("classifier training: distributed decimal-gradient loop matches " +
