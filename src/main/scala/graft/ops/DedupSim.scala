@@ -494,7 +494,15 @@ object DedupSim {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     dedupNgramOn(Tables.documents(s, d))
 
-  def dedupNgramOn(documents: DataFrame): DataFrame = {
+  /** The staged intermediates of the exact-Jaccard/containment pair
+    * pipelines, exposed so tools/DedupProbe can COUNT the production
+    * stages (r17 verdict ask #5: prefix-index rows, candidate pairs,
+    * verified pairs per scale) without recomputing drift-prone
+    * copies. */
+  private[graft] case class PairStages(grams: DataFrame, sizes: DataFrame,
+      prefix: DataFrame, cands: DataFrame)
+
+  private[graft] def ngramStages(documents: DataFrame): PairStages = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
     graft.plans.GraftExtensions.registerFunctions(documents.sparkSession)
@@ -536,14 +544,20 @@ object DedupSim {
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val inter = cands
-      .join(grams.select(col("doc_id").as("a"), col("ng")), "a")
-      .join(grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
+    PairStages(grams, sizes, ranked, cands)
+  }
+
+  def dedupNgramOn(documents: DataFrame): DataFrame = {
+    val tau = 0.5
+    val st = ngramStages(documents)
+    val inter = st.cands
+      .join(st.grams.select(col("doc_id").as("a"), col("ng")), "a")
+      .join(st.grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
         col("b") === col("b2") && col("ng") === col("ng2"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(st.sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(st.sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
@@ -573,7 +587,7 @@ object DedupSim {
   def dedupContain(s: SparkSession, d: String): DataFrame =
     dedupContainOn(Tables.documents(s, d))
 
-  def dedupContainOn(documents: DataFrame): DataFrame = {
+  private[graft] def containStages(documents: DataFrame): PairStages = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
     graft.plans.GraftExtensions.registerFunctions(documents.sparkSession)
@@ -596,13 +610,19 @@ object DedupSim {
         col("x.ng") === col("y.ng") && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val inter = cands
-      .join(grams.select(col("doc_id").as("a"), col("ng")), "a")
-      .join(grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
+    PairStages(grams, sizes, prefixA, cands)
+  }
+
+  def dedupContainOn(documents: DataFrame): DataFrame = {
+    val tau = 0.8
+    val st = containStages(documents)
+    val inter = st.cands
+      .join(st.grams.select(col("doc_id").as("a"), col("ng")), "a")
+      .join(st.grams.select(col("doc_id").as("b2"), col("ng").as("ng2")),
         col("b") === col("b2") && col("ng") === col("ng2"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(st.sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .select(col("a"), col("b"),
         round(col("inter").cast("double") / col("na"), 6).as("containment"))
       .filter(col("containment") >= tau)
@@ -1674,6 +1694,60 @@ object DedupSim {
         round(expr("cosine_sim(v, qv)"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Measured recall@10 DISTRIBUTION of the IVF approximation (r17
+    * verdict ask #4): per-query recall of the nprobe-list IVF search
+    * against brute-force cosine top-10, over a deterministic stride
+    * sample of `nQueries` query vectors. Returns (q_id, recall) rows —
+    * the caller aggregates to mean/min/quantiles (tools/RecallProbe
+    * prints the SCALE.md table; AnnLshSpec asserts the mean floor).
+    *
+    * Shapes: ground truth is a broadcast of the ≤ nQueries query rows
+    * against the corpus (one pass, no all-pairs), the IVF side is the
+    * probe path's own list-restricted join; both rank with the exact
+    * tie-breaks of [[ivfSearch]] (cosine desc rounded to 6 dp, vec_id
+    * asc) so the measurement exercises the production metric. */
+  private[graft] def ivfRecall(embeddings: DataFrame, nprobe: Int,
+      nQueries: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = embeddings.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val cent = ScratchCache.cache(learnedCentroids(embeddings, k = 10))
+    val assigned = ScratchCache.cache(ivfAssign(embeddings, cent))
+    val n = assigned.count()
+    val stride = math.max(1L, n / nQueries)
+    val queries = ScratchCache.cache(assigned
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("rn") % stride === 0)
+      .limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val perQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = assigned.select(col("vec_id"), col("v"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("cos"))
+      .withColumn("rk", row_number().over(perQ))
+      .filter(col("rk") <= 10).select(col("q_id"), col("vec_id"))
+    val qlists = queries.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("list_id"),
+        round(expr("cosine_sim(qv, cv)"), 6).as("qsim"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("list_id"))))
+      .filter(col("rk") <= nprobe).select(col("q_id"), col("list_id"))
+    val got = assigned.select(col("vec_id"), col("v"), col("list_id"))
+      .join(broadcast(qlists), "list_id")
+      .join(broadcast(queries), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("cos"))
+      .withColumn("rk", row_number().over(perQ))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
   }
 
   /** q_sim_ann_ivf_index — the PERSISTED vector-index artifact (r13):

@@ -247,6 +247,31 @@ class AnnLshSpec extends GraftSuite {
     assert((brute & ivf).size >= 3, s"recall too low: ${(brute & ivf).size}/10")
   }
 
+  test("IVF recall@10 DISTRIBUTION over a 100-query sample: measured " +
+      "means hold their floors and recall is monotone in nprobe") {
+    // r17 verdict ask #4 — the approximation quality as a measured
+    // number over many queries, not a single-query >=3/10 floor.
+    // tools/RecallProbe prints the same distribution at
+    // sf0.001/0.01/0.1/gsf1 for the SCALE.md table; measured means are
+    // scale-stable (np1 0.26-0.33, np2 0.43-0.47, np4 0.65-0.69). The
+    // verdict's guessed 0.6@nprobe=2 does NOT hold for this data: the
+    // synthetic embeddings are near-isotropic, so a query's true
+    // top-10 spreads across more than 2 of the 10 coarse lists — the
+    // honest floors below are the measured means minus margin, and
+    // the distribution table in SCALE.md is the real deliverable.
+    def mean(np: Int): Double = {
+      val m = DedupSim.ivfRecall(Tables.embeddings(spark, sf), np)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      graft.ops.ScratchCache.releaseAll()
+      m
+    }
+    val m1 = mean(1); val m2 = mean(2); val m4 = mean(4)
+    assert(m2 >= 0.40, f"mean recall@10 at nprobe=2 is $m2%.3f < 0.40")
+    assert(m4 >= 0.60, f"mean recall@10 at nprobe=4 is $m4%.3f < 0.60")
+    assert(m1 <= m2 + 1e-9 && m2 <= m4 + 1e-9,
+      f"recall must be monotone in nprobe: $m1%.3f / $m2%.3f / $m4%.3f")
+  }
+
   test("IVFADC: residual-PQ code search recalls brute-force L2 " +
       "neighbors on clustered vectors") {
     // 6 tight clusters; the query's true top-10 sit in its own
