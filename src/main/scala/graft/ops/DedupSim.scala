@@ -1750,6 +1750,78 @@ object DedupSim {
       .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
   }
 
+  /** [[ivfRecall]]'s twin for the IVFADC path (q_sim_ann_ivfpq):
+    * per-query recall@10 of the code-ranked ADC search against
+    * brute-force L2 top-10 (the PQ training metric), over the same
+    * deterministic stride sample. The multi-query generalization of
+    * [[simAnnIvfPqOn]]: every stage keys by q_id; the per-query LUT
+    * union is nQueries·nprobe·m·k rows — still broadcast-sized.
+    * `m`/`k` default to the key's oracle-demo params (16-bit codes);
+    * pass production-sized codes (m=8, k=16 → 32 bits) to measure how
+    * quality scales with the code budget (SCALE.md table). */
+  private[graft] def ivfPqRecall(embeddings: DataFrame, nprobe: Int,
+      nQueries: Int = 100, m: Int = 4, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = embeddings.sparkSession
+    graft.plans.GraftExtensions.registerFunctions(s)
+    val dot = (a: String, b: String) => expr(s"dot_product($a, $b)")
+    val cent = ScratchCache.cache(learnedCentroids(embeddings, k = 10))
+    val assigned = ScratchCache.cache(ivfAssign(embeddings, cent))
+    val resid = assigned.join(broadcast(cent), "list_id")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (x, c) -> x - c)").as("embedding"))
+    val (_, codebook, codes) = embPqModel(resid, m, k)
+    val sd = 64 / m
+    val n = assigned.count()
+    val stride = math.max(1L, n / nQueries)
+    val queries = ScratchCache.cache(assigned
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("rn") % stride === 0)
+      .limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    // ground truth: brute-force L2 top-10 (‖q‖² is rank-constant)
+    val truth = assigned.select(col("vec_id"), col("v"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("v", "v") - lit(2.0) * dot("v", "qv"), 6).as("d2"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rk") <= 10).select(col("q_id"), col("vec_id"))
+    val qlists = queries.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("list_id"), col("cv"),
+        round(dot("cv", "cv") - lit(2.0) * dot("qv", "cv"), 6).as("qd2"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("qd2"), col("list_id"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("list_id"), col("qv"), col("cv"))
+    val qr = qlists
+      .select(col("q_id"), col("list_id"),
+        expr("zip_with(qv, cv, (x, c) -> x - c)").as("qres"))
+      .select(col("q_id"), col("list_id"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("qres"))
+      .select(col("q_id"), col("list_id"), col("sub"),
+        expr(s"slice(qres, 1 + CAST(sub * $sd AS INT), $sd)").as("qs"))
+      .withColumn("qq", dot("qs", "qs"))
+    val lut = qr.join(codebook, Seq("sub"))
+      .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
+        (col("qq") + col("cc") - lit(2.0) * dot("qs", "cv")).as("qd"))
+    val got = assigned.select(col("vec_id"), col("list_id"))
+      .join(broadcast(qlists.select(col("q_id"), col("list_id"))),
+        "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes.select(col("vec_id"), col("sub"), col("cid")), "vec_id")
+      .join(broadcast(lut), Seq("q_id", "list_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("adc"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+  }
+
   /** q_sim_ann_ivf_index — the PERSISTED vector-index artifact (r13):
     * the [[learnedCentroids]] quantizer written once as a tiny parquet
     * beside the inverted lists written `partitionBy(list_id)`

@@ -23,19 +23,26 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { d =>
-      Seq(1, 2, 4).foreach { np =>
-        val r = graft.ops.DedupSim
-          .ivfRecall(graft.Tables.embeddings(spark, d), np)
-          .agg(count(lit(1)).as("nq"),
-            round(avg(col("recall")), 3).as("mean"),
-            round(min(col("recall")), 3).as("min"),
-            round(expr("percentile(recall, 0.25)"), 3).as("p25"),
-            round(expr("percentile(recall, 0.5)"), 3).as("p50"))
-          .head()
-        graft.ops.ScratchCache.releaseAll()
-        println(f"$d%-28s nprobe=$np  n=${r.getLong(0)}%3d  " +
-          f"mean=${r.getDouble(1)}%5.3f  min=${r.getDouble(2)}%5.3f  " +
-          f"p25=${r.getDouble(3)}%5.3f  p50=${r.getDouble(4)}%5.3f")
+      Seq[(String, (org.apache.spark.sql.DataFrame, Int) =>
+          org.apache.spark.sql.DataFrame)](
+        ("ivf", (df, np) => graft.ops.DedupSim.ivfRecall(df, np)),
+        ("ivfpq16b", (df, np) => graft.ops.DedupSim.ivfPqRecall(df, np)),
+        ("ivfpq32b", (df, np) =>
+          graft.ops.DedupSim.ivfPqRecall(df, np, m = 8, k = 16))
+      ).foreach { case (path, recall) =>
+        Seq(1, 2, 4).foreach { np =>
+          val r = recall(graft.Tables.embeddings(spark, d), np)
+            .agg(count(lit(1)).as("nq"),
+              round(avg(col("recall")), 3).as("mean"),
+              round(min(col("recall")), 3).as("min"),
+              round(expr("percentile(recall, 0.25)"), 3).as("p25"),
+              round(expr("percentile(recall, 0.5)"), 3).as("p50"))
+            .head()
+          graft.ops.ScratchCache.releaseAll()
+          println(f"$d%-28s $path%-9s nprobe=$np  n=${r.getLong(0)}%3d  " +
+            f"mean=${r.getDouble(1)}%5.3f  min=${r.getDouble(2)}%5.3f  " +
+            f"p25=${r.getDouble(3)}%5.3f  p50=${r.getDouble(4)}%5.3f")
+        }
       }
     }
     spark.stop()

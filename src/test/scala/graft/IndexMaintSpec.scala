@@ -75,6 +75,34 @@ class IndexMaintSpec extends GraftSuite {
     assert(IndexMaint.partFileCounts(spark, dir, "bucket") == after)
   }
 
+  test("openIndex repairs a kill-mid-swap on the READ path: a reader " +
+      "between the kill and the next compact sees every row") {
+    // r17 ADVICE: without read-path recovery, partition discovery
+    // silently skips the parked directory and serves a thinner index
+    // until someone happens to call compact() again.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_open_kill").toString + "/index"
+    val df = (0L until 40L).map(i => (i, i % 4)).toDF("vec_id", "bucket")
+    df.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(dir + ".compact-old")
+    // kill between bucket=2's two renames: live dir gone, copy parked
+    fs.mkdirs(aside)
+    assert(fs.rename(new Path(root, "bucket=2"), new Path(aside, "bucket=2")))
+    // a BARE read silently loses bucket=2's rows — the failure mode
+    assert(spark.read.parquet(dir).count() == 30)
+    // openIndex restores the parked partition before reading
+    val opened = IndexMaint.openIndex(spark, dir)
+    assert(opened.count() == 40)
+    assert(opened.groupBy(col("bucket")).count().collect().length == 4)
+    assert(!fs.exists(aside))
+    // happy path: no aside/staging dirs, openIndex is a plain read
+    assert(IndexMaint.openIndex(spark, dir).count() == 40)
+  }
+
   test("compaction staging enforces the one-file-per-directory " +
       "contract instead of assuming it") {
     import spark.implicits._
