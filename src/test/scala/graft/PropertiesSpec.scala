@@ -334,6 +334,41 @@ class PropertiesSpec extends GraftSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("kdqAssign edge clamping: batch vectors with split-dim values " +
+      "OUTSIDE the frozen history range always land inside their " +
+      "parent's bucket space, on random vector sets") {
+    // r17 ADVICE (medium): without the lower clamp a below-min value
+    // computed a negative half and escaped into a sibling parent's
+    // bucket space (or went negative). Property: for any frozen
+    // quantizer and any batch (including values far outside the
+    // history range on every dim), every assigned list_id sits in
+    // [0, prod(fanouts)) — the tree's leaf space.
+    import org.apache.spark.sql.functions.col
+    val histGen = Gen.listOfN(4, Gen.oneOf(0.0, 0.5, 1.0))
+    val batchGen = Gen.listOfN(4, Gen.oneOf(-9.0, -0.3, 0.2, 1.4, 12.0))
+    val caseGen = for {
+      n <- Gen.choose(4, 12)
+      hs <- Gen.listOfN(n, histGen)
+      m <- Gen.choose(1, 8)
+      bs <- Gen.listOfN(m, batchGen)
+      k <- Gen.choose(2, 8)
+    } yield (hs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) },
+      bs.zipWithIndex.map { case (v, i) => ((i + 101).toLong, v) }, k)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(caseGen) { case (hist, batch, k) =>
+        val hdf = hist.toDF("vec_id", "v")
+        val (_, splits) = DedupSim.kdQuantizeWithSplits(hdf, k)
+        val fanProd = splits.select(col("round"), col("fanout"))
+          .distinct().collect().map(_.getLong(1)).product
+        val got = DedupSim.kdqAssign(batch.toDF("vec_id", "v"), splits)
+          .select(col("list_id")).collect().map(_.getLong(0))
+        ScratchCache.releaseAll()
+        got.forall(l => l >= 0L && l < math.max(1L, fanProd))
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("kdQuantize split tables: walking the frozen artifact reassigns " +
       "every build vector to its build list, on random degenerate-heavy " +
       "vector sets") {
