@@ -500,7 +500,7 @@ object DedupSim {
     * verified pairs per scale) without recomputing drift-prone
     * copies. */
   private[graft] case class PairStages(grams: DataFrame, sizes: DataFrame,
-      prefix: DataFrame, cands: DataFrame)
+      prefix: DataFrame, cands: DataFrame, tau: Double)
 
   private[graft] def ngramStages(documents: DataFrame): PairStages = {
     import org.apache.spark.sql.expressions.Window
@@ -544,11 +544,12 @@ object DedupSim {
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    PairStages(grams, sizes, ranked, cands)
+    PairStages(grams, sizes, ranked, cands, tau)
   }
 
   def dedupNgramOn(documents: DataFrame): DataFrame = {
-    val tau = 0.5
+    // tau comes FROM the stages: the prefix-filter bound is only
+    // exact when the verify threshold equals the prefix threshold
     val st = ngramStages(documents)
     val inter = st.cands
       .join(st.grams.select(col("doc_id").as("a"), col("ng")), "a")
@@ -561,7 +562,7 @@ object DedupSim {
       .select(col("a"), col("b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+      .filter(col("jaccard") >= st.tau)
       .orderBy(col("a"), col("b"))
   }
 
@@ -610,11 +611,10 @@ object DedupSim {
         col("x.ng") === col("y.ng") && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    PairStages(grams, sizes, prefixA, cands)
+    PairStages(grams, sizes, prefixA, cands, tau)
   }
 
   def dedupContainOn(documents: DataFrame): DataFrame = {
-    val tau = 0.8
     val st = containStages(documents)
     val inter = st.cands
       .join(st.grams.select(col("doc_id").as("a"), col("ng")), "a")
@@ -625,7 +625,7 @@ object DedupSim {
       .join(st.sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .select(col("a"), col("b"),
         round(col("inter").cast("double") / col("na"), 6).as("containment"))
-      .filter(col("containment") >= tau)
+      .filter(col("containment") >= st.tau)
       .orderBy(col("a"), col("b"))
   }
 
