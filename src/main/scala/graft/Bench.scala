@@ -25,7 +25,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run every query once at the TARGET SF so the measured
+    // HOST CANARY (r18 verdict ask #3): a fixed pure-JVM workload
+    // timed before warm-up and again after the timed reps, written
+    // INTO the bench JSON as canary_pre/canary_post — every bench
+    // window artifact carries its own host-speed reading, so
+    // cross-round record ratios read against a number instead of a
+    // binary A/B. ~4 s total; the checksums keep the work JIT-live.
+    val (canPreS, canPreM, canPreCk) = graft.tools.HostCanary.measure(1)
     // pass reflects steady-state execution — codegen compiled, JIT'ed,
     // and the shared table cache (Tables.cached) materialized — not
     // first-query JVM warmup or cache-fill cost.
@@ -77,6 +83,13 @@ object Bench {
       if (t >= 0)
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val (canPostS, canPostM, canPostCk) = graft.tools.HostCanary.measure(2)
+    val canaryJson = {
+      def leg(s: Double, m: Double, ck: Long) =
+        f"""{"single_mops":$s%.1f,"x32_mops":$m%.1f,"ck":${ck & 0xff}}"""
+      s""""canary_pre":${leg(canPreS, canPreM, canPreCk)},""" +
+        s""""canary_post":${leg(canPostS, canPostM, canPostCk)}"""
+    }
     val results =
       SparkEntry.queries.keys.map(n => n -> best.getOrElse(n, -1.0)).toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
@@ -92,7 +105,7 @@ object Bench {
     // Per-query detail first (one long line), then a SHORT total-only
     // line LAST: the harness captures only the output tail, and round 1
     // showed a single huge line truncates mid-dict and loses the total.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,$canaryJson,"sf":"$sfDir"}"""
     println(line)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
     // Also persist the FULL per-query line: harnesses that capture only

@@ -1745,9 +1745,13 @@ object DedupSim {
       .withColumn("rk", row_number().over(perQ))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    // denominator = the ACTUAL truth-set size per query (min(n−1, 10)
+    // by construction), not a fixed 10 — a corpus under 11 vectors
+    // would otherwise understate recall (r18 ADVICE)
     truth.join(got, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall"))
   }
 
   /** [[ivfRecall]]'s twin for the IVFADC path (q_sim_ann_ivfpq):
@@ -1756,11 +1760,13 @@ object DedupSim {
     * deterministic stride sample. The multi-query generalization of
     * [[simAnnIvfPqOn]]: every stage keys by q_id; the per-query LUT
     * union is nQueries·nprobe·m·k rows — still broadcast-sized.
-    * `m`/`k` default to the key's oracle-demo params (16-bit codes);
-    * pass production-sized codes (m=8, k=16 → 32 bits) to measure how
-    * quality scales with the code budget (SCALE.md table). */
+    * `m`/`k` default to the key's production conf defaults (m=16,
+    * k=16 → 64-bit codes); pass the demo budget (m=4, k=4 → 8-bit
+    * codes: 4 subspaces × log2(4)=2 bits) or intermediate budgets
+    * (m=8, k=16 → 32 bits) to measure how quality scales with the
+    * code budget (SCALE.md IVFADC table, tools/RecallProbe). */
   private[graft] def ivfPqRecall(embeddings: DataFrame, nprobe: Int,
-      nQueries: Int = 100, m: Int = 4, k: Int = 4): DataFrame = {
+      nQueries: Int = 100, m: Int = 16, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
@@ -1817,9 +1823,11 @@ object DedupSim {
         .orderBy(col("adc"), col("vec_id"))))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    // same per-query truth-set denominator as ivfRecall (r18 ADVICE)
     truth.join(got, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+        .as("recall"))
   }
 
   /** q_sim_ann_ivf_index — the PERSISTED vector-index artifact (r13):
@@ -2859,7 +2867,7 @@ object DedupSim {
     * lists; every vector stores only its list id + the PQ CODES OF ITS
     * RESIDUAL v − c_list (residual encoding concentrates the PQ error
     * budget on the within-cell displacement — §V.A); a query probes
-    * the nprobe=2 nearest lists, builds ONE 2·m·k-row ADC lookup
+    * the nprobe nearest lists, builds ONE nprobe·m·k-row ADC lookup
     * table from its per-list residuals, and ranks candidates by the
     * sum of m table lookups. The three scale facts that make this THE
     * 100 TB answer: (1) search touches nprobe/nlists of the corpus,
@@ -2867,18 +2875,46 @@ object DedupSim {
     * the working set shrinks ~256×, (3) the LUT is O(nprobe·m·k) and
     * broadcast. Composes this round's two pieces end-to-end:
     * [[ivfAssign]] lists + [[embPqModel]] codebooks trained on the
-    * pooled residuals. No oracle (quantizer is float-iteration-
-    * dependent, like q_sim_ann_ivf); recall vs brute force spec'd in
-    * AnnLshSpec. */
+    * pooled residuals.
+    *
+    * CODE BUDGET (r18 verdict #1): m/k/nprobe are session confs —
+    * `spark.graft.ivfpq.m` (default 16), `spark.graft.ivfpq.k`
+    * (default 16), `spark.graft.ivfpq.nprobe` (default 2). The
+    * default is m=16 subspaces × log2(16)=4 bits = 64-BIT CODES, the
+    * FAISS production floor; the 8-bit demo budget (m=4, k=4) that
+    * r15-r18 shipped hardcoded measured recall@10 ≈ 0.01-0.05 on
+    * isotropic data (ADC quantization error above the inter-neighbor
+    * gaps — a ranked list indistinguishable from vec_id ties) and
+    * stays reachable only via explicit args (AnnLshSpec's 32-row-LUT
+    * ledger test). No oracle (quantizer is float-iteration-dependent,
+    * like q_sim_ann_ivf); recall vs brute force spec'd in AnnLshSpec,
+    * the measured per-budget distribution in SCALE.md. */
   def simAnnIvfPq(s: SparkSession, d: String): DataFrame =
     simAnnIvfPqOn(Tables.embeddings(s, d), queryVecId = 0L)
 
+  /** The conf-resolved (m, k, nprobe) IVFADC code budget — see
+    * [[simAnnIvfPq]]. */
+  private[graft] def ivfPqConf(s: SparkSession): (Int, Int, Int) = (
+    s.conf.get("spark.graft.ivfpq.m", "16").toInt,
+    s.conf.get("spark.graft.ivfpq.k", "16").toInt,
+    s.conf.get("spark.graft.ivfpq.nprobe", "2").toInt)
+
   /** Core of q_sim_ann_ivfpq over any (vec_id, label, embedding)
-    * frame. */
+    * frame at the session's conf code budget. */
   def simAnnIvfPqOn(embeddings: DataFrame, queryVecId: Long): DataFrame = {
+    val (m, k, nprobe) = ivfPqConf(embeddings.sparkSession)
+    simAnnIvfPqOn(embeddings, queryVecId, m, k, nprobe)
+  }
+
+  /** [[simAnnIvfPqOn]] at an explicit code budget: m subspaces of
+    * dim 64/m, k centroids per subspace (log2(k)·m-bit codes), nprobe
+    * probed lists. */
+  def simAnnIvfPqOn(embeddings: DataFrame, queryVecId: Long,
+      m: Int, k: Int, nprobe: Int): DataFrame = {
     val s = embeddings.sparkSession
     graft.plans.GraftExtensions.registerFunctions(s)
     val dot = (a: String, b: String) => expr(s"dot_product($a, $b)")
+    val sd = 64 / m
     val cent = ScratchCache.cache(learnedCentroids(embeddings, k = 10))
     val assigned = ScratchCache.cache(ivfAssign(embeddings, cent))
     // residual encode: r = v − c_list, then PQ codebooks over the
@@ -2886,24 +2922,25 @@ object DedupSim {
     val resid = assigned.join(broadcast(cent), "list_id")
       .select(col("vec_id"),
         expr("zip_with(v, cv, (x, c) -> x - c)").as("embedding"))
-    val (_, codebook, codes) = embPqModel(resid, m = 4, k = 4)
-    // probe: nprobe=2 centroid-nearest lists by L2 (the train metric;
+    val (_, codebook, codes) = embPqModel(resid, m, k)
+    // probe: nprobe centroid-nearest lists by L2 (the train metric;
     // cc − 2⟨q,c⟩ is rank-equal to the true distance, ‖q‖² constant)
     val qlists = assigned.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), k0(col("vec_id")).as("k"))
       .join(broadcast(cent.withColumn("k", k0(col("list_id")))), "k")
       .select(col("list_id"), col("qv"), col("cv"),
         round(dot("cv", "cv") - lit(2.0) * dot("qv", "cv"), 6).as("qd2"))
-      .orderBy(col("qd2"), col("list_id")).limit(2)
+      .orderBy(col("qd2"), col("list_id")).limit(nprobe)
     // per-list query residual slices × codebook → the ADC LUT
-    // (nprobe·m·k = 32 rows): qd = ‖qr_sub‖² + cc − 2⟨qr_sub, code⟩
+    // (nprobe·m·k rows — 2·16·16 = 512 at the default budget, 32 in
+    // the demo-args ledger test): qd = ‖qr_sub‖² + cc − 2⟨qr_sub, code⟩
     val qr = qlists
       .select(col("list_id"),
         expr("zip_with(qv, cv, (x, c) -> x - c)").as("qres"))
       .select(col("list_id"),
-        explode(sequence(lit(0L), lit(3L))).as("sub"), col("qres"))
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("qres"))
       .select(col("list_id"), col("sub"),
-        expr("slice(qres, 1 + CAST(sub * 16 AS INT), 16)").as("qs"))
+        expr(s"slice(qres, 1 + CAST(sub * $sd AS INT), $sd)").as("qs"))
       .withColumn("qq", dot("qs", "qs"))
     val lut = qr.join(codebook, Seq("sub"))
       .select(col("list_id"), col("sub"), col("cid"),

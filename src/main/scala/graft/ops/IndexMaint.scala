@@ -141,7 +141,19 @@ object IndexMaint {
     * existence probes; repair work only runs when the aside/staging
     * sibling dirs actually exist. Every standing-index read path
     * (the ANN probes, the append ledger, the incr-semantic admit)
-    * goes through here rather than a bare `read.parquet`. */
+    * goes through here rather than a bare `read.parquet`.
+    *
+    * CONCURRENCY ASSUMPTION (r18 ADVICE): repair makes every reader a
+    * potential MUTATOR of the shared aside/staging state, so this
+    * artifact assumes NO compact() (or second repairing reader) runs
+    * concurrently — a reader racing a live compact could restore or
+    * delete aside directories mid-swap and trip compact's
+    * require(rename) (partitions stay wholly pre- or post-compaction
+    * either way; an abort loses no data, it just fails the compact).
+    * That single-maintainer regime is the same one the compact demo
+    * and the standing ANN indexes already operate under (one driver
+    * owns an index artifact); a future concurrent caller needs a
+    * lock around compact+repair, not a change to the swap protocol. */
   private[graft] def openIndex(s: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)

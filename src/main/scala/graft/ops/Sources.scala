@@ -189,10 +189,21 @@ object Sources {
     layoutZorderOn(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
-  /** Spread the low 32 bits of x to the even bit positions of a long
-    * (the classic 5-step shift-mask Morton spread). */
+  /** Spread the low 31 bits of x to the even bit positions of a long
+    * (the classic 5-step shift-mask Morton spread). 31, not 32: the
+    * odd-position key's spread gets shifted left ONCE MORE in
+    * [[mortonZ]], which would carry a 32nd bit's spread (position 62)
+    * into the SIGN bit — a p ≥ 2³¹ (TPC-H partkey at SF≳300, exactly
+    * the scale this advisor targets) would make z negative and the
+    * divide-only file split emit file_ids outside [0, 16) in BOTH
+    * engines (the oracle replays the same arithmetic, so the escape
+    * is oracle-invisible — the kdqAssign bug class; found by the r19
+    * PropertiesSpec containment sweep, verdict r18 ask #5). Masking
+    * first keeps z in [0, 2⁶²) for ANY input; keys ≥ 2³¹ alias by
+    * documented contract, which degrades clustering quality for such
+    * keys, never containment. */
   private[graft] def mortonSpread(cIn: Column): Column = {
-    var x = cIn
+    var x = cIn.bitwiseAND(lit(2147483647L))
     x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(281470681808895L))
     x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(71777214294589695L))
     x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(1085102592571150095L))

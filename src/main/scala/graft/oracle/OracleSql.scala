@@ -3552,12 +3552,18 @@ object OracleSql {
     // Z-order advisor: the 5-step shift-mask bit spread is replayed
     // with DuckDB's << & | on the same BIGINT masks — any deviation in
     // the interleave or the data-driven file split breaks every
-    // min/max stat row
+    // min/max stat row. Keys are masked to the LOW 31 BITS before the
+    // spread, in lockstep with mortonSpread (r19): the odd-position
+    // key's extra << 1 would otherwise carry bit 31's spread into the
+    // sign bit and break the [0, 16) file_id containment in both
+    // engines at once
     "q_layout_zorder" ->
       """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |lm AS (SELECT o, p, o & 2147483647 AS om, p & 2147483647 AS pm
+        |  FROM li),
         |s1 AS (SELECT o, p,
-        |  ((o | (o << 16)) & 281470681808895) AS xo,
-        |  ((p | (p << 16)) & 281470681808895) AS xp FROM li),
+        |  ((om | (om << 16)) & 281470681808895) AS xo,
+        |  ((pm | (pm << 16)) & 281470681808895) AS xp FROM lm),
         |s2 AS (SELECT o, p,
         |  ((xo | (xo << 8)) & 71777214294589695) AS xo,
         |  ((xp | (xp << 8)) & 71777214294589695) AS xp FROM s1),

@@ -26,9 +26,14 @@ object RecallProbe {
       Seq[(String, (org.apache.spark.sql.DataFrame, Int) =>
           org.apache.spark.sql.DataFrame)](
         ("ivf", (df, np) => graft.ops.DedupSim.ivfRecall(df, np)),
-        ("ivfpq16b", (df, np) => graft.ops.DedupSim.ivfPqRecall(df, np)),
+        // 8-bit codes: m=4 subspaces × log2(4)=2 bits (the r15-r18
+        // demo budget, mislabeled 16b through r18 — r18 ADVICE)
+        ("ivfpq8b", (df, np) =>
+          graft.ops.DedupSim.ivfPqRecall(df, np, m = 4, k = 4)),
         ("ivfpq32b", (df, np) =>
-          graft.ops.DedupSim.ivfPqRecall(df, np, m = 8, k = 16))
+          graft.ops.DedupSim.ivfPqRecall(df, np, m = 8, k = 16)),
+        // 64-bit codes: the r19 production conf default (m=16, k=16)
+        ("ivfpq64b", (df, np) => graft.ops.DedupSim.ivfPqRecall(df, np))
       ).foreach { case (path, recall) =>
         Seq(1, 2, 4).foreach { np =>
           val r = recall(graft.Tables.embeddings(spark, d), np)

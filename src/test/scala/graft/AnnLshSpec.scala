@@ -273,11 +273,16 @@ class AnnLshSpec extends GraftSuite {
   }
 
   test("IVFADC: residual-PQ code search recalls brute-force L2 " +
-      "neighbors on clustered vectors") {
+      "neighbors on clustered vectors, at the production conf default " +
+      "AND at the explicit 8-bit demo budget") {
     // 6 tight clusters; the query's true top-10 sit in its own
     // cluster. IVFADC never reads a full vector past the encode —
-    // candidates are ranked from codes + the 32-row LUT alone — so
-    // meaningful recall here proves the whole compressed path.
+    // candidates are ranked from codes + the broadcast LUT alone — so
+    // meaningful recall here proves the whole compressed path. Two
+    // budgets (r18 verdict #1): the conf default (m=16, k=16 → 64-bit
+    // codes, 512-row LUT) must hold a HIGHER floor than the explicit
+    // demo budget (m=4, k=4 → 8-bit codes, the 32-row-LUT ledger
+    // contract of r15-r18, now reachable only via explicit args).
     val rnd = new scala.util.Random(31)
     val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian() * 8))
     val vecs = (0 until 120).map { i =>
@@ -286,16 +291,27 @@ class AnnLshSpec extends GraftSuite {
         c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
     }
     val df = vecs.toDF("vec_id", "label", "embedding")
-    val got = DedupSim.simAnnIvfPqOn(df, queryVecId = 0L).collect()
-    graft.ops.ScratchCache.releaseAll()
-    assert(got.length == 10)
-    val ids = got.map(_.getAs[Long]("vec_id")).toSet
     val q = vecs(0)._3.map(_.toDouble).toArray
     val exact = vecs.drop(1).map { case (id, _, v) =>
       (id, v.map(_.toDouble).zip(q)
         .map { case (x, y) => (x - y) * (x - y) }.sum)
     }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
-    assert((ids & exact).size >= 3, s"recall ${(ids & exact).size}/10")
+    // conf default: 64-bit codes resolve within-cluster order
+    val got = DedupSim.simAnnIvfPqOn(df, queryVecId = 0L).collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(got.length == 10)
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert((ids & exact).size >= 5,
+      s"default-budget recall ${(ids & exact).size}/10")
+    // explicit demo budget: coarse codes, the old >=3/10 floor
+    val demo = DedupSim
+      .simAnnIvfPqOn(df, queryVecId = 0L, m = 4, k = 4, nprobe = 2)
+      .collect()
+    graft.ops.ScratchCache.releaseAll()
+    assert(demo.length == 10)
+    val demoIds = demo.map(_.getAs[Long]("vec_id")).toSet
+    assert((demoIds & exact).size >= 3,
+      s"demo-budget recall ${(demoIds & exact).size}/10")
   }
 
   test("ivfPqRecall: the multi-query ADC plumbing reaches high recall " +
@@ -306,11 +322,13 @@ class AnnLshSpec extends GraftSuite {
     // quantizer separates clusters, and the ADC ranking only has to
     // order within-cluster — if the multi-query generalization broke
     // any join key (q_id/list_id/sub/cid), recall here would collapse.
-    // On the near-isotropic testdata embeddings the measured mean is
-    // ~0.05-0.10 and nprobe-FLAT (16-bit codes: m=4 subs x 4 cids
-    // cannot rank top-10 among unclustered vectors — ADC quantization
-    // error dominates the inter-neighbor gaps); that distribution is
-    // recorded in SCALE.md as the honest IVFADC quality on this data.
+    // Since r19 the default budget is the production conf (m=16,
+    // k=16 → 64-bit codes), so the clustered floor tightens to 0.5 at
+    // the DEFAULT (verdict r18 #1 done-criterion); the demo budget
+    // (m=4, k=4 → 8-bit codes) holds the same floor here because
+    // within-cluster ranking only needs the coarse separation, while
+    // on near-isotropic data it measures ~0.01-0.05 (SCALE.md table —
+    // the data, not the plumbing).
     val rnd = new scala.util.Random(31)
     val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian() * 8))
     val vecs = (0 until 120).map { i =>
@@ -323,6 +341,37 @@ class AnnLshSpec extends GraftSuite {
       .agg(avg(col("recall"))).head().getDouble(0)
     graft.ops.ScratchCache.releaseAll()
     assert(m >= 0.5, f"clustered-data mean recall@10 is $m%.3f < 0.5")
+    val mDemo = DedupSim
+      .ivfPqRecall(df, nprobe = 2, nQueries = 20, m = 4, k = 4)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.ops.ScratchCache.releaseAll()
+    assert(mDemo >= 0.5,
+      f"demo-budget clustered mean recall@10 is $mDemo%.3f < 0.5")
+  }
+
+  test("ivfRecall: the plain-IVF distribution path reaches high recall " +
+      "on clustered vectors (clustered = the production geometry; the " +
+      "isotropic testdata numbers are the worst case)") {
+    // r18 verdict ask #4 — the clustered-geometry evidence ivfPqRecall
+    // already had, through ivfRecall's 100-query distribution path:
+    // 6 tight clusters, k=10 lists align with (or split) clusters, a
+    // query's true cosine top-10 sit in its own cluster, so probing
+    // the nprobe=2 nearest lists must capture nearly all of them.
+    // Floor 0.8 on the MEAN at nprobe=2 (vs 0.43-0.47 measured on the
+    // near-isotropic testdata — SCALE.md): clusters aligned with
+    // lists is what production embedding corpora look like.
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian() * 8))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, i % 3,
+        c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val m = DedupSim.ivfRecall(df, nprobe = 2, nQueries = 20)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.ops.ScratchCache.releaseAll()
+    assert(m >= 0.8, f"clustered-data mean recall@10 is $m%.3f < 0.8")
   }
 
   test("sampled quantizer training: above trainMax the trainer runs on " +
