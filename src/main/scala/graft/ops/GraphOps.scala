@@ -1448,12 +1448,25 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     ScratchCache.defer(() => unpersistCheckpoint(outdeg))
-    // (src, dst, deg) materialized ONCE: the iteration loop then pays a
-    // single rank⋈edge join per round instead of rank⋈deg⋈edge
-    val edgesDeg = edges.join(outdeg, col("src") === col("id"))
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
-    ScratchCache.defer(() => unpersistCheckpoint(edgesDeg))
+    // edge set PRE-PARTITIONED on src, materialized ONCE as a CACHE,
+    // not a checkpoint (r19: the doc above claimed "both partitioned
+    // by the same key across iterations" but the code never
+    // established it — and MEASURING it exposed that localCheckpoint
+    // does NOT carry outputPartitioning in Spark 4.x (LogicalRDD
+    // reports UnknownPartitioning), so a checkpointed repartition
+    // would be an exchange the planner cannot see. InMemoryRelation
+    // DOES preserve partitioning, so the per-iteration rank⋈edge join
+    // consumes hash(src) with no exchange and no re-shuffle of the
+    // static edge table — 5 edge exchanges gone. deg no longer rides
+    // the edge rows: it is carried on the rank table instead, so the
+    // r/deg division runs once per NODE rather than once per EDGE ROW
+    // (same expression, same exact decimal quotient).
+    // ... and pre-SORTED on src inside each partition: the cache also
+    // preserves outputOrdering, so the per-iteration sort-merge join
+    // skips the |E|-sized sort and only ever sorts the |V|-sized rank
+    // projection.
+    val edgesBySrc = ScratchCache.cache(
+      edges.repartition(col("src")).sortWithinPartitions(col("src")))
     val n = nodes.count()
     val one = new java.math.BigDecimal(1)
     val bigN = new java.math.BigDecimal(n)
@@ -1466,9 +1479,13 @@ object GraphOps {
     // probe is then a join-free scan + 1-row aggregate instead of a
     // left_anti join against outdeg (halves the per-iteration passes
     // over the rank table; values are bit-identical)
+    // deg rides the rank rows (null ⟺ dangling): the per-iteration
+    // r/deg division is then single-sided and runs on the |V|-sized
+    // rank table BEFORE the edge join instead of on every |E|-sized
+    // join output row — same expression, same exact decimal quotient
     var ranks = nodes.join(outdeg, Seq("id"), "left")
       .select(col("id"), lit(uniform).cast(D).as("r"),
-        col("deg").isNull.as("dangling"))
+        col("deg").isNull.as("dangling"), col("deg"))
       .localCheckpoint()
     var prev: Option[DataFrame] = Some(ranks)
     for (_ <- 1 to iters) {
@@ -1481,19 +1498,36 @@ object GraphOps {
           lit(0).cast(D)).as("d"))
         .head().getDecimal(0)
       val dangShare = dang.divide(bigN, 18, java.math.RoundingMode.HALF_UP)
-      val contribs = ranks.join(edgesDeg, col("id") === col("src"))
-        .select(col("dst"),
-          (col("r") / col("deg")).cast(D).as("c"))
+      // ONE full-row rank exchange per iteration, shared: the rank
+      // checkpoint re-enters each round with UnknownPartitioning (see
+      // the edgesBySrc note), so it must be exchanged once — but both
+      // per-iteration consumers (the contribution join and the
+      // next-rank outer join) hang off the SAME repartition subtree,
+      // which exchange reuse dedupes into a single shuffle. The merge
+      // hint pins the edge join to the co-partitioned sort-merge
+      // shape: without it the planner broadcasts the |E|-sized edge
+      // cache whenever it sizes under the threshold — a serial
+      // per-iteration driver build at bench scale and an impossible
+      // plan at 100 TB, where the edge side could never broadcast.
+      // The division + projection to (id, c) runs BEFORE the join: |V|
+      // divisions, 2 columns into the join. A dangling row's c is
+      // null (deg null); dangling ⟺ no out-edges ⟺ the id never
+      // matches an edge src, so the inner join drops those rows
+      // before any sum sees them.
+      val r2 = ranks.repartition(col("id"))
+      val contribs = r2
+        .select(col("id"), (col("r") / col("deg")).cast(D).as("c"))
+        .join(edgesBySrc.hint("merge"), col("id") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).cast(D).as("inSum"))
         .withColumnRenamed("dst", "id")
-      val next = ranks.select(col("id"), col("dangling"))
+      val next = r2.select(col("id"), col("dangling"), col("deg"))
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base).cast(D) + lit(new java.math.BigDecimal("0.85")) *
             (coalesce(col("inSum"), lit(0).cast(D)) +
               lit(dangShare).cast(D))).cast(D).as("r"),
-          col("dangling"))
+          col("dangling"), col("deg"))
         .localCheckpoint()
       prev.foreach(unpersistCheckpoint)
       prev = Some(next)
