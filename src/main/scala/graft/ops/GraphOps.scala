@@ -900,17 +900,22 @@ object GraphOps {
     val D = DecimalType(38, 18)
     val k0 = (c: Column) => pmod(hash(c), lit(1))
     val cols = edgesIn.columns
-    // TWO pre-partitioned edge copies, checkpointed once: the a-step
-    // joins on src against a score table that the previous h-step's
-    // groupBy(src) already hash-partitioned on the same key (and vice
-    // versa for dst) — localCheckpoint preserves outputPartitioning
-    // and the broadcast-norm/alias projections are partitioning-aware,
-    // so each half-step's join is EXCHANGE-FREE on both sides and the
-    // only shuffle left is the opposite-endpoint aggregation
-    val edgesBySrc = trunc(edgesIn
+    // TWO pre-partitioned, pre-sorted edge copies, CACHED once (r19:
+    // these used to be checkpointed, but localCheckpoint does NOT
+    // carry outputPartitioning in Spark 4.x — LogicalRDD reports
+    // UnknownPartitioning, measured this round — so the old copies
+    // re-entered every half-step unpartitioned and the planner either
+    // re-exchanged them or broadcast a side per half-step.
+    // InMemoryRelation preserves partitioning AND ordering, so each
+    // half-step's merge-hinted edge join consumes hash(src)/hash(dst)
+    // sorted in place: no edge exchange, no edge sort, no broadcast
+    // build, only the score side's |V|-sized exchange + the
+    // opposite-endpoint aggregation shuffle remain per half-step)
+    val edgesBySrc = ScratchCache.cache(edgesIn
       .select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-      .repartition(col("src")))
-    val edgesByDst = trunc(edgesBySrc.repartition(col("dst")))
+      .repartition(col("src")).sortWithinPartitions(col("src")))
+    val edgesByDst = ScratchCache.cache(
+      edgesBySrc.repartition(col("dst")).sortWithinPartitions(col("dst")))
     var hubs = trunc(edgesBySrc.select(col("src").as("id")).distinct()
       .select(col("id"), lit(java.math.BigDecimal.ONE).cast(D).as("h")))
     var auths: DataFrame = null
@@ -929,7 +934,12 @@ object GraphOps {
     // where the recomputed join is the dominant cost. Per-half-step
     // checkpointing stays.
     for (_ <- 1 to iters) {
-      val aRaw = trunc(edgesBySrc
+      // merge hints on both edge joins: the score side sizes under
+      // the broadcast threshold at bench scale, and a per-half-step
+      // broadcast build is serial driver work here and impossible at
+      // 100 TB — the co-partitioned sort-merge against the cached
+      // sorted edge copy is the scale shape (see edgesBySrc note)
+      val aRaw = trunc(edgesBySrc.hint("merge")
         .join(hubs, edgesBySrc("src") === hubs("id"))
         .groupBy(col("dst")).agg(sum(col("h")).cast(D).as("a")))
       val aNorm = aRaw.agg(sum(col("a")).cast(DecimalType(30, 12)).as("sa"))
@@ -938,7 +948,7 @@ object GraphOps {
         .join(broadcast(aNorm), "j")
         .select(col("dst").as("id"),
           (col("a").cast(DecimalType(30, 18)) / col("sa")).cast(D).as("a"))
-      val hRaw = trunc(edgesByDst
+      val hRaw = trunc(edgesByDst.hint("merge")
         .join(auths, edgesByDst("dst") === auths("id"))
         .groupBy(col("src")).agg(sum(col("a")).cast(D).as("h")))
       val hNorm = hRaw.agg(sum(col("h")).cast(DecimalType(30, 12)).as("sh"))
