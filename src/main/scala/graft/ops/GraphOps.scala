@@ -538,9 +538,15 @@ object GraphOps {
   def ssspOn(membership: DataFrame): DataFrame = {
     val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
     val ec = coPairs(op).distinct()
-    val sym = trunc(ec.unionByName(
+    // checkpoint the build, cache its repartition (the coSymEdges r19
+    // hybrid): lineage truncated to a scan; hash(u) + in-partition
+    // ordering stay visible, so each relax round's merge-hinted join
+    // consumes the static weighted edge set in place — no per-round
+    // edge exchange, no per-round broadcast build
+    val sym = ScratchCache.cache(trunc(ec.unionByName(
         ec.select(col("v").as("u"), col("u").as("v")))
       .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(7L))))
+      .repartition(col("u")).sortWithinPartitions(col("u")))
     val src = op.agg(min(col("p")).as("node"))
       .withColumn("dist", lit(0L))
     // 4 unrolled min-plus relaxation rounds; dist_k(v) = cheapest
@@ -552,7 +558,7 @@ object GraphOps {
       // the previous round), so attribute-based dcur("dist")/sym("w")
       // references would be ambiguous self-join attributes
       trunc(dcur.select(col("node").as("dn"), col("dist").as("dd"))
-        .join(sym, col("dn") === col("u"))
+        .join(sym.hint("merge"), col("dn") === col("u"))
         .select(col("v").as("node"), (col("dd") + col("w")).as("dist"))
         .unionByName(dcur.select(col("node"), col("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist")))
@@ -623,7 +629,14 @@ object GraphOps {
     val ec = coPairs(op).distinct()
     val symRaw = ec.unionByName(
       ec.select(col("v").as("u"), col("u").as("v")))
-    val sym = if (pin) LandmarkMemo.pin(symRaw) else trunc(symRaw)
+    // non-memo path: checkpoint + cached repartition (the coSymEdges
+    // r19 hybrid) so every BFS/sigma round consumes the static edge
+    // set in place via the merge-hinted joins below; the memo path
+    // keeps its pinned checkpoint (Verify-only, untimed — its rounds
+    // re-exchange the pinned set, values bit-identical either way)
+    val sym = if (pin) LandmarkMemo.pin(symRaw)
+      else ScratchCache.cache(trunc(symRaw)
+        .repartition(col("u")).sortWithinPartitions(col("u")))
     // K smallest node ids: global sort-limit plans TakeOrderedAndProject
     // (K rows to the driver, no full sort) — deterministic landmarks
     val lmRaw = sym.select(col("u").as("lmk")).distinct()
@@ -639,7 +652,7 @@ object GraphOps {
     val rounds = Iterator.iterate(trunc(src), maxHop + 1) { f =>
       trunc(f.select(col("lmk").as("fl"), col("node").as("fn"),
           col("hop").as("fh"))
-        .join(sym, col("fn") === col("u"))
+        .join(sym.hint("merge"), col("fn") === col("u"))
         .select(col("fl").as("lmk"), col("v").as("node"),
           (col("fh") + lit(1L)).as("hop"))
         .unionByName(f.select(col("lmk"), col("node"), col("hop")))
@@ -664,7 +677,7 @@ object GraphOps {
       val next = trunc(sig
         .select(col("lmk").as("sl"), col("node").as("u0"),
           col("sigma").as("ps"))
-        .join(sym, col("u0") === col("u"))
+        .join(sym.hint("merge"), col("u0") === col("u"))
         .join(mh.filter(col("hop") === h)
             .select(col("lmk"), col("node")),
           col("sl") === col("lmk") && col("v") === col("node"))
@@ -1695,8 +1708,22 @@ object GraphOps {
       val ec = coPairs(op).distinct()
       val built = ec.unionByName(
           ec.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
-      if (pin) EdgeMemo.pin(built) else trunc(built)
+      // non-memo path: CHECKPOINT the (heavy) build, then CACHE its
+      // repartition (r19). localCheckpoint drops outputPartitioning
+      // in Spark 4.x (measured — see pageRankOn/hitsOn), so the old
+      // trunc(repartition(u)) re-entered every LPA/Louvain round with
+      // UnknownPartitioning and each round re-exchanged its
+      // aggregations. Caching the repartitioned build directly was
+      // A/B'd and REJECTED: every round then re-embeds the full
+      // co-pair logical plan and AQE re-planning blows up (louvain2
+      // 5.9 s -> 8.6-39 s, the 21-88 s labelProp lesson). The hybrid
+      // keeps both properties: the checkpoint truncates lineage to a
+      // scan, and the cached repartition over that scan is a
+      // TINY-plan InMemoryRelation whose hash(u) satisfies both
+      // per-round aggregation distributions — rounds are genuinely
+      // exchange-free, as the design always claimed.
+      if (pin) EdgeMemo.pin(built)
+      else ScratchCache.cache(trunc(built).repartition(col("u")))
     }
 
   private def lpaLabels(membership: DataFrame): (DataFrame, DataFrame) = {
@@ -1953,11 +1980,14 @@ object GraphOps {
     val lab1 = louvainMoveRounds(sym.withColumn("w", lit(1L)), m2, 4)
     // quotient: one hash agg — w(a, b) counts original directed edges,
     // so the diagonal holds 2× the intra edges and Σw stays m2
-    val symQ = trunc(sym
+    // checkpoint the quotient build, then cache its repartition — the
+    // coSymEdges hybrid (r19): lineage truncated to a scan, hash(u)
+    // visible to the merge rounds through the tiny-plan cache
+    val symQ = ScratchCache.cache(trunc(sym
       .join(lab1.select(col("node").as("u"), col("lab").as("qu")), "u")
       .join(lab1.select(col("node").as("v"), col("lab").as("qv")), "v")
       .groupBy(col("qu"), col("qv")).agg(count(lit(1)).as("w"))
-      .select(col("qu").as("u"), col("qv").as("v"), col("w"))
+      .select(col("qu").as("u"), col("qv").as("v"), col("w")))
       .repartition(col("u")))
     // level 2: 4 mutual-best-merge rounds on the weighted quotient —
     // Q-monotone because accepted merges are disjoint pairs with
