@@ -93,8 +93,20 @@ object Bench {
     val results =
       SparkEntry.queries.keys.map(n => n -> best.getOrElse(n, -1.0)).toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ASCENDING-by-seconds entry order (ties by name, deterministic):
+    // the harness that reads this output keeps only a fixed-size TAIL
+    // of it, so whatever sits at the END of the per-query dict is what
+    // stays auditable — cheap keys first puts every expensive key (the
+    // ones a perf comparison is about) inside the surviving window.
+    val ordered = results.toSeq.sortBy { case (k, v) => (v, k) }
+    def dict(vs: Seq[(String, Double)], fmt: Double => String) =
+      vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    // stdout values at 3 decimals (1 ms — below bench noise): ~30%
+    // shorter line, more keys inside the captured tail. bench_full.json
+    // keeps full precision.
+    val qs = dict(ordered, v => f"$v%.3f")
+    val qsFull = dict(ordered, _.toString)
     // total sums only successful queries; the failed list + their -1
     // entries make a red query impossible to miss in the JSON
     val total = results.values.filter(_ >= 0).sum
@@ -102,19 +114,23 @@ object Bench {
     val errorsJson = failed
       .map(k => "\"" + k + "\":\"" + jsonEscape(errors.getOrElse(k, "unknown")) + "\"")
       .mkString("{", ",", "}")
-    // Per-query detail first (one long line), then a SHORT total-only
-    // line LAST: the harness captures only the output tail, and round 1
-    // showed a single huge line truncates mid-dict and loses the total.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,$canaryJson,"sf":"$sfDir"}"""
-    println(line)
+    // r19 verdict ask #2: the SHORT total line prints FIRST and the full
+    // per-query line prints LAST, so a tail-capturing harness sees as
+    // much of the per-query dict as its window allows and the line's
+    // closing keys — metric/value/sf placed AFTER the dict — always
+    // survive. (JSON key order is semantically irrelevant; only the
+    // tail-visibility of the totals depends on it.)
+    def line(qdict: String) =
+      s"""{"queries":$qdict,"failed":$failedJson,"errors":$errorsJson,$canaryJson,"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
-    // Also persist the FULL per-query line: harnesses that capture only
-    // an output tail keep all ~108 timings auditable on disk
-    // (override the path with SPARK_GRAFT_BENCH_OUT; best-effort —
-    // an unwritable path must not fail the bench)
+    // Also persist the FULL per-query line (full-precision values):
+    // harnesses that capture only an output tail keep all ~214 timings
+    // auditable on disk (override the path with SPARK_GRAFT_BENCH_OUT;
+    // best-effort — an unwritable path must not fail the bench)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line(qsFull) + "\n")
     catch { case _: Throwable => () }
+    println(line(qs))
     spark.stop()
   }
 

@@ -158,34 +158,81 @@ object GraphOps {
     * hash agg collapses to the ≤ |cats|²·|preds| pattern table; the
     * node side is one hash agg. Nothing driver-side. */
   def metaKg(s: SparkSession, d: String): DataFrame = {
+    // r20 long-key rewrite (guide §2.3 — narrow shuffle keys): the
+    // string graph ("CUST:123" ids, predicate words) exists only in the
+    // OUTPUT pattern table; the data-sized path runs entirely on longs.
+    // Node ids pack a 2-bit namespace flavor into bits 62-61 of a long
+    // (every TPC-H key stays < 2^61 at any SF, incl. 100 TB), so the
+    // four disjoint CURIE prefixes stay disjoint after encoding and the
+    // string↔long mapping is injective — the DISTINCT (s,p,o) set and
+    // both category attachments are value-identical to the string plan
+    // the oracle runs. Category strings attach BEFORE the distinct on
+    // the dimension side (customer→orders: |O| narrow rows, part dim:
+    // |P| rows) instead of AFTER it on the |E|-sized side — two full
+    // |E|-row string-keyed join exchanges gone; predicate travels as a
+    // tinyint and decodes post-aggregation on ≤ |cats|²·|preds| rows.
+    val CUST = 0L << 61; val SUPP = 1L << 61
+    val PART = 2L << 61; val PARTX = 3L << 61
     val partPrefix = when(col("p_size") > 25, "PARTX").otherwise("PART")
-    val nodes = Tables.customer(s, d)
-      .select(concat(lit("CUST:"), col("c_custkey")).as("id"),
-        lower(col("c_mktsegment")).as("category"), lit("CUST").as("prefix"))
+    val partFlavor = when(col("p_size") > 25, lit(PARTX)).otherwise(lit(PART))
+    // node-pattern side: category/prefix only, no id strings built
+    val nodesLight = Tables.customer(s, d)
+      .select(lower(col("c_mktsegment")).as("category"),
+        lit("CUST").as("prefix"))
       .unionByName(Tables.supplier(s, d)
-        .select(concat(lit("SUPP:"), col("s_suppkey")).as("id"),
-          lit("supplier").as("category"), lit("SUPP").as("prefix")))
+        .select(lit("supplier").as("category"), lit("SUPP").as("prefix")))
       .unionByName(Tables.part(s, d)
-        .select(concat(partPrefix, lit(":"), col("p_partkey")).as("id"),
-          lower(split(col("p_type"), " ").getItem(0)).as("category"),
+        .select(lower(split(col("p_type"), " ").getItem(0)).as("category"),
           partPrefix.as("prefix")))
+    val nPat = nodesLight.groupBy(col("category"))
+      .agg(array_join(sort_array(collect_set(col("prefix"))), ",")
+          .as("prefixes"),
+        count(lit(1)).as("n"))
+      .select(lit("node").as("kind"), col("category"),
+        lit("").as("predicate"), lit("").as("object_category"),
+        col("prefixes"), col("n"))
+    // edge-pattern side: subject category rides the order row (one
+    // |O|-sized customer join), object category rides the part dim row
     val li = Tables.lineitem(s, d)
-    val partIds = Tables.part(s, d)
+    val ordersC = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        lit(CUST).bitwiseOR(col("o_custkey").cast("long")).as("s_id"),
+        lower(col("c_mktsegment")).as("s_cat"))
+    val partDim = Tables.part(s, d)
       .select(col("p_partkey"),
-        concat(partPrefix, lit(":"), col("p_partkey")).as("part_id"))
+        partFlavor.bitwiseOR(col("p_partkey").cast("long")).as("o_id"),
+        lower(split(col("p_type"), " ").getItem(0)).as("o_cat"))
     val custPart = li
-      .join(Tables.orders(s, d), li("l_orderkey") === col("o_orderkey"))
-      .join(partIds, li("l_partkey") === col("p_partkey"))
-      .select(concat(lit("CUST:"), col("o_custkey")).as("subject"),
-        when(col("l_returnflag") === "R", "returned")
-          .when(col("l_returnflag") === "A", "accepted")
-          .otherwise("ordered").as("predicate"),
-        col("part_id").as("object"))
+      .join(ordersC, li("l_orderkey") === col("o_orderkey"))
+      .join(partDim, li("l_partkey") === col("p_partkey"))
+      .select(col("s_id"), col("s_cat"),
+        when(col("l_returnflag") === "R", 0)
+          .when(col("l_returnflag") === "A", 1)
+          .otherwise(2).cast("tinyint").as("pred"),
+        col("o_id"), col("o_cat"))
     val suppPart = li
-      .join(partIds, li("l_partkey") === col("p_partkey"))
-      .select(concat(lit("SUPP:"), col("l_suppkey")).as("subject"),
-        lit("supplies").as("predicate"), col("part_id").as("object"))
-    metaKgOn(nodes, custPart.unionByName(suppPart))
+      .join(partDim, li("l_partkey") === col("p_partkey"))
+      .select(lit(SUPP).bitwiseOR(col("l_suppkey").cast("long")).as("s_id"),
+        lit("supplier").as("s_cat"),
+        lit(3).cast("tinyint").as("pred"), col("o_id"), col("o_cat"))
+    // s_id determines s_cat and o_id determines o_cat (category is a
+    // function of the node), so DISTINCT over the 5-col row equals
+    // DISTINCT (s,p,o) — no extra collapse, no lost rows
+    val ePat = custPart.unionByName(suppPart).distinct()
+      .groupBy(col("s_cat"), col("pred"), col("o_cat"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("edge").as("kind"), col("s_cat").as("category"),
+        when(col("pred") === 0, "returned")
+          .when(col("pred") === 1, "accepted")
+          .when(col("pred") === 2, "ordered")
+          .otherwise("supplies").as("predicate"),
+        col("o_cat").as("object_category"), lit("").as("prefixes"),
+        col("n"))
+    nPat.unionByName(ePat)
+      .orderBy(col("kind"), col("category"), col("predicate"),
+        col("object_category"))
   }
 
   /** Core of q_graph_metakg over any (id, category, prefix) node frame
@@ -1521,12 +1568,18 @@ object GraphOps {
           lit(0).cast(D)).as("d"))
         .head().getDecimal(0)
       val dangShare = dang.divide(bigN, 18, java.math.RoundingMode.HALF_UP)
-      // ONE full-row rank exchange per iteration, shared: the rank
-      // checkpoint re-enters each round with UnknownPartitioning (see
-      // the edgesBySrc note), so it must be exchanged once — but both
-      // per-iteration consumers (the contribution join and the
-      // next-rank outer join) hang off the SAME repartition subtree,
-      // which exchange reuse dedupes into a single shuffle. The merge
+      // Per-iteration rank exchanges: the rank checkpoint re-enters
+      // each round with UnknownPartitioning (see the edgesBySrc note),
+      // so its consumers must exchange it. Both per-iteration
+      // consumers (the contribution join and the next-rank outer
+      // join) hang off the same repartition subtree, but column
+      // pruning projects each copy differently ((id, r, deg) vs
+      // (id, dangling, deg)), which defeats ReuseExchange — the plan
+      // carries TWO narrow |V|-row rank shuffles per iteration
+      // (plans/r19/q_graph_pagerank_after.txt). Accepted: forcing a
+      // single shared shuffle would need a per-iteration cache barrier
+      // whose materialization cost exceeds the ~1 narrow column it
+      // saves. The big win stays the static edge side. The merge
       // hint pins the edge join to the co-partitioned sort-merge
       // shape: without it the planner broadcasts the |E|-sized edge
       // cache whenever it sizes under the threshold — a serial
@@ -1693,15 +1746,24 @@ object GraphOps {
     * (spark.graft.edges.memo=false) to keep per-key timings
     * self-contained.
     *
-    * sym is REPARTITIONED BY u before the checkpoint: the per-round
-    * join broadcasts the (tiny) label frame, broadcast-hash preserves
-    * the streamed side's partitioning, and HashPartitioning(u)
-    * satisfies ClusteredDistribution for BOTH downstream aggregations
-    * ((u, lab) counting and the per-u argmax) — so after this one
-    * shuffle every round is exchange-free. When labels outgrow the
-    * broadcast threshold (labels are |V|-sized; a 100 TB graph's
-    * vocabulary may not fit), Catalyst falls back to a shuffled join
-    * and the rounds pay their shuffles — plan degrades, never breaks. */
+    * Non-memo layout (r19 hybrid): sym is CHECKPOINTED first (lineage
+    * truncated to a scan), then its repartition(u) is CACHED — the
+    * InMemoryRelation preserves HashPartitioning(u), which satisfies
+    * ClusteredDistribution for BOTH downstream aggregations ((u, lab)
+    * counting and the per-u argmax), so after this one shuffle every
+    * round is exchange-free. The per-round join broadcasts the (tiny)
+    * label frame and broadcast-hash preserves the streamed side's
+    * partitioning. When labels outgrow the broadcast threshold (labels
+    * are |V|-sized; a 100 TB graph's vocabulary may not fit), Catalyst
+    * falls back to a shuffled join and the rounds pay their shuffles —
+    * plan degrades, never breaks. The EdgeMemo PIN path skips the
+    * repartition entirely (cross-key reuse cares about the rows, not
+    * the layout; consumers re-exchange as needed). Footprint note:
+    * until ScratchCache.releaseAll both the checkpoint blocks and the
+    * InMemoryRelation hold a full copy of sym — an accepted 2× scratch
+    * cost (sym is edge-sized but projected to two longs; the blocks
+    * are storage-evictable under pressure, and both copies release at
+    * query end). */
   private def coSymEdges(membership: DataFrame): DataFrame =
     EdgeMemo.getOrBuild(membership) { pin =>
       val op = sizeTagged(membership.select(col("o"), col("p")).distinct())
