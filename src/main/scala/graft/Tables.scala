@@ -29,37 +29,9 @@ object Tables {
   // table touch is fully lazy (asserted in DedupSimSpec).
   private val cachedOnce = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
-  // r20 scale-adaptive cache layout (guide §2.4 / §6): a small-SF table
-  // is a single parquet file = ONE scan partition, so every row-local
-  // stage over the cached copy (to_json sinks, md5 fingerprints, PNG
-  // decode, levenshtein verify) ran serial regardless of core count —
-  // the c8≈c32 flat keys the r19 scaling block flagged. When the scan
-  // has fewer partitions than the session's shuffle width, the cache is
-  // built hash-REPARTITIONED on the table's primary key (content-
-  // deterministic placement, no rand/round-robin) and SORTED within
-  // partitions — an in-memory bucketed table: row-local work spreads
-  // across cores, and joins/aggregations keyed on the primary key
-  // consume the InMemoryRelation's partitioning+ordering without
-  // re-exchanging (the classic bucketed-layout win). At 100 TB the scan
-  // has thousands of partitions, the condition is false, and the cache
-  // keeps the scan layout — nothing here is tuned to local mode.
-  // Results are layout-independent by the repo's standing determinism
-  // contract (decimal sums, sorted collections, range-partitioned
-  // prefix ops) — re-verified against the oracle at 3 SFs this round.
-  private def cached(s: SparkSession, d: String, name: String,
-      key: Option[String] = None)(build: => DataFrame): DataFrame =
-    cachedOnce.getOrElseUpdate((s, d, name), {
-      val df = build
-      val laid = key match {
-        case Some(k) =>
-          val n = s.sessionState.conf.numShufflePartitions
-          if (df.rdd.getNumPartitions < n)
-            df.repartition(n, expr(k)).sortWithinPartitions(expr(k))
-          else df
-        case None => df
-      }
-      laid.cache(); laid
-    })
+  private def cached(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame =
+    cachedOnce.getOrElseUpdate((s, d, name), { val df = build; df.cache(); df })
 
   /** Evict and unpersist the memoized reader for table `name` under
     * `d` (no-op when absent) and drop Spark's cached file listing for
@@ -81,15 +53,15 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame =
     cached(s, d, "nation")(s.read.parquet(p(d, "nation")))
   def customer(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "customer", Some("c_custkey"))(s.read.parquet(p(d, "customer")))
+    cached(s, d, "customer")(s.read.parquet(p(d, "customer")))
   def supplier(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "supplier", Some("s_suppkey"))(s.read.parquet(p(d, "supplier")))
+    cached(s, d, "supplier")(s.read.parquet(p(d, "supplier")))
   def part(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "part", Some("p_partkey"))(s.read.parquet(p(d, "part")))
+    cached(s, d, "part")(s.read.parquet(p(d, "part")))
   def orders(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "orders", Some("o_orderkey"))(s.read.parquet(p(d, "orders")))
+    cached(s, d, "orders")(s.read.parquet(p(d, "orders")))
   def lineitem(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "lineitem", Some("l_orderkey"))(s.read.parquet(p(d, "lineitem")))
+    cached(s, d, "lineitem")(s.read.parquet(p(d, "lineitem")))
   /** events.ts has shipped in two physical shapes across testdata
     * generations, so the reader adapts to the loaded schema:
     *
@@ -111,7 +83,7 @@ object Tables {
     * reader function mutating session conf is a global side effect
     * library consumers don't expect. */
   def events(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "events", Some("user_id")) {
+    cached(s, d, "events") {
       val raw = s.read.parquet(p(d, "events"))
       val ts = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -131,7 +103,7 @@ object Tables {
       raw.withColumn("ts", ts)
     }
   def documents(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "documents", Some("doc_id"))(s.read.parquet(p(d, "documents")))
+    cached(s, d, "documents")(s.read.parquet(p(d, "documents")))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "embeddings", Some("vec_id"))(s.read.parquet(p(d, "embeddings")))
+    cached(s, d, "embeddings")(s.read.parquet(p(d, "embeddings")))
 }

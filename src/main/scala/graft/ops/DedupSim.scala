@@ -492,7 +492,7 @@ object DedupSim {
     * All equi joins + hash aggregates; candidate volume is bounded by
     * Σ C(prefix-df, 2), which τ controls. */
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    dedupNgramOn(Tables.documents(s, d))
+    dedupNgramOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   /** The staged intermediates of the exact-Jaccard/containment pair
     * pipelines, exposed so tools/DedupProbe can COUNT the production
@@ -586,7 +586,7 @@ object DedupSim {
     * C(df,2) blowup cannot enter through the prefix side. All equi
     * joins + hash aggregates, never all-pairs. */
   def dedupContain(s: SparkSession, d: String): DataFrame =
-    dedupContainOn(Tables.documents(s, d))
+    dedupContainOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   private[graft] def containStages(documents: DataFrame): PairStages = {
     import org.apache.spark.sql.expressions.Window
@@ -644,7 +644,7 @@ object DedupSim {
     * broadcastable at any realistic dup rate. No oracle (iterative CC);
     * planted-cluster invariants in DedupSimSpec. */
   def dedupCluster(s: SparkSession, d: String): DataFrame =
-    dedupClusterOn(Tables.documents(s, d))
+    dedupClusterOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   def dedupClusterOn(documents: DataFrame): DataFrame = {
     // the pair table is THIS operator's multi-consumer intermediate
@@ -931,7 +931,7 @@ object DedupSim {
     * value), so every step is exact integer arithmetic in both engines.
     * Same O(n·bands) candidate structure as MinHash — never O(n²). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    dedupSimhashOn(Tables.documents(s, d))
+    dedupSimhashOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   def dedupSimhashOn(documents: DataFrame): DataFrame = {
     val tf = documents

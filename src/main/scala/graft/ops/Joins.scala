@@ -289,7 +289,7 @@ object Joins {
     * join. The probe costs two long-keyed hash aggs over the already-
     * cached variant streams — no extra pass over the corpus. */
   def joinFuzzy(s: SparkSession, d: String): DataFrame =
-    joinFuzzyOn(Tables.customer(s, d))
+    joinFuzzyOn(Par.spread(Tables.customer(s, d), col("c_custkey")))
 
   /** Variant buckets with a pair product above this are "hot" on the
     * density wire. */

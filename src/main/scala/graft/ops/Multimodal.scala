@@ -209,7 +209,7 @@ object Multimodal {
     * three checksums from the closed-form pixel/sample functions). */
   def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val src = mediaTable(s, d)
+    val src = Par.spread(mediaTable(s, d), col("doc_id"))
       .select(col("doc_id"), col("media_type"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -854,7 +854,7 @@ object Multimodal {
     * only (source, n_frames, n_cuts) triples reach the one per-source
     * hash agg. */
   def videoScenes(s: SparkSession, d: String): DataFrame =
-    videoScenesOn(s, Tables.documents(s, d), thr = 24)
+    videoScenesOn(s, Par.spread(Tables.documents(s, d), col("doc_id")), thr = 24)
 
   /** Core of q_mm_video_scene. */
   def videoScenesOn(s: SparkSession, docsDf: DataFrame,

@@ -785,7 +785,7 @@ object TextOps {
     * fingerprints its own rows and ships only (source, fp) pairs.
     * DETERMINISM: md5 + lexicographic string min, exact int counts. */
   def winnowing(s: SparkSession, d: String): DataFrame =
-    winnowingOn(Tables.documents(s, d))
+    winnowingOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   /** Core of q_text_winnowing over any documents-shaped frame. */
   def winnowingOn(docs: DataFrame): DataFrame = {
@@ -1118,7 +1118,7 @@ object TextOps {
     * exchange carries only partial counts of a vocabulary-sized key
     * set — at 100 TB the reduce side is still tiny. */
   def bpePairs(s: SparkSession, d: String): DataFrame =
-    bpePairsOn(Tables.documents(s, d))
+    bpePairsOn(Par.spread(Tables.documents(s, d), col("doc_id")))
 
   /** Core of q_text_bpe_pairs over any documents-shaped frame. */
   def bpePairsOn(docsDf: DataFrame): DataFrame =
@@ -1474,7 +1474,7 @@ object TextOps {
     * global agg (broadcast back), one hash agg by bin — ≤nBins output
     * rows; nothing after the scan is data-sized. */
   def textClassifierCalibration(s: SparkSession, d: String): DataFrame =
-    textClassifierCalibrationOn(Tables.documents(s, d), nBins = 10)
+    textClassifierCalibrationOn(Par.spread(Tables.documents(s, d), col("doc_id")), nBins = 10)
 
   /** Core of q_text_classifier_calibration; nBins equal-width score
     * bins over the observed [min, max] score8 range. */
