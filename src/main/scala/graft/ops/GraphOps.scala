@@ -605,7 +605,7 @@ object GraphOps {
       // the previous round), so attribute-based dcur("dist")/sym("w")
       // references would be ambiguous self-join attributes
       trunc(dcur.select(col("node").as("dn"), col("dist").as("dd"))
-        .join(sym.hint("merge"), col("dn") === col("u"))
+        .join(sym, col("dn") === col("u"))
         .select(col("v").as("node"), (col("dd") + col("w")).as("dist"))
         .unionByName(dcur.select(col("node"), col("dist")))
         .groupBy(col("node")).agg(min(col("dist")).as("dist")))
@@ -699,7 +699,7 @@ object GraphOps {
     val rounds = Iterator.iterate(trunc(src), maxHop + 1) { f =>
       trunc(f.select(col("lmk").as("fl"), col("node").as("fn"),
           col("hop").as("fh"))
-        .join(sym.hint("merge"), col("fn") === col("u"))
+        .join(sym, col("fn") === col("u"))
         .select(col("fl").as("lmk"), col("v").as("node"),
           (col("fh") + lit(1L)).as("hop"))
         .unionByName(f.select(col("lmk"), col("node"), col("hop")))
@@ -724,7 +724,7 @@ object GraphOps {
       val next = trunc(sig
         .select(col("lmk").as("sl"), col("node").as("u0"),
           col("sigma").as("ps"))
-        .join(sym.hint("merge"), col("u0") === col("u"))
+        .join(sym, col("u0") === col("u"))
         .join(mh.filter(col("hop") === h)
             .select(col("lmk"), col("node")),
           col("sl") === col("lmk") && col("v") === col("node"))
