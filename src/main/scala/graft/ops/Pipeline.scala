@@ -300,14 +300,15 @@ object Pipeline {
   def pipelineKgx(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ---- EP1 parse: three node sources + one edge source ----
-    val customers = Tables.customer(s, d)
+    val customers = Par.spread(Tables.customer(s, d), col("c_custkey"))
       .select(col("c_custkey").as("key"), col("c_nationkey"))
     val users = Tables.events(s, d)
       .select(col("user_id").as("key")).distinct()
-    val parts = Tables.part(s, d)
+    val parts = Par.spread(Tables.part(s, d), col("p_partkey"))
       .select(col("p_partkey").as("key"), col("p_size"))
-    val edgesRaw = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    val edgesRaw = Par.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      .join(Par.spread(Tables.orders(s, d), col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("CUST:"), col("o_custkey")).as("subject"),
         col("l_returnflag").as("predicate"),
         concat(lit("PART:"), col("l_partkey")).as("object"))
